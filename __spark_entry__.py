@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 pricing summary) at
+sf0.001. ``queries()``/``oracle_sql()`` expose the full operator
+inventory from SURVEY.md §2 with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -16,23 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from rabbit_data_pipeline_spark.queries import registry
+
+    return registry()["q_agg_pricing"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from rabbit_data_pipeline_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.builder for name, q in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    from rabbit_data_pipeline_spark.queries import registry
+
+    return {name: q.oracle for name, q in registry().items() if q.oracle is not None}

@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is built fresh and fully materialized via a count-shaped
+action (``df.write.format("noop")`` keeps the whole plan, including
+project/sort, without collecting to the driver)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_pricing",
+    "q_filter_project",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_window_rank",
+    "q_topn",
+    "q_sessionize",
+    "q_json_extract",
+    # LLM ops (registered in later build steps; skipped if absent)
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_bruteforce",
+    "text_quality",
+    "text_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from rabbit_data_pipeline_spark.queries import registry
+    from rabbit_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("rdps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch JIT.
+    reg["q_filter_project"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Event-stream queries (sessionization, gap detection) — the batch
+equivalents of the reference's message-stream processing. The same
+logic runs in Structured Streaming via ``streaming/ops.py``; here it
+is expressed over the static ``events`` table so the DuckDB oracle can
+check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rabbit_data_pipeline_spark.functions.exact import dsum, sql_dsum
+from rabbit_data_pipeline_spark.queries import register
+from rabbit_data_pipeline_spark.session import load_tables
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS session_value,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session id. One shuffle on user_id shared by
+    both window steps and the final aggregate (same partition key, so
+    Spark reuses the exchange)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.select("user_id", "ts", "value", "event_id", is_new.alias("is_new"))
+        .select("user_id", "ts", "value", "event_id", F.sum("is_new").over(cum).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    GROUP BY event_type
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_tumbling_window",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window agg (streaming/ops.py
+    uses window('1 hour') + watermark; identical grouping semantics)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
