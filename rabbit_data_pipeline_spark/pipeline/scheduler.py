@@ -1,0 +1,125 @@
+"""Scheduler: compile a PipelineSpec into lazy DataFrame plans and run
+them.
+
+Reference parity (src/Scheduler.php):
+- ``run(task)``        → build + execute every sink of one task      (:37)
+- ``run(task, node)``  → execute a single node subtree ("proxy run") (:42)
+- ``multi([tasks])``   → run several tasks                           (:63)
+- cron/interval/once   → ``triggers.parse_trigger``                  (:72-112)
+- single-flight lock   → ``locks.task_lock``                         (:101)
+- per-plugin errHandler → NodeSpec.on_error ("fail"/"skip")          (AbstractPlugin.php:94)
+
+The execution model is deliberately different from the reference: it
+walks plugins per-Message at runtime; we resolve the DAG once into a
+DataFrame expression tree, hand the WHOLE tree to Catalyst, and only
+then execute. Fan-out (one node feeding N downstreams) costs nothing
+at plan time; if a branch point is expensive and feeds 2+ sinks the
+node can declare ``cache: true`` to persist the intermediate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rabbit_data_pipeline_spark.pipeline.locks import task_lock
+from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+# Plugin signature: (scheduler, node_config, inputs) -> DataFrame | None.
+# Sources take no inputs; transforms take 1+; sinks usually return None
+# (side effect) or a DataFrame to expose as a task result.
+Plugin = Callable[["Scheduler", dict[str, Any], list[DataFrame]], DataFrame | None]
+
+_PLUGINS: dict[str, Plugin] = {}
+
+
+def plugin(name: str):
+    """Register a plugin type (reference: '插件开发' — subclass
+    AbstractPlugin + implement run; here: a pure function)."""
+
+    def deco(fn: Plugin) -> Plugin:
+        _PLUGINS[name] = fn
+        return fn
+
+    return deco
+
+
+def plugins() -> dict[str, Plugin]:
+    # Importing registers the built-in plugin set.
+    from rabbit_data_pipeline_spark import sinks, sources  # noqa: F401
+    from rabbit_data_pipeline_spark.operators import line_parser, xml  # noqa: F401
+    from rabbit_data_pipeline_spark.pipeline import builtin_plugins  # noqa: F401
+
+    return dict(_PLUGINS)
+
+
+class SkippedNode(Exception):
+    """Raised internally when an on_error=skip node failed."""
+
+
+class Scheduler:
+    def __init__(self, spark: SparkSession, specs: dict[str, PipelineSpec], variables: dict | None = None):
+        self.spark = spark
+        self.specs = specs
+        self.variables = variables or {}
+        self._registry = plugins()
+        self._built: dict[tuple[str, str], DataFrame | None] = {}
+
+    @classmethod
+    def from_yaml(cls, spark: SparkSession, text_or_path: str, variables: dict | None = None) -> Scheduler:
+        return cls(spark, PipelineSpec.from_yaml(text_or_path), variables)
+
+    # -- reference Scheduler::run / multi ---------------------------------
+    def run(self, task: str, target: str | None = None) -> dict[str, DataFrame | None]:
+        if task not in self.specs:
+            raise KeyError(f"No such task {task}")
+        spec = self.specs[task]
+        with task_lock(task, timeout=spec.lock):
+            names = [target] if target else spec.sinks()
+            out: dict[str, DataFrame | None] = {}
+            for name in names:
+                try:
+                    out[name] = self._build(spec, name)
+                except SkippedNode:
+                    out[name] = None
+            return out
+
+    def multi(self, tasks: list[str]) -> dict[str, dict[str, DataFrame | None]]:
+        return {t: self.run(t) for t in tasks}
+
+    def build(self, task: str, node: str) -> DataFrame:
+        """Return the lazy plan at `node` without executing any sink."""
+        df = self._build(self.specs[task], node)
+        if df is None:
+            raise ValueError(f"{task}.{node} produced no DataFrame")
+        return df
+
+    # -- DAG resolution -----------------------------------------------------
+    def _build(self, spec: PipelineSpec, name: str) -> DataFrame | None:
+        key = (spec.name, name)
+        if key in self._built:
+            return self._built[key]
+        node = spec.nodes[name]
+        fn = self._registry.get(node.type)
+        if fn is None:
+            raise KeyError(f"unknown plugin type '{node.type}' in {spec.name}.{name}")
+        inputs: list[DataFrame] = []
+        for parent in spec.upstream_of(name):
+            parent_df = self._build(spec, parent)
+            if parent_df is not None:
+                inputs.append(parent_df)
+        cfg = {**node.config, "_task": spec.name, "_node": name}
+        try:
+            df = fn(self, cfg, inputs)
+        except SkippedNode:
+            raise
+        except Exception:
+            if node.on_error == "skip":
+                raise SkippedNode(name) from None
+            raise
+        if df is not None and node.config.get("cache"):
+            # Branch point feeding multiple sinks: persist once.
+            df = df.cache()
+        self._built[key] = df
+        return df

@@ -1,4 +1,359 @@
-"""Pipeline-framework queries — registered in later build steps.
+"""Pipeline-framework queries — each runs a real PipelineSpec through
+the Scheduler (YAML → DAG → one Catalyst plan), or a sync operator,
+and checks against a DuckDB oracle.
 
-Exercises PipelineSpec/Scheduler end-to-end (SURVEY §2 C1-C6).
+File-backed cases write their fixture under /tmp/rdps_fixtures from
+the given sf_dir first (deterministically: DuckDB COPY with ORDER BY),
+so the static oracle SQL can read the same file.
 """
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbit_data_pipeline_spark.queries import register
+from rabbit_data_pipeline_spark.session import load_tables
+
+FIXTURES = "/tmp/rdps_fixtures"
+
+
+def _fixture_csv(sf_dir: str, name: str, sql: str) -> str:
+    """Deterministic CSV fixture exported from the sf_dir parquet."""
+    import duckdb
+
+    os.makedirs(FIXTURES, exist_ok=True)
+    out = os.path.join(FIXTURES, f"{name}.csv")
+    con = duckdb.connect()
+    con.execute(f"COPY ({sql.format(sf=sf_dir)}) TO '{out}' (HEADER, DELIMITER ',')")
+    con.close()
+    return out
+
+
+# --- C1/C2/T6: YAML spec → scheduler → sql transform → memory sink ----------
+@register(
+    "pipeline_e2e",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+
+    yaml_cfg = f"""
+priority_rollup:
+  read_orders:
+    type: source.table
+    start: true
+    config: {{}}
+    name: orders
+    sf_dir: {sf_dir}
+    output: only_final
+  only_final:
+    type: transform.filter
+    condition: o_orderstatus = 'F'
+    output: rollup
+  rollup:
+    type: transform.sql
+    sql: >
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM input GROUP BY o_orderpriority
+    output: out
+  out:
+    type: sink.memory
+    view: priority_rollup_result
+"""
+    sch = Scheduler.from_yaml(spark, yaml_cfg)
+    return sch.run("priority_rollup")["out"]
+
+
+# --- C2: fan-out (one node feeds two branches) -------------------------------
+@register(
+    "pipeline_fanout",
+    oracle="""
+    SELECT 'high' AS branch, COUNT(*) AS n FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT 'low' AS branch, COUNT(*) AS n FROM orders WHERE o_totalprice < 200000
+    """,
+)
+def pipeline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference fan-out (output: [a, b]) + merge via a multi-input
+    union node — which the reference cannot even express (its DAG is
+    forward-only per Message); here it's just more edges in the plan."""
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+
+    yaml_cfg = f"""
+fanout:
+  read_orders:
+    type: source.table
+    start: true
+    name: orders
+    sf_dir: {sf_dir}
+    output: [high, low]
+  high:
+    type: transform.sql
+    sql: SELECT 'high' AS branch, COUNT(*) AS n FROM input WHERE o_totalprice >= 200000
+    output: merged
+  low:
+    type: transform.sql
+    sql: SELECT 'low' AS branch, COUNT(*) AS n FROM input WHERE o_totalprice < 200000
+    output: merged
+  merged:
+    type: transform.union
+    inputs: [high, low]
+"""
+    sch = Scheduler.from_yaml(spark, yaml_cfg)
+    return sch.run("fanout")["merged"]
+
+
+# --- S1: find_files ----------------------------------------------------------
+@register(
+    "find_files",
+    oracle="""
+    SELECT * FROM (VALUES ('a.csv'), ('b.csv'), ('c.tsv')) AS t(file_name)
+    """,
+)
+def find_files_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+
+    d = os.path.join(FIXTURES, "scan")
+    os.makedirs(d, exist_ok=True)
+    for fname, body in [("a.csv", "x\n1\n"), ("b.csv", "x\n2\n"), ("c.tsv", "x\n3\n"), ("skip.log", "nope")]:
+        pathlib.Path(d, fname).write_text(body)
+    from rabbit_data_pipeline_spark.sources.files import find_files
+
+    df = find_files(spark, scan_dir=d, extensions=["csv", "tsv"])
+    return df.select(F.element_at(F.split("path", "/"), -1).alias("file_name"))
+
+
+# --- S2: SQL source (DuckDB driver — the Pdo test path) ----------------------
+@register(
+    "source_sql",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey
+    """,
+)
+def source_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+
+    spec = {
+        "pdo_pull": {
+            "pull": {
+                "type": "source.sql",
+                "start": True,
+                "driver": "duckdb",
+                "sql": "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey",
+                "views": {"nation": f"{sf_dir}/nation.parquet"},
+            }
+        }
+    }
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in spec.items()})
+    return sch.run("pdo_pull")["pull"]
+
+
+# --- T1-T3: line parser ------------------------------------------------------
+@register(
+    "line_parser_csv",
+    oracle=f"""
+    SELECT CAST(p_partkey AS VARCHAR) AS part_id,
+           p_name,
+           CAST(p_size AS VARCHAR) AS p_size,
+           'catalog' AS src
+    FROM read_csv('{FIXTURES}/parts.csv', header=true, all_varchar=true)
+    """,
+)
+def line_parser_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FindFiles→LineParser chain: csv parse + exclude + rename +
+    addField (reference LineParser knobs), fast path = native reader."""
+    _fixture_csv(sf_dir, "parts", "SELECT p_partkey, p_name, p_brand, p_size FROM read_parquet('{sf}/part.parquet') ORDER BY p_partkey")
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    return parse_lines(
+        spark,
+        os.path.join(FIXTURES, "parts.csv"),
+        file_type="csv",
+        exclude=[2],  # drop p_brand by position
+        rename={"p_partkey": "part_id"},
+        add_fields={"src": "catalog"},
+    )
+
+
+# --- C5/T3: generated ids ----------------------------------------------------
+@register(
+    "id_gen",
+    oracle="SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids FROM customer",
+)
+def id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uuid() per row (idKey parity): ids are random, so the oracle
+    checks the invariant — as many distinct ids as rows."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    with_id = c.withColumn("row_id", F.expr("uuid()"))
+    return with_id.agg(F.count("*").alias("n_rows"), F.countDistinct("row_id").alias("n_ids"))
+
+
+# --- T4/T5: xml format → parse roundtrip -------------------------------------
+@register(
+    "xml_parse",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS nation_key, n_name AS nation_name
+    FROM nation
+    """,
+)
+def xml_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: rows → xml strings (XmlFormat) → fields (XmlParser).
+    Equality with the raw table proves both directions."""
+    from rabbit_data_pipeline_spark.operators.xml import xml_format, xml_parse
+
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    as_xml = xml_format(n, item_tag="nation", out_col="xml", columns=["n_nationkey", "n_name"])
+    return xml_parse(
+        as_xml,
+        fields={"nation_key": "/nation/n_nationkey/text()", "nation_name": "/nation/n_name/text()"},
+        xml_col="xml",
+    )
+
+
+@register(
+    "xml_format",
+    oracle="""
+    SELECT '<region><id>' || CAST(r_regionkey AS VARCHAR) || '</id><name>' || r_name || '</name></region>' AS xml
+    FROM region
+    """,
+)
+def xml_format_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.xml import xml_format
+
+    r = load_tables(spark, sf_dir, ("region",))["region"]
+    renamed = r.select(F.col("r_regionkey").alias("id"), F.col("r_name").alias("name"))
+    return xml_format(renamed, item_tag="region", out_col="xml").select("xml")
+
+
+# --- K2: file sink round-trip -------------------------------------------------
+@register(
+    "file_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write parquet (sink.file) → read back → aggregate: proves the
+    sink loses/duplicates nothing."""
+    from rabbit_data_pipeline_spark.sinks.files import write_files
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    path = os.path.join(FIXTURES, "roundtrip_orders")
+    write_files(o.filter(F.col("o_totalprice") > 150000), path, fmt="parquet", mode="overwrite")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+# --- Y1: insert-missing ------------------------------------------------------
+@register(
+    "sync_insert_missing",
+    oracle="""
+    WITH target AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+         source AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000)
+    SELECT * FROM target
+    UNION ALL
+    SELECT * FROM source s WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = s.c_custkey)
+    """,
+)
+def sync_insert_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.sync import insert_missing
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"].select("c_custkey", "c_name", "c_acctbal")
+    target = c.filter(F.col("c_custkey") % 2 == 0)
+    source = c.filter(F.col("c_acctbal") > 5000)
+    return insert_missing(target, source, keys=["c_custkey"])
+
+
+# --- Y1b: upsert (ON DUPLICATE KEY UPDATE parity) ----------------------------
+@register(
+    "sink_upsert",
+    oracle="""
+    WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 != 0),
+         source AS (SELECT o_orderkey, o_orderstatus,
+                           CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+                    FROM orders WHERE o_totalprice > 250000)
+    SELECT * FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT * FROM source
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.sync import upsert
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    source = o.filter(F.col("o_totalprice") > 250000).withColumn(
+        "o_totalprice", (F.col("o_totalprice") * 1.1).cast("double")
+    )
+    return upsert(target, source, keys=["o_orderkey"], broadcast_source=True)
+
+
+# --- Y2: incremental sync by watermark ---------------------------------------
+@register(
+    "sync_incremental",
+    oracle="""
+    WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+         dst AS (SELECT * FROM events_us WHERE ts < TIMESTAMP '2024-02-01')
+    SELECT event_id, ts, user_id, event_type
+    FROM events_us
+    WHERE ts > (SELECT MAX(ts) FROM dst)
+    """,
+)
+def sync_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.sync import sync_incremental
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    dst = e.filter(F.col("ts") < "2024-02-01")
+    return sync_incremental(e, dst, "ts").select("event_id", "ts", "user_id", "event_type")
+
+
+# --- Y3: keep-latest-by-flag --------------------------------------------------
+@register(
+    "sync_flag_update",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, l_quantity, l_extendedprice, l_partkey, l_suppkey) AS rn
+      FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def sync_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_linenumber) is not unique in the synthetic data,
+    so the tiebreak columns make the kept row deterministic."""
+    from rabbit_data_pipeline_spark.operators.sync import keep_latest_by_flag
+
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return keep_latest_by_flag(
+        l, keys=["l_orderkey"], order_col="l_linenumber",
+        tiebreak=["l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"],
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# --- Y4: delete-by-condition ---------------------------------------------------
+@register(
+    "delete_where",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+    """,
+)
+def delete_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.sync import delete_where
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return delete_where(o, "o_orderstatus = 'F' AND o_totalprice < 100000")

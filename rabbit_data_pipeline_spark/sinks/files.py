@@ -1,0 +1,48 @@
+"""File sink (reference src/Sinks/File.php writes one file per
+Message; here `df.write` emits a directory of part files — atomic via
+the Hadoop output committer, partitionable, and parallel)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from rabbit_data_pipeline_spark.pipeline.scheduler import Scheduler, plugin
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, Any] | None = None,
+) -> None:
+    """At scale: partition_by on low-cardinality query keys (partition
+    pruning on read); never partition_by high-cardinality columns
+    (file explosion)."""
+    writer = df.write.format(fmt).mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+@plugin("sink.file")
+def _file_sink(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    (df,) = inputs
+    opts = dict(cfg.get("options", {}))
+    fmt = cfg.get("format", cfg.get("ext", "parquet"))
+    if fmt == "csv" and "header" not in opts:
+        opts["header"] = "true"
+    write_files(
+        df,
+        path=cfg["path"],
+        fmt=fmt,
+        mode=cfg.get("mode", "overwrite"),
+        partition_by=cfg.get("partition_by"),
+        options=opts,
+    )
+    return df  # pass-through so a sink can still feed a downstream node (reference fan-out)

@@ -1,0 +1,56 @@
+"""Streaming sinks — producer side of the reference's broker sinks
+(src/Sinks/{RdKafka,Amqp,Nsq}.php).
+
+`kafka_write_stream` is the production path (gated: needs the Kafka
+package). `queue_dir` is the broker-less counterpart of
+sources/stream.py: messages land as JSON-lines files which any
+consumer (including another of our pipelines) tails exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from rabbit_data_pipeline_spark.pipeline.triggers import Trigger
+
+
+def to_message(df: DataFrame, key_col: str | None = None, value_cols: list[str] | None = None, topic: str = "default") -> DataFrame:
+    """Shape any DataFrame into the canonical message schema (JSON value)."""
+    value = F.to_json(F.struct(*[F.col(c) for c in (value_cols or df.columns)]))
+    key = F.col(key_col).cast("string") if key_col else F.lit("")
+    return df.select(
+        key.alias("key"),
+        value.alias("value"),
+        F.lit(topic).alias("topic"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def queue_dir_write_stream(
+    df: DataFrame, queue_dir: str, checkpoint: str, trigger: Trigger | None = None
+) -> StreamingQuery:
+    writer = df.writeStream.format("json").option("path", queue_dir).option("checkpointLocation", checkpoint)
+    writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
+    return writer.start()
+
+
+def kafka_write_stream(
+    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str, trigger: Trigger | None = None
+) -> StreamingQuery:
+    writer = (
+        df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
+    return writer.start()
+
+
+def memory_write_stream(df: DataFrame, name: str, trigger: Trigger | None = None) -> StreamingQuery:
+    writer = df.writeStream.format("memory").queryName(name).outputMode("append")
+    writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
+    return writer.start()

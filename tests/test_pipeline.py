@@ -1,0 +1,194 @@
+"""Unit tests for the pipeline framework (SURVEY §2 C1-C6) and
+operator knobs without SQL oracles."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+from rabbit_data_pipeline_spark.pipeline.locks import TaskLocked, task_lock
+from rabbit_data_pipeline_spark.pipeline.triggers import Trigger, cron_matches, parse_trigger, run_on_trigger
+
+
+def test_spec_validation_rejects_unknown_output():
+    with pytest.raises(ValueError, match="unknown node"):
+        PipelineSpec.from_dict("t", {"a": {"type": "source.table", "start": True, "output": "missing"}})
+
+
+def test_spec_requires_start_node():
+    with pytest.raises(ValueError, match="no start node"):
+        PipelineSpec.from_dict("t", {"a": {"type": "source.table", "output": []}})
+
+
+def test_spec_detects_cycle():
+    with pytest.raises(ValueError, match="cycle"):
+        PipelineSpec.from_dict(
+            "t",
+            {
+                "a": {"type": "x", "start": True, "output": "b"},
+                "b": {"type": "x", "output": "a"},
+            },
+        )
+
+
+def test_reference_output_dict_form():
+    # reference: output can be {'node': true|false|int} (wait semantics)
+    spec = PipelineSpec.from_dict(
+        "t",
+        {
+            "a": {"type": "x", "start": True, "output": {"b": True}},
+            "b": {"type": "x"},
+        },
+    )
+    assert spec.nodes["a"].output == ["b"]
+    assert spec.upstream_of("b") == ["a"]
+
+
+def test_scheduler_on_error_skip(spark, sf_smoke):
+    cfg = {
+        "t": {
+            "bad": {"type": "source.parquet", "start": True, "path": "/nonexistent", "on_error": "skip", "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    assert sch.run("t") == {"out": None}
+
+
+def test_scheduler_on_error_fail(spark):
+    cfg = {
+        "t": {
+            "bad": {"type": "source.parquet", "start": True, "path": "/nonexistent", "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    with pytest.raises(Exception):
+        sch.run("t")
+
+
+def test_scheduler_run_single_target(spark, sf_smoke):
+    cfg = {
+        "t": {
+            "src": {"type": "source.table", "start": True, "name": "region", "sf_dir": sf_smoke, "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    df = sch.run("t", target="src")["src"]
+    assert df.count() == 5  # region has 5 rows at every SF
+
+
+def test_task_lock_single_flight(tmp_path):
+    with task_lock("job", timeout=60, lock_dir=str(tmp_path)):
+        with pytest.raises(TaskLocked):
+            with task_lock("job", timeout=60, lock_dir=str(tmp_path)):
+                pass
+    # released → can re-acquire
+    with task_lock("job", timeout=60, lock_dir=str(tmp_path)):
+        pass
+
+
+def test_task_lock_expiry_steal(tmp_path):
+    path = tmp_path / "job.lock"
+    path.write_text(str(time.time() - 999))
+    os.utime(path, (time.time() - 999, time.time() - 999))
+    with task_lock("job", timeout=1, lock_dir=str(tmp_path)):
+        pass  # stale lock stolen
+
+
+def test_trigger_parsing():
+    assert parse_trigger(None).kind == "once"
+    assert parse_trigger(-1).kind == "once"  # reference: -1 = run once
+    assert parse_trigger(30) == Trigger("interval", interval_sec=30)
+    assert parse_trigger("30").interval_sec == 30
+    assert parse_trigger("*/5 * * * *").kind == "cron"
+
+
+def test_trigger_streaming_options():
+    assert parse_trigger(10).streaming_options() == {"processingTime": "10 seconds"}
+    assert parse_trigger(-1).streaming_options() == {"availableNow": True}
+
+
+def test_cron_match():
+    from datetime import datetime
+
+    assert cron_matches("*/5 * * * *", datetime(2026, 1, 1, 10, 25))
+    assert not cron_matches("*/5 * * * *", datetime(2026, 1, 1, 10, 26))
+    assert cron_matches("0 9 * * 1-5", datetime(2026, 8, 13, 9, 0))  # a Thursday
+
+
+def test_run_on_trigger_interval():
+    calls = []
+    n = run_on_trigger(Trigger("interval", interval_sec=1), lambda: calls.append(1), max_runs=3, sleep=lambda s: None)
+    assert n == 3 and len(calls) == 3
+
+
+def test_line_parser_range_path(spark, tmp_path):
+    """dataLine/endLine knobs — the zipWithIndex branch."""
+    p = tmp_path / "data.txt"
+    p.write_text("junk preamble\ncol_a\tcol_b\n1\tx\n2\ty\n3\tz\n")
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    df = parse_lines(spark, str(p), file_type="txt", head_line=2, data_line=3, end_line=6)
+    assert df.columns == ["col_a", "col_b"]
+    assert [tuple(r) for r in df.orderBy("col_a").collect()] == [("1", "x"), ("2", "y"), ("3", "z")]
+
+
+def test_line_parser_rejects_bad_type(spark):
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    with pytest.raises(ValueError, match="fileType only support"):
+        parse_lines(spark, "/x", file_type="pdf")
+    with pytest.raises(NotImplementedError):
+        parse_lines(spark, "/x", file_type="xlsx")
+
+
+def test_http_fetch_column_fake(spark):
+    from rabbit_data_pipeline_spark.sources.http import fake_transport, http_fetch_column
+
+    df = spark.createDataFrame([("u1", "http://a"), ("u2", "http://b")], "id string, url string")
+    out = http_fetch_column(df, transport=fake_transport({"http://a": '{"ok": 1}'}))
+    rows = {r["url"]: r["body"] for r in out.collect()}
+    assert rows["http://a"] == '{"ok": 1}'
+    assert "http://b" in rows["http://b"]  # deterministic fake echoes url
+
+
+def test_xml_document_aggregation(spark):
+    from rabbit_data_pipeline_spark.operators.xml import xml_document, xml_format
+
+    df = spark.createDataFrame([(1, "a&b")], "id int, name string")
+    doc = xml_document(xml_format(df, item_tag="row"), root_tag="rows")
+    assert doc == '<?xml version="1.0" encoding="utf-8"?><rows><row><id>1</id><name>a&amp;b</name></row></rows>'
+
+
+def test_bump_flag(spark):
+    from rabbit_data_pipeline_spark.operators.sync import bump_flag
+
+    df = spark.createDataFrame([(1, 0), (2, 1), (3, 2), (4, 0)], "pk int, flag int")
+    batch = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = {r["pk"]: r["flag"] for r in bump_flag(df, batch, ["pk"]).collect()}
+    # flags 0/1 bumped, flag 2 untouched, unmatched rows untouched
+    assert out == {1: 1, 2: 2, 3: 2, 4: 0}
+
+
+def test_upsert_sink_plugin(spark, tmp_path):
+    from rabbit_data_pipeline_spark.pipeline.scheduler import plugins
+
+    sink = plugins()["sink.upsert"]
+
+    class FakeSch:
+        pass
+
+    fake = FakeSch()
+    fake.spark = spark
+    path = str(tmp_path / "state")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out1 = sink(fake, {"path": path, "keys": ["k"], "staging": path}, [first])
+    assert out1.count() == 2
+    second = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    out2 = sink(fake, {"path": path, "keys": ["k"], "staging": path + "2"}, [second])
+    assert {(r["k"], r["v"]) for r in out2.collect()} == {(1, "a"), (2, "B"), (3, "c")}
