@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Shared scale shape: never compare all pairs. Every near-dup variant is
+  signature (per-row, one pass, JVM-side HOFs)
+  → bucket key (band / block)
+  → shuffle ON THE BUCKET KEY and self-join only within buckets
+  → verify candidates with the exact measure.
+The quadratic step is bounded per-bucket; at 100 TB the bucket-key
+shuffle is the only global data movement, AQE splits skewed buckets,
+and a `salt_cap` guard drops degenerate buckets (stopword-like
+signatures) that would otherwise blow up a reducer.
+
+Cluster → survivor resolution: near-dup "clusters" here are star-
+shaped (keep lowest id of every candidate pair, drop the rest). A full
+connected-components pass (iterative, Pregel-style) is out of scope
+for v1 — documented difference vs. transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rabbit_data_pipeline_spark.operators.text import norm_text
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on md5(normalized text): groupBy-hash keeps the
+    lowest id per hash. One shuffle on the hash; partial aggregation
+    collapses dups map-side first, so the shuffle carries ~unique rows."""
+    h = F.md5(norm_text(F.col(text_col))).alias("__h")
+    keep = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def _bind(bound_expr: str, zero: str, lambda_body: str, var: str = "s") -> str:
+    """let-binding for SQL expressions: evaluate `bound_expr` ONCE and
+    expose it as lambda var `var` inside `lambda_body`.
+
+    Spark has no `let`, and relying on a Project boundary is fragile —
+    CollapseProject inlines aliased expressions into consumers, so an
+    expensive sub-expression referenced inside a HOF lambda gets
+    re-evaluated per lambda invocation (observed 64x re-eval = ~100x
+    slowdown on minhash). `aggregate(array(e), zero, (acc, s) -> body)`
+    invokes the merge lambda exactly once with s = e."""
+    return f"aggregate(array({bound_expr}), {zero}, (__acc, {var}) -> {lambda_body})"
+
+
+def _shingle_expr(text_col: str, k: int = 5) -> str:
+    """SQL expression for distinct char k-grams (substring with a
+    dynamic start needs the SQL form — the DSL substring() takes
+    literals only). The normalized string is let-bound so the regex
+    runs once per row, not once per character position."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    body = (
+        f"array_distinct(transform(sequence(1, greatest(length(s) - {k - 1}, 1)), "
+        f"i -> substring(s, i, {k})))"
+    )
+    return _bind(norm, "cast(array() as array<string>)", body)
+
+
+def word_tokens_expr(text_col: str) -> str:
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    return f"split({norm}, ' ')"
+
+
+# ------------------------------------------------------------- minhash
+
+MERSENNE = (1 << 61) - 1
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64, k: int = 5) -> DataFrame:
+    """num_hashes-wide MinHash signature per row.
+
+    h_i(g) = ((2i+1) * xxhash64(g) + b_i) mod 2^61-1 with fixed odd
+    multipliers. The shingle set is hashed ONCE into a base array; the
+    num_hashes minima are then pure arithmetic passes over that array
+    (two compact HOF expressions — stays inside whole-stage codegen,
+    where inlining the shingle expression per hash function blows the
+    64KB codegen limit and falls back to interpreted eval ~100x slower).
+    One scan, zero shuffle, zero Python. Adds `sig: array<bigint>`."""
+    shingles = _shingle_expr(text_col, k)
+    # reduce the raw 64-bit hash into 32 bits so a*h+b cannot overflow
+    # int64 (ANSI mode makes overflow an error in Spark 4)
+    base = f"transform({shingles}, g -> pmod(xxhash64(g), 4294967291L))"
+    # let-bind the hash array: without this, the 64-iteration transform
+    # lambda re-evaluates the whole shingle pipeline per hash function.
+    sig = _bind(
+        base,
+        f"array_repeat({MERSENNE}L, {num_hashes})",
+        (
+            f"transform(sequence(0, {num_hashes - 1}), i -> "
+            f"aggregate(s, {MERSENNE}L, "
+            f"(acc, x) -> least(acc, pmod((2L*i + 1L) * x + 104729L * (i + 1L), {MERSENNE}L))))"
+        ),
+    )
+    return df.withColumn("sig", F.expr(sig))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    sim_threshold: float = 0.7,
+    salt_cap: int = 2000,
+) -> DataFrame:
+    """Band the signatures, bucket-join, verify by signature agreement.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b. Buckets larger
+    than `salt_cap` are dropped (degenerate signatures — at web scale
+    these are boilerplate/empty docs and would otherwise quadratically
+    dominate a reducer)."""
+    rows_per_band = F.floor(F.size("sig") / bands)
+    banded = sig_df.select(
+        F.col(id_col), "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)), b).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    # drop degenerate buckets before the self-join
+    sized = banded.withColumn("__bn", F.count("*").over(Window.partitionBy("band", "bh")))
+    banded = sized.filter(F.col("__bn") <= salt_cap).drop("__bn")
+
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    pairs = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")), F.lit(0), lambda acc, x: acc + x
+    ).cast("double") / F.size("sig_a")
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard")).filter(F.col("est_jaccard") >= sim_threshold)
+
+
+def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop the higher id of every duplicate pair (star-shaped clusters)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit j, sum ±1 weighted by
+    token-hash bit j; sign → bit. Expressed as nested HOFs — one scan,
+    no shuffle, no Python."""
+    tokens = word_tokens_expr(text_col)
+    expr = f"""
+    aggregate(
+      transform(sequence(0, 63), j ->
+        CASE WHEN aggregate(transform({tokens}, t ->
+                    CASE WHEN (shiftright(xxhash64(t), j) & 1L) = 1L THEN 1 ELSE -1 END),
+                  0, (acc, x) -> acc + x) >= 0
+             THEN shiftleft(1L, j) ELSE 0L END),
+      0L, (acc, x) -> acc | x)
+    """
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within `max_hamming` of each other. Banding: any
+    pair with hamming ≤ 3 agrees exactly on ≥1 of 4 16-bit quarters
+    (pigeonhole) → bucket on (quarter_idx, quarter_value), join within
+    buckets, verify with bit_count(xor)."""
+    quarters = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.shiftright(F.col(hash_col), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                )
+                for q in range(4)
+            ]
+        )
+    )
+    b = df.select(F.col(id_col), F.col(hash_col), quarters.alias("bk")).select(
+        id_col, hash_col, F.col("bk.q").alias("q"), F.col("bk.qv").alias("qv")
+    )
+    left = b.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "q", "qv")
+    right = b.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "q", "qv")
+    pairs = (
+        left.join(right, on=["q", "qv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+# ----------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    block_prefix: int = 12,
+) -> DataFrame:
+    """Exact Jaccard over distinct char k-grams, candidates blocked by
+    normalized-text prefix (cheap blocking with an exact verify; the
+    general-recall path is MinHash above). Integer-count division →
+    exact DuckDB twin."""
+    grams = _shingle_expr(text_col, k)
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"substring({norm}, 1, {block_prefix})").alias("block"),
+        F.expr(grams).alias("grams"),
+    )
+    left = base.select(F.col(id_col).alias("id_a"), F.col("block"), F.col("grams").alias("g_a"))
+    right = base.select(F.col(id_col).alias("id_b"), F.col("block"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        left.join(right, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH buckets → in-bucket exact cosine ≥ t.
+
+    With 8 planes a pair at cosine .95 (angle ~18°) lands in the same
+    bucket with P = (1-18/180)^8 ≈ .43 per table; production would OR
+    several tables — here one table keeps the test surface simple and
+    the recall bound documented."""
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.functions.vector import cosine, hyperplane_bits
+
+    rng = np.random.RandomState(seed)
+    dim = len(df.select(vec_col).first()[0])
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    b = df.select(F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket"))
+    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

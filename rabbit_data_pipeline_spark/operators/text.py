@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+Every function is a single-pass column expression — no shuffle, no
+UDF: at 100 TB these run at parquet-scan speed and stay inside
+whole-stage codegen. Each has an exact DuckDB-SQL twin (queries/llm.py)
+because the formulas use only functions with identical semantics in
+both engines (regexp_count on RE2-compatible patterns, md5, integer
+arithmetic, double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language scorer.
+# Deliberately small + word-boundary matched: the score is a determin-
+# istic function, not a model — the scale story is the shape (one
+# regexp_count per language, one pass), not the lexicon size.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est", "que"],
+}
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+PUNCT_PATTERN = r"[.,;:!?]"
+# BPE-ish pieces: runs of up to 4 alphanumerics, or a single symbol.
+BPE_PATTERN = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
+def norm_text(col: Column) -> Column:
+    """Canonical form for hashing/dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def ws_token_count(col: Column) -> Column:
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_PATTERN))
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts + CJK char count for zh."""
+    scores = {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+    scores["zh"] = F.regexp_count(col, F.lit(CJK_PATTERN))
+    return scores
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over language scores, ties broken by language code asc
+    (deterministic); no hits at all → 'und' (unknown)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores, reverse=True):  # reverse so earlier codes win ties
+        s = scores[lang]
+        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    n_chars = F.length(col)
+    n_words = ws_token_count(col)
+    punct = F.regexp_count(col, F.lit(PUNCT_PATTERN))
+    upper = F.regexp_count(col, F.lit("[A-Z]"))
+    stop = stopword_hits(col, LANG_STOPWORDS["en"])
+    nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": punct.cast("double") / nz(n_chars),
+        "upper_ratio": upper.cast("double") / nz(n_chars),
+        "stopword_ratio": stop.cast("double") / nz(n_words),
+        "avg_word_len": n_chars.cast("double") / nz(n_words),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic 0-1 quality heuristic: rewards sane length, word
+    shape and English stopword presence; punishes punctuation soup.
+    Weights are integers/halves so double math is exact cross-engine."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_chars"] >= 100) & (f["n_chars"] <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+    words_ok = F.when((f["avg_word_len"] >= 3.0) & (f["avg_word_len"] <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(f["stopword_ratio"] >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(f["punct_ratio"] <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    return length_ok + words_ok + stop_ok + punct_ok
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (exact-dup key;
+    identical spelling in DuckDB → oracle-able)."""
+    return F.md5(norm_text(col))
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    feats = quality_features(c)
+    return df.withColumns(
+        {
+            "lang_guess": lang_id(c),
+            "quality": quality_score(c),
+            "ws_tokens": ws_token_count(c),
+            "bpe_tokens": bpe_token_count(c),
+            "fingerprint": fingerprint(c),
+            **{k: v for k, v in feats.items() if k not in df.columns},
+        }
+    )

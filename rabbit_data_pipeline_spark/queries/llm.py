@@ -1,4 +1,306 @@
-"""LLM-scale data-pipeline queries — registered in later build steps.
+"""LLM-scale data-pipeline queries (SURVEY §2 L1-L12).
 
-Populated by operators/{dedup,similarity,text}.py wrappers.
+Strong DuckDB oracles wherever both engines can compute the identical
+function (md5 fingerprints, regexp counts on RE2-compatible patterns,
+integer-count Jaccard, double cosine — verified bit-identical).
+MinHash/SimHash/LSH use xxhash64, which DuckDB cannot reproduce →
+rows-only gate + determinism asserted in unit tests.
+
+The dedup inputs union the documents table with deterministic
+synthetic duplicates (the testdata has none), so the operators have
+something real to find and the oracle can mirror the construction.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbit_data_pipeline_spark.queries import register
+from rabbit_data_pipeline_spark.session import load_tables
+
+# ---------------------------------------------------------------- text
+
+_WS = r"\s+"
+_STOP_EN = r"\b(the|a|of|and|to|in|is|it)\b"
+_BPE = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '{_WS}')) END AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import bpe_token_count, ws_token_count
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '{_WS}')) END AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+           CAST(stop AS DOUBLE) / GREATEST(n_words, 1) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / GREATEST(n_words, 1) AS avg_word_len,
+           CAST(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(n_chars AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(stop AS DOUBLE) / GREATEST(n_words, 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) <= 0.1 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+    FROM f
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import quality_features, quality_score
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    from rabbit_data_pipeline_spark.operators.text import CJK_PATTERN, LANG_STOPWORDS
+
+    cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        cols.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}")
+    cols.append(f"len(regexp_extract_all(text, '{CJK_PATTERN}')) AS s_zh")
+    return ", ".join(cols)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+    SELECT doc_id,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword/charset scorer; argmax ties break to the
+    alphabetically-first language (both engines spell that identically)."""
+    from rabbit_data_pipeline_spark.operators.text import lang_id
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import fingerprint
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------- dedup
+
+_DUP_INPUT_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_input(spark: SparkSession, sf_dir: str, perturb: str | None = None) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    if perturb:
+        copies = copies.withColumn("text", F.concat(F.col("text"), F.lit(perturb)))
+    return d.unionAll(copies)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH input AS ({_DUP_INPUT_SQL}),
+         keep AS (
+           SELECT MIN(doc_id) AS doc_id
+           FROM input
+           GROUP BY md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')))
+         )
+    SELECT i.doc_id FROM input i JOIN keep k ON i.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup keeps the lowest doc_id per normalized-text hash
+    (drops the 50 synthetic exact copies)."""
+    from rabbit_data_pipeline_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_dup_input(spark, sf_dir), text_col="text", id_col="doc_id").select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH input AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' qq zz' AS text FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')), 1, 12) AS block,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))) - 2, 1) + 1),
+               i -> substr(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')), i, 3))) AS grams
+      FROM input
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact char-3-gram Jaccard within normalized-prefix blocks —
+    finds the suffix-perturbed near-copies at jaccard ≈ 0.95+."""
+    from rabbit_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    inp = _dup_input(spark, sf_dir, perturb=" qq zz")
+    return ngram_jaccard_pairs(inp, k=3, threshold=0.7, block_prefix=12)
+
+
+@register("dedup_minhash", oracle=None)  # xxhash64-based → rows-only gate
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash(48 perms, 5-gram shingles) + 12-band LSH + signature
+    verify ≥ 0.6, then keep-lowest-id. Deterministic (fixed hash seeds);
+    invariants asserted in tests/test_llm_ops.py."""
+    from rabbit_data_pipeline_spark.operators.dedup import (
+        dedup_by_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    inp = _dup_input(spark, sf_dir, perturb=" qq zz")
+    sigs = minhash_signature(inp, num_hashes=48, k=5)
+    pairs = lsh_candidate_pairs(sigs, bands=12, sim_threshold=0.6)
+    survivors = dedup_by_pairs(inp, pairs)
+    return survivors.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.when(F.col("doc_id") >= 1000000, 1).otherwise(0)).alias("copies_left"),
+    )
+
+
+@register("dedup_simhash", oracle=None)  # xxhash64-based → rows-only gate
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: 64-bit SimHash over word tokens, 4×16-bit band buckets,
+    hamming ≤ 3 verify."""
+    from rabbit_data_pipeline_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    inp = _dup_input(spark, sf_dir, perturb=" qq")
+    pairs = simhash_near_pairs(simhash64(inp))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("id_b") - F.col("id_a") == 1000000, 1).otherwise(0)).alias("true_pairs_found"),
+    )
+
+
+@register("dedup_embedding", oracle=None)  # LSH-bucketed → rows-only gate
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: embedding near-dup via hyperplane LSH + exact cosine ≥ 0.99.
+    Synthetic dups are scaled copies (cosine exactly 1, same LSH bucket
+    by construction — scaling preserves projection signs)."""
+    from rabbit_data_pipeline_spark.operators.dedup import embedding_near_pairs
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select("vec_id", "embedding")
+    copies = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.5)))
+    )
+    pairs = embedding_near_pairs(e.unionAll(copies), threshold=0.99)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("id_b") - F.col("id_a") == 1000000, 1).otherwise(0)).alias("true_pairs_found"),
+    )
+
+
+# ---------------------------------------------------------- similarity
+
+
+@register(
+    "ann_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                  list_cosine_similarity(q.emb, c.emb) AS cos_sim
+           FROM e q JOIN e c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 5
+         )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def ann_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: exact cosine top-10 for 5 query vectors. Spark's double
+    zip_with/aggregate cosine is bit-identical to DuckDB's
+    list_cosine_similarity, so the oracle matches values exactly."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_bruteforce
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ann_bruteforce(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("ann_lsh", oracle=None)  # approximate → rows-only gate + recall unit test
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: hyperplane-bucketed ANN, exact rerank within buckets."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_lsh
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ann_lsh(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("ann_ivf", oracle=None)  # approximate → rows-only gate + recall unit test
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7b: IVF-style probe of the 4 nearest of 16 centroid cells."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_ivf
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10)
