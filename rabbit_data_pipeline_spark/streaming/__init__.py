@@ -1,0 +1,15 @@
+from rabbit_data_pipeline_spark.streaming.ops import (
+    parse_json_messages,
+    sessionize_stateful,
+    session_window_agg,
+    stream_dedup,
+    windowed_agg,
+)
+
+__all__ = [
+    "parse_json_messages",
+    "sessionize_stateful",
+    "session_window_agg",
+    "stream_dedup",
+    "windowed_agg",
+]

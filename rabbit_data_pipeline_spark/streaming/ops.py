@@ -1,0 +1,226 @@
+"""Streaming operators over the canonical message stream.
+
+The reference (src/AbstractPlugin.php run/sink loop) processes one
+message per coroutine callback and keeps any cross-message state in
+plugin instance fields — single-process, lost on restart. Structured
+Streaming gives the same logical operations as incremental queries
+over an unbounded table, with checkpointed fault-tolerant state:
+
+- `windowed_agg`     — tumbling/sliding event-time windows + watermark
+                       (late data beyond the watermark is dropped by
+                       the engine, not by user code).
+- `session_window_agg` — gap-based sessions via the built-in
+                       `session_window` (JVM-side state store).
+- `stream_dedup`     — exactly-once-per-key within the watermark via
+                       `dropDuplicatesWithinWatermark` (bounded state).
+- `sessionize_stateful` — the custom-stateful escape hatch:
+                       `applyInPandasWithState` with explicit timeout
+                       handling, for semantics the built-ins can't
+                       express (per-session custom merge rules).
+
+All ops take/return streaming DataFrames; callers pick the sink and
+trigger (sinks/stream.py, pipeline/triggers.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def parse_json_messages(stream: DataFrame, value_schema, ts_col: str = "ts") -> DataFrame:
+    """Explode the canonical (key,value,topic,ts) message stream's JSON
+    `value` into typed columns (reference Transforms/LineParser.php is
+    the batch analogue). Keeps event time as `ts`."""
+    return stream.select(
+        "key",
+        "topic",
+        F.col(ts_col).alias("ts"),
+        F.from_json("value", value_schema).alias("v"),
+    ).select("key", "topic", "ts", "v.*")
+
+
+def windowed_agg(
+    stream: DataFrame,
+    group_cols: list[str],
+    aggs: list,
+    window_duration: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if `slide`) window aggregation.
+
+    Late rows older than `watermark` behind the max seen event time are
+    dropped by the engine and their windows finalized — bounded state
+    regardless of stream length, which is what makes this run forever
+    on a cluster."""
+    wm = stream.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(F.col(ts_col), window_duration)
+    return (
+        wm.groupBy(win.alias("win"), *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            *[c for c in _agg_names(aggs)],
+        )
+    )
+
+
+def _agg_names(aggs: list) -> list[str]:
+    # Column metadata isn't exposed pre-analysis; rely on the alias the
+    # caller set (enforced: unaliased aggs raise at select time).
+    names = []
+    for c in aggs:
+        s = c._jc.toString() if hasattr(c, "_jc") else str(c)
+        names.append(s.split(" AS ")[-1].strip("`") if " AS " in s else s)
+    return names
+
+
+def session_window_agg(
+    stream: DataFrame,
+    key_cols: list[str],
+    aggs: list,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization with the built-in `session_window` —
+    sessions close when no event arrives for `gap`. State lives in the
+    JVM state store; watermark bounds it."""
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *[F.col(c) for c in key_cols])
+        .agg(*aggs)
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            *key_cols,
+            *[c for c in _agg_names(aggs)],
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, key_cols: list[str], watermark: str = "10 minutes", ts_col: str = "ts") -> DataFrame:
+    """Drop duplicate messages by key within the watermark horizon —
+    the streaming twin of operators/dedup.dedup_exact. State is bounded
+    by the watermark (keys older than it are evicted), so this holds on
+    an unbounded stream; exact global dedup belongs to the batch op."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+# ------------------------------------------------- custom stateful op
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_ms: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [tot],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs))
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).sort_values()
+        vals = rows["value"].fillna(0).astype("int64")
+        if state.exists:
+            start_ms, last_ms, n, tot = state.get
+        else:
+            start_ms, last_ms, n, tot = int(ts_ms.iloc[0]), int(ts_ms.iloc[0]), 0, 0
+
+        closed = []
+        for t, v in zip(ts_ms, vals.loc[ts_ms.index]):
+            t = int(t)
+            if n > 0 and t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n, tot))
+                start_ms, n, tot = t, 0, 0
+            last_ms = max(last_ms, t)
+            n += 1
+            tot += int(v)
+        state.update((start_ms, last_ms, n, tot))
+        # close the open session if the stream goes quiet for gap_ms
+        state.setTimeoutDuration(gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _, _ in closed],
+                    "n_events": [n_ for _, _, n_, _ in closed],
+                    "total_value": [tv for _, _, _, tv in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom gap sessionizer via `applyInPandasWithState` — the
+    arbitrary-stateful path (reference plugins keep such state in PHP
+    instance fields; here it's checkpointed per-key state with a
+    processing-time timeout that flushes idle sessions).
+
+    Use `session_window_agg` when plain gap semantics suffice — it
+    stays JVM-side. This exists for custom per-session logic and as
+    the template for other stateful ops. Arrow-batched; state is one
+    tuple per active user, so memory is O(active keys)."""
+    typed = stream.select(
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    return typed.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60 * 1000),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

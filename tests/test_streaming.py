@@ -1,0 +1,181 @@
+"""Streaming parity tests (SURVEY §2 R1-R4): the reference is a
+stream processor (coroutine message loop); these assert the Structured
+Streaming re-expression — file-queue source exactly-once, watermarked
+windows with late-data drop, built-in session windows, bounded-state
+stream dedup, and the custom applyInPandasWithState sessionizer.
+
+All tests run availableNow + memory sink so they terminate
+deterministically; maxFilesPerTrigger=1 forces one micro-batch per
+published file, which is how the watermark actually advances."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from rabbit_data_pipeline_spark.sinks.stream import memory_write_stream, queue_dir_write_stream, to_message
+from rabbit_data_pipeline_spark.sources.stream import queue_dir_publish, queue_dir_stream
+from rabbit_data_pipeline_spark.streaming import (
+    parse_json_messages,
+    session_window_agg,
+    sessionize_stateful,
+    stream_dedup,
+    windowed_agg,
+)
+
+T0 = "2024-01-01T12:00:00"
+
+
+def _ts(minutes: float) -> str:
+    base = time.mktime(time.strptime(T0, "%Y-%m-%dT%H:%M:%S"))
+    return time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime(base + minutes * 60))
+
+
+def _run(df, name: str):
+    q = memory_write_stream(df, name)
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def _publish(qdir, messages, **kw):
+    # FileStreamSource batches new files by modification time; spacing
+    # publishes >1s apart makes the order unambiguous even on coarse
+    # mtime filesystems.
+    time.sleep(1.05)
+    return queue_dir_publish(qdir, messages, **kw)
+
+
+VALUE_SCHEMA = StructType([StructField("user_id", StringType()), StructField("amount", LongType())])
+
+
+def test_queue_roundtrip_exactly_once(spark, tmp_path):
+    """R1: messages published to the queue dir arrive once each with the
+    canonical schema; a second availableNow run from the same checkpoint
+    re-reads nothing (exactly-once bookkeeping)."""
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [{"key": "a", "value": {"user_id": "u1", "amount": 5}, "ts": _ts(0)}])
+    _publish(qdir, [{"key": "b", "value": {"user_id": "u2", "amount": 7}, "ts": _ts(1)}])
+
+    stream = queue_dir_stream(spark, qdir)
+    parsed = parse_json_messages(stream, VALUE_SCHEMA)
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    out = _run(parsed, name)
+    rows = {(r.key, r.user_id, r.amount) for r in out.collect()}
+    assert rows == {("a", "u1", 5), ("b", "u2", 7)}
+
+    # exactly-once across restarts: same checkpoint, sink to files
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+    for _ in range(2):  # second run must be a no-op
+        q = queue_dir_write_stream(to_message(parsed, key_col="key"), sink_dir, ckpt)
+        q.awaitTermination(120)
+    sunk = spark.read.json(sink_dir)
+    assert sunk.count() == 2
+
+
+def test_windowed_agg_watermark_drops_late(spark, tmp_path):
+    """R2: 1-minute tumbling windows, 10-minute watermark. An event 30
+    minutes late (behind the advanced watermark) is dropped; its window
+    was finalized without it. The still-open latest window is withheld
+    in append mode."""
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": "1", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(0)},
+        {"key": "2", "value": {"user_id": "u1", "amount": 2}, "ts": _ts(0.5)},
+    ])
+    _publish(qdir, [{"key": "3", "value": {"user_id": "u1", "amount": 4}, "ts": _ts(30)}])
+    # the operator applies the watermark computed from batch N-1 during
+    # batch N+1 (one-batch propagation lag), so an extra batch must
+    # complete before the late arrival is actually filtered
+    _publish(qdir, [{"key": "4", "value": {"user_id": "u1", "amount": 8}, "ts": _ts(31)}])
+    # late: event-time _ts(0.2) arrives when operator watermark = 20m
+    _publish(qdir, [{"key": "5", "value": {"user_id": "u1", "amount": 100}, "ts": _ts(0.2)}])
+
+    stream = queue_dir_stream(spark, qdir, max_files_per_trigger=1)
+    parsed = parse_json_messages(stream, VALUE_SCHEMA)
+    agg = windowed_agg(
+        parsed,
+        group_cols=["user_id"],
+        aggs=[F.sum("amount").alias("total"), F.count("*").alias("n")],
+        window_duration="1 minute",
+        watermark="10 minutes",
+    )
+    out = _run(agg, f"wm_{uuid.uuid4().hex[:8]}")
+    emitted = {(r.window_start.minute, r.total, r.n) for r in out.collect()}
+    # window t0..t0+1m finalized with ONLY the two on-time events (1+2);
+    # the 100-amount late event never lands anywhere.
+    assert (0, 3, 2) in emitted
+    assert not any(t >= 100 for _, t, _ in emitted)
+    # 30m/31m windows still open -> withheld in append mode
+    assert all(w == 0 for w, _, _ in emitted)
+
+
+def test_session_window_agg(spark, tmp_path):
+    """R2/R3: built-in gap sessions — events 2 minutes apart merge into
+    one session; a 40-minute gap starts a new one; only sessions closed
+    by the watermark are emitted."""
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": "1", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(0)},
+        {"key": "2", "value": {"user_id": "u1", "amount": 2}, "ts": _ts(2)},
+        {"key": "3", "value": {"user_id": "u2", "amount": 9}, "ts": _ts(1)},
+    ])
+    _publish(qdir, [{"key": "4", "value": {"user_id": "u1", "amount": 4}, "ts": _ts(60)}])
+    _publish(qdir, [{"key": "5", "value": {"user_id": "u1", "amount": 5}, "ts": _ts(61)}])
+
+    stream = queue_dir_stream(spark, qdir, max_files_per_trigger=1)
+    parsed = parse_json_messages(stream, VALUE_SCHEMA)
+    agg = session_window_agg(
+        parsed,
+        key_cols=["user_id"],
+        aggs=[F.sum("amount").alias("total"), F.count("*").alias("n")],
+        gap="5 minutes",
+        watermark="10 minutes",
+    )
+    out = _run(agg, f"sw_{uuid.uuid4().hex[:8]}")
+    closed = {(r.user_id, r.total, r.n) for r in out.collect()}
+    # u1's first session (events at 0m and 2m) and u2's singleton closed
+    # once the watermark passed their gap; the 60/61m session is open.
+    assert ("u1", 3, 2) in closed
+    assert ("u2", 9, 1) in closed
+    assert not any(t >= 4 and u == "u1" for u, t, _ in closed if t != 3)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """R2: dropDuplicatesWithinWatermark keeps the first arrival per key
+    — the redelivered message (same key, later batch, inside the
+    watermark) is suppressed with bounded state."""
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": "k1", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(0)},
+        {"key": "k2", "value": {"user_id": "u2", "amount": 2}, "ts": _ts(1)},
+    ])
+    _publish(qdir, [{"key": "k1", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(2)}])  # redelivery
+
+    stream = queue_dir_stream(spark, qdir, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, ["key"], watermark="30 minutes")
+    out = _run(deduped, f"dd_{uuid.uuid4().hex[:8]}")
+    assert sorted(r.key for r in out.collect()) == ["k1", "k2"]
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """R3: applyInPandasWithState sessionizer — a gap inside the data
+    closes the first session and emits it; the trailing session stays
+    open in state (timeout flush needs a later batch, which availableNow
+    doesn't produce)."""
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": "1", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(0)},
+        {"key": "2", "value": {"user_id": "u1", "amount": 2}, "ts": _ts(3)},
+        {"key": "3", "value": {"user_id": "u1", "amount": 4}, "ts": _ts(120)},
+    ])
+
+    stream = queue_dir_stream(spark, qdir)
+    parsed = parse_json_messages(stream, VALUE_SCHEMA).select("user_id", "ts", F.col("amount").alias("value"))
+    sessions = sessionize_stateful(parsed, gap_minutes=30)
+    out = _run(sessions, f"st_{uuid.uuid4().hex[:8]}")
+    rows = [(r.user_id, r.n_events, r.total_value) for r in out.collect()]
+    assert rows == [("u1", 2, 3)]
