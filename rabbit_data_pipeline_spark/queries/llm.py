@@ -211,11 +211,11 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.dedup import (
         dedup_by_pairs,
         lsh_candidate_pairs,
-        minhash_signature,
+        minhash_signature_arrow,
     )
 
     inp = _dup_input(spark, sf_dir, perturb=" qq zz")
-    sigs = minhash_signature(inp, num_hashes=48, k=5)
+    sigs = minhash_signature_arrow(inp, num_hashes=48, k=5)
     pairs = lsh_candidate_pairs(sigs, bands=12, sim_threshold=0.6)
     survivors = dedup_by_pairs(inp, pairs)
     return survivors.agg(

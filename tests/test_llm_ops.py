@@ -40,6 +40,31 @@ def test_minhash_deterministic(spark, sf_smoke):
     )
 
 
+def test_minhash_arrow_parity(spark, sf_smoke):
+    """The Arrow/numpy signature is a drop-in for the SQL one: same
+    determinism, same exact-dup behavior (identical sigs for identical
+    text), and equal-or-better recall through the same LSH pipeline."""
+    from rabbit_data_pipeline_spark.operators.dedup import lsh_candidate_pairs, minhash_signature_arrow
+
+    inp, n_copies = _docs_with_copies(spark, sf_smoke)
+    s1 = minhash_signature_arrow(inp.limit(20), num_hashes=16).select("doc_id", "sig").collect()
+    s2 = minhash_signature_arrow(inp.limit(20), num_hashes=16).select("doc_id", "sig").collect()
+    assert sorted((r.doc_id, tuple(r.sig)) for r in s1) == sorted((r.doc_id, tuple(r.sig)) for r in s2)
+
+    exact_inp, _ = _docs_with_copies(spark, sf_smoke, perturb="")
+    sigs = minhash_signature_arrow(exact_inp, num_hashes=16)
+    joined = (
+        sigs.filter(F.col("doc_id") >= 1000000)
+        .select((F.col("doc_id") - 1000000).alias("doc_id"), F.col("sig").alias("sig_copy"))
+        .join(sigs.filter(F.col("doc_id") < 1000000), on="doc_id")
+    )
+    assert joined.filter(F.col("sig") != F.col("sig_copy")).count() == 0
+
+    pairs = lsh_candidate_pairs(minhash_signature_arrow(inp, num_hashes=48, k=5), bands=12, sim_threshold=0.6)
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).count()
+    assert found >= 0.9 * n_copies, f"arrow minhash recall too low: {found}/{n_copies}"
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     from rabbit_data_pipeline_spark.operators.dedup import simhash64
 
