@@ -1,0 +1,115 @@
+"""Physical-plan assertions (SURVEY §5.3): the scale contract is that
+Catalyst produces the plan we designed for — filters and column pruning
+reach the parquet scan, dimension joins broadcast, aggregates combine
+map-side, single-pass ops never shuffle, and top-k never global-sorts.
+These are regression tests against plan quality, not correctness: a
+code change that silently turns a broadcast join into a shuffle join or
+drops pushdown still passes value checks but fails here."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from rabbit_data_pipeline_spark.queries import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_smoke):
+    reg = registry()
+
+    def get(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            reg[name].builder(spark, sf_smoke).explain("formatted")
+        return buf.getvalue()
+
+    return get
+
+
+def test_filter_and_projection_reach_scan(plans):
+    p = plans("q_filter_project")
+    assert "PushedFilters: [" in p and "GreaterThanOrEqual(l_shipdate" in p
+    # column pruning: the scan reads only the 6 needed lineitem columns,
+    # not the full 16-column table
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert read.count(":") - 1 <= 6
+    assert "l_comment" not in read
+
+
+def test_dim_join_broadcasts(plans):
+    p = plans("q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multiway_join_all_dims_broadcast(plans):
+    """Q5-shape 5-way join: every dim side broadcasts; the only shuffle
+    is the final aggregation exchange."""
+    p = plans("q_join_multiway")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_agg_has_mapside_combine(plans):
+    """Partial HashAggregate before the exchange, final after — the
+    shuffle carries one row per group per task, not the fact table."""
+    p = plans("q_agg_pricing")
+    lines = p.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l and "Broadcast" not in l]
+    assert len(agg_idx) >= 2 and ex_idx, "expected partial+final aggregate around a shuffle"
+
+
+def test_single_pass_text_ops_never_shuffle(plans):
+    for q in ("text_quality", "text_tokens", "text_lang_id", "text_fingerprint"):
+        p = plans(q)
+        assert "Exchange" not in p, f"{q} should be shuffle-free, got:\n{p}"
+
+
+def test_topn_uses_limit_not_global_sort(plans):
+    """sort+limit compiles to TakeOrderedAndProject — per-partition
+    top-n then merge on the driver, never a full Exchange+Sort."""
+    p = plans("q_topn")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ann_bruteforce_broadcasts_queries_and_prunes_topk(plans):
+    """The query-vector side broadcasts (one pass over embeddings) and
+    WindowGroupLimit prunes to per-partition top-k BEFORE the shuffle,
+    so the exchange carries k rows per query per partition, not the
+    full score matrix."""
+    p = plans("ann_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    lines = p.splitlines()
+    wgl = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    ex = [i for i, l in enumerate(lines) if "Exchange" in l and "Broadcast" not in l]
+    assert wgl and ex and min(ex) < max(wgl), "expected partial WindowGroupLimit below the exchange"
+
+
+def test_dedup_exact_broadcast_semi_join(plans):
+    p = plans("dedup_exact")
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sync_incremental_pushes_watermark_filter(spark, sf_smoke):
+    """The incremental-sync scalar watermark becomes a pushed parquet
+    filter on the source scan — at 100 TB this is the difference
+    between reading one day and reading the lake."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.sync import sync_incremental
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, sf_smoke, ("orders",))["orders"]
+    dst = t.filter(F.col("o_orderdate") < "1996-01-01")
+    inc = sync_incremental(t, dst, updated_at="o_orderdate")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc.explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p and "o_orderdate" in p.split("PushedFilters")[1].split("]")[0]
