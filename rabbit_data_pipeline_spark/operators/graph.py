@@ -1,0 +1,80 @@
+"""Distributed connected components for near-dup cluster resolution.
+
+`dedup_by_pairs` keeps the lowest id of every *pair* (star-shaped
+clusters); when near-duplicates chain (A~B, B~C, no direct A~C pair —
+common with shingle-based similarity under small edits), resolving a
+canonical survivor per *cluster* needs the transitive closure. This is
+min-label propagation over the candidate-pair graph:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint — converges in O(graph diameter) rounds, and
+near-dup graphs are shallow (duplicate families, not social graphs).
+Everything is DataFrame joins/aggregations: the per-round shuffle is
+on the node id, the driver only sees one `count()` per round for the
+convergence check, and `localCheckpoint` cuts the lineage so plans
+don't grow exponentially with rounds. On a cluster, set a reliable
+checkpoint dir and swap localCheckpoint→checkpoint (flag below).
+
+The pair graph is the output of the LSH/banding candidate generators,
+i.e. ~(dup families) edges, orders of magnitude smaller than the
+corpus — the corpus itself never enters the iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Resolve the pair graph into components.
+
+    Returns (id, component) for every node that appears in `pairs`,
+    where component = the minimum node id reachable (the canonical
+    survivor). Deterministic; raises if not converged in `max_iter`
+    (near-dup graphs converge in a handful of rounds — hitting the cap
+    means the input is not a candidate-pair graph)."""
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("u").alias("v"), "label"), on="v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = labels.join(nbr_min, on="u", how="left").select(
+            "u", F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label")
+        )
+        new_labels = (
+            new_labels.checkpoint(eager=True)
+            if use_reliable_checkpoint
+            else new_labels.localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.select("u", F.col("label").alias("old")), on="u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_transitive(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one survivor (the minimum id) per connected
+    near-dup cluster — the transitive-closure upgrade of
+    `dedup_by_pairs`."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

@@ -258,6 +258,62 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE input AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq zz' FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' qq zz ww yy' FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')), 1, 12) AS block,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))) - 2, 1) + 1),
+               i -> substr(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')), i, 3))) AS grams
+      FROM input
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+/L4: transitive near-dup cluster resolution — two chained
+    generations of perturbed copies form {orig, gen1, gen2} families;
+    exact n-gram-Jaccard pairs feed distributed min-label-propagation
+    connected components. Oracle is a DuckDB recursive-CTE transitive
+    closure over the identical pair graph, so cluster assignment is
+    value-hash gated end-to-end."""
+    from rabbit_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from rabbit_data_pipeline_spark.operators.graph import connected_components
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "text")
+    tenth = d.filter(F.col("doc_id") % 10 == 0)
+    gen1 = tenth.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat("text", F.lit(" qq zz"))
+    )
+    gen2 = tenth.withColumn("doc_id", F.col("doc_id") + 2000000).withColumn(
+        "text", F.concat("text", F.lit(" qq zz ww yy"))
+    )
+    inp = d.unionAll(gen1).unionAll(gen2)
+    pairs = ngram_jaccard_pairs(inp, k=3, threshold=0.7, block_prefix=12)
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------- similarity
 
 

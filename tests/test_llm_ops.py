@@ -65,6 +65,23 @@ def test_minhash_arrow_parity(spark, sf_smoke):
     assert found >= 0.9 * n_copies, f"arrow minhash recall too low: {found}/{n_copies}"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A pure chain (1-2, 2-3, 3-4: no shortcut edges) must collapse to
+    one component — exactly what star-shaped pair dedup gets wrong —
+    while disconnected pairs and nodes stay separate."""
+    from rabbit_data_pipeline_spark.operators.graph import connected_components, dedup_transitive
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], ["doc_id", "text"])
+    survivors = sorted(r.doc_id for r in dedup_transitive(docs, pairs).collect())
+    assert survivors == [1, 10, 20, 99]
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     from rabbit_data_pipeline_spark.operators.dedup import simhash64
 
