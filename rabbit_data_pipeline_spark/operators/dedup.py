@@ -165,7 +165,19 @@ def lsh_candidate_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b. Buckets larger
     than `salt_cap` are dropped (degenerate signatures — at web scale
     these are boilerplate/empty docs and would otherwise quadratically
-    dominate a reducer)."""
+    dominate a reducer).
+
+    Plan shape (measured, not guessed — see git history for the
+    slower broadcast-census/persist variant this replaced):
+    - the salt-cap filter is a count window over (band, bh): its ONE
+      exchange partitions the data by exactly the self-join key, so
+      both join sides reuse the same shuffle output and need no
+      further exchange, and the signature computation upstream runs
+      once;
+    - the estimated Jaccard is computed inside the bucket join and the
+      signature arrays are dropped BEFORE the final distinct, so the
+      pair-dedup shuffle carries (long, long, double) rows, not two
+      64-long arrays per row."""
     rows_per_band = F.floor(F.size("sig") / bands)
     banded = sig_df.select(
         F.col(id_col), "sig",
@@ -186,16 +198,16 @@ def lsh_candidate_pairs(
 
     left = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh")
-    pairs = (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")), F.lit(0), lambda acc, x: acc + x
     ).cast("double") / F.size("sig_a")
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard")).filter(F.col("est_jaccard") >= sim_threshold)
+    return (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= sim_threshold)
+        .distinct()
+    )
 
 
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
