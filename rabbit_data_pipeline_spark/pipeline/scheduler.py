@@ -50,6 +50,7 @@ def plugins() -> dict[str, Plugin]:
     from rabbit_data_pipeline_spark import sinks, sources  # noqa: F401
     from rabbit_data_pipeline_spark.operators import line_parser, xml  # noqa: F401
     from rabbit_data_pipeline_spark.pipeline import builtin_plugins  # noqa: F401
+    from rabbit_data_pipeline_spark.streaming import plugins as _streaming_plugins  # noqa: F401
 
     return dict(_PLUGINS)
 

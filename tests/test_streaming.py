@@ -161,6 +161,55 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted(r.key for r in out.collect()) == ["k1", "k2"]
 
 
+def test_yaml_streaming_pipeline_e2e(spark, tmp_path):
+    """C1-C3 x R1-R4 parity: a YAML task definition (the reference's
+    whole programming model) compiles to a streaming DAG — queue
+    source -> json parse -> watermarked windowed agg -> memory sink —
+    and the reference's `cron: -1` run-once trigger maps to
+    availableNow."""
+    from rabbit_data_pipeline_spark.pipeline.scheduler import Scheduler
+
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": "1", "value": {"user_id": "u1", "amount": 3}, "ts": _ts(0)},
+        {"key": "2", "value": {"user_id": "u1", "amount": 4}, "ts": _ts(0.5)},
+        {"key": "3", "value": {"user_id": "u2", "amount": 9}, "ts": _ts(0.2)},
+    ])
+    name = f"yamlpipe_{uuid.uuid4().hex[:8]}"
+    spec = f"""
+stream_rollup:
+  tail:
+    type: source.stream.queue_dir
+    start: true
+    path: {qdir}
+    output: [parse]
+  parse:
+    type: transform.parse_json
+    schema: "user_id string, amount long"
+    output: [agg]
+  agg:
+    type: transform.windowed_agg
+    window: "1 minute"
+    watermark: "10 minutes"
+    group_by: [user_id]
+    aggs:
+      total: "sum(amount)"
+      n: "count(*)"
+    output: [out]
+  out:
+    type: sink.stream.memory
+    name: {name}
+    mode: update
+    cron: -1
+"""
+    sch = Scheduler.from_yaml(spark, spec)
+    sch.run("stream_rollup")
+    assert len(sch.streaming_queries) == 1
+    sch.streaming_queries[0].awaitTermination(120)
+    rows = {(r.user_id, r.total, r.n) for r in spark.table(name).collect()}
+    assert rows == {("u1", 7, 2), ("u2", 9, 1)}
+
+
 def test_sessionize_stateful(spark, tmp_path):
     """R3: applyInPandasWithState sessionizer — a gap inside the data
     closes the first session and emits it; the trailing session stays
