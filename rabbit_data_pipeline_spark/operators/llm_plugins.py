@@ -1,0 +1,64 @@
+"""Pipeline-plugin wrappers for the LLM data-prep operators, so YAML
+tasks can declare training-data pipelines (dedup → score → filter →
+tokenize) the same way the reference declares ETL tasks.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabbit_data_pipeline_spark.pipeline.scheduler import Scheduler, plugin
+
+
+@plugin("transform.dedup_exact")
+def _dedup_exact(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.dedup import dedup_exact
+
+    (df,) = inputs
+    return dedup_exact(df, text_col=cfg.get("text_col", "text"), id_col=cfg.get("id_col", "doc_id"))
+
+
+@plugin("transform.dedup_minhash")
+def _dedup_minhash(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.dedup import (
+        dedup_by_pairs,
+        lsh_candidate_pairs,
+        minhash_signature_arrow,
+    )
+
+    (df,) = inputs
+    sigs = minhash_signature_arrow(
+        df, text_col=cfg.get("text_col", "text"),
+        num_hashes=int(cfg.get("num_hashes", 64)), k=int(cfg.get("shingle_k", 5)),
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col=cfg.get("id_col", "doc_id"),
+        bands=int(cfg.get("bands", 8)), sim_threshold=float(cfg.get("threshold", 0.7)),
+    )
+    return dedup_by_pairs(df, pairs, id_col=cfg.get("id_col", "doc_id"))
+
+
+@plugin("transform.text_metrics")
+def _text_metrics(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Annotate language guess, quality score, and token counts — all
+    single-pass column expressions, no shuffle."""
+    from rabbit_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+        lang_id,
+        quality_score,
+        ws_token_count,
+    )
+
+    (df,) = inputs
+    tc = F.col(cfg.get("text_col", "text"))
+    return df.withColumns(
+        {
+            "lang_guess": lang_id(tc),
+            "quality": quality_score(tc),
+            "ws_tokens": ws_token_count(tc),
+            "bpe_tokens": bpe_token_count(tc),
+        }
+    )

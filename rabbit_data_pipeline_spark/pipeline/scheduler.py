@@ -48,7 +48,7 @@ def plugin(name: str):
 def plugins() -> dict[str, Plugin]:
     # Importing registers the built-in plugin set.
     from rabbit_data_pipeline_spark import sinks, sources  # noqa: F401
-    from rabbit_data_pipeline_spark.operators import line_parser, xml  # noqa: F401
+    from rabbit_data_pipeline_spark.operators import line_parser, llm_plugins, xml  # noqa: F401
     from rabbit_data_pipeline_spark.pipeline import builtin_plugins  # noqa: F401
     from rabbit_data_pipeline_spark.streaming import plugins as _streaming_plugins  # noqa: F401
 

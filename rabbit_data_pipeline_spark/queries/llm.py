@@ -258,6 +258,96 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _llm_prep_oracle() -> str:
+    return f"""
+    WITH input AS ({_DUP_INPUT_SQL}),
+    deduped AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM input) WHERE rn = 1
+    ),
+    feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '{_WS}')) END AS n_words,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS stop,
+             {_lang_scores_sql()}
+      FROM deduped
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_guess,
+             CAST(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(n_chars AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(stop AS DOUBLE) / GREATEST(n_words, 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) <= 0.1 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '{_WS}')) END AS ws_tokens,
+             len(regexp_extract_all(text, '{_BPE}')) AS bpe_tokens
+      FROM feats
+    )
+    SELECT doc_id, lang_guess, quality, ws_tokens, bpe_tokens
+    FROM scored
+    WHERE quality >= 0.5 AND lang_guess = 'en'
+    """
+
+
+@register("pipeline_llm_prep", oracle=_llm_prep_oracle())
+def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data-prep pipeline AS a YAML task —
+    ingest (with redelivered duplicates) → exact dedup → language +
+    quality annotation → keep high-quality English → token counts.
+    Every stage is SQL-expressible, so the whole DAG is value-hash
+    gated end-to-end; the scheduler compiles it to ONE Catalyst plan
+    (dedup's hash shuffle is the only exchange)."""
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+
+    yaml_cfg = f"""
+llm_prep:
+  read_docs:
+    type: source.table
+    start: true
+    name: documents
+    sf_dir: {sf_dir}
+    output: with_dups
+  with_dups:
+    type: transform.sql
+    sql: >
+      SELECT doc_id, text FROM input
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM input WHERE doc_id % 10 = 0
+    output: dedup
+  dedup:
+    type: transform.dedup_exact
+    text_col: text
+    id_col: doc_id
+    output: metrics
+  metrics:
+    type: transform.text_metrics
+    text_col: text
+    output: keep
+  keep:
+    type: transform.filter
+    condition: quality >= 0.5 AND lang_guess = 'en'
+    output: project
+  project:
+    type: transform.select
+    columns: [doc_id, lang_guess, quality, ws_tokens, bpe_tokens]
+"""
+    sch = Scheduler.from_yaml(spark, yaml_cfg)
+    return sch.build("llm_prep", "project")
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
