@@ -152,6 +152,42 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction: payload → dense vector (array<float>).
+
+    For the synthetic IMG1 format the 'feature' is the normalized
+    gray-level histogram (deterministic, testable); a real deployment
+    replaces the histogram with a vision-model forward pass over the
+    Arrow batch — the distributed shape (binary in, fixed-width float
+    vector out, one row per row) is exactly this. The output feeds the
+    similarity/ANN operators directly (same array<float> contract as
+    the embeddings table)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"IMG1":
+                    raise NotImplementedError("extract_features: only IMG1 synthetic format in this container")
+                body = np.frombuffer(payload, dtype=np.uint8, offset=12)
+                hist = np.bincount(body >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[:n_bins]
+                rows.append((mid, (hist / max(body.size, 1)).astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def repartition_for_decode(df: DataFrame, total_bytes: int, target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Size partitions by payload bytes, not row count — a 4K frame and
     a thumbnail are not the same row."""

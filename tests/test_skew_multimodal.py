@@ -1,0 +1,58 @@
+"""Unit tests: skew-mitigation helpers and multimodal feature extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_agg_matches_plain(spark):
+    from rabbit_data_pipeline_spark.functions.skew import salted_agg
+
+    # 90% of rows share one hot key
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    got = {
+        (r.k, r.total, r.n, r.mx)
+        for r in salted_agg(df, ["k"], {"total": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")}).collect()
+    }
+    want = {
+        (r.k, r.total, r.n, r.mx)
+        for r in df.groupBy("k").agg(F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from rabbit_data_pipeline_spark.functions.skew import salted_join
+
+    large = spark.range(5000).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "name"])
+    got = sorted((r.k, r.v, r.name) for r in salted_join(large, small, on=["k"]).collect())
+    want = sorted((r.k, r.v, r.name) for r in large.join(small, on=["k"]).collect())
+    assert got == want
+
+    got_l = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(large, small.filter(F.col("k") < 2), on=["k"], how="left").collect()
+    )
+    want_l = sorted(
+        (r.k, r.v, r.name) for r in large.join(small.filter(F.col("k") < 2), on=["k"], how="left").collect()
+    )
+    assert got_l == want_l
+
+
+def test_extract_features_histogram(spark):
+    from rabbit_data_pipeline_spark.operators.multimodal import encode_image, extract_features
+
+    rows = [("m1", "image", encode_image(8, 8, seed=0)), ("m2", "image", encode_image(4, 4, seed=7))]
+    df = spark.createDataFrame(rows, ["media_id", "media_type", "payload"])
+    out = {r.media_id: r.features for r in extract_features(df, n_bins=16).collect()}
+    assert set(out) == {"m1", "m2"}
+    for feats in out.values():
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-6  # normalized histogram
+    # deterministic across runs
+    out2 = {r.media_id: r.features for r in extract_features(df, n_bins=16).collect()}
+    assert out == out2
