@@ -98,6 +98,29 @@ def test_dedup_exact_single_shuffle_no_join(plans):
     assert p.count("Exchange") <= 2  # union input may add an AQE coalesce
 
 
+def test_multiway_join_correct_on_smj_path(spark, sf_smoke):
+    """At 100 TB the fact-side joins stop broadcasting; force the
+    sort-merge path (autoBroadcastJoinThreshold=-1) and require
+    identical results — the plan degrades gracefully, the answer
+    doesn't change."""
+    from rabbit_data_pipeline_spark.queries import registry
+
+    reg = registry()
+    want = sorted(map(tuple, reg["q_join_multiway"].builder(spark, sf_smoke).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = reg["q_join_multiway"].builder(spark, sf_smoke)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "SortMergeJoin" in buf.getvalue()  # genuinely on the SMJ path
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+
+
 def test_sync_incremental_pushes_watermark_filter(spark, sf_smoke):
     """The incremental-sync scalar watermark becomes a pushed parquet
     filter on the source scan — at 100 TB this is the difference
