@@ -443,6 +443,39 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+@register(
+    "multimodal_ann",
+    oracle="""
+    SELECT q_id, n_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+    FROM (VALUES (0, 100, 1.0), (1, 101, 1.0), (2, 102, 1.0))
+    AS t(q_id, n_id, cos_sim)
+    """,
+)
+def multimodal_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12→L6 end-to-end: binary media column → mapInPandas feature
+    extraction (histogram vectors standing in for a model forward
+    pass) → ANN top-1. Images 0-9 have identical twins 100-109 (same
+    synthetic payload ⇒ identical feature vector ⇒ cosine 1), so each
+    query's nearest neighbor is exactly its twin — a literal VALUES
+    oracle gates the whole binary→vector→ANN path."""
+    from rabbit_data_pipeline_spark.operators.multimodal import encode_image, extract_features
+    from rabbit_data_pipeline_spark.operators.similarity import ann_bruteforce
+
+    # distinct sizes => distinct histograms (a fixed 16x16 payload cycles
+    # all 256 byte values uniformly for EVERY seed — identical features)
+    rows = [(str(i), "image", encode_image(16, 16 + i, seed=i)) for i in range(10)]
+    rows += [(str(i + 100), "image", encode_image(16, 16 + i, seed=i)) for i in range(10)]
+    media = spark.createDataFrame(rows, ["media_id", "media_type", "payload"]).repartition(4)
+    # full 256-bin histograms: the synthetic stride-31 payload is uniform
+    # at coarse bin widths, which would alias different images together
+    feats = extract_features(media, n_bins=256).select(
+        F.col("media_id").cast("int").alias("vec_id"),
+        F.col("features").cast("array<double>").alias("embedding"),
+    )
+    top1 = ann_bruteforce(feats, feats.filter(F.col("vec_id") < 3), k=1)
+    return top1.select("q_id", "n_id", F.round("cos_sim", 9).alias("cos_sim"))
+
+
 @register("ann_ivf", oracle=None)  # approximate → rows-only gate + recall unit test
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7b: IVF-style probe of the 4 nearest of 16 centroid cells."""
