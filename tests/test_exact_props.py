@@ -1,0 +1,59 @@
+"""Property tests (hypothesis) for the cross-engine exact aggregates —
+the mechanism every oracle hash-match rests on. For random inputs and
+random partitionings, Spark's dsum/lsum must equal DuckDB's spelled-out
+SQL bit-for-bit (struct.pack equality, not approx)."""
+
+from __future__ import annotations
+
+import struct
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from rabbit_data_pipeline_spark.functions.exact import dsum, lsum, sql_dsum, sql_lsum
+
+# fixed-point money values: up to 8 digits with 2 decimals (the lsum
+# contract is <=6 decimals; money is 2)
+money = st.integers(min_value=-10**8, max_value=10**8).map(lambda c: c / 100.0)
+# arbitrary finite doubles for the decimal path
+anyfloat = st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False)
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+def _spark_sum(spark, values, agg, parts):
+    df = spark.createDataFrame([(v,) for v in values], ["x"]).repartition(parts)
+    return df.agg(agg("x").alias("s")).first().s
+
+
+def _duck_sum(values, sql_expr):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    out = con.execute(f"SELECT {sql_expr.format(col='x')} FROM t").fetchone()[0]
+    con.close()
+    return out
+
+
+@pytest.mark.parametrize("agg,sql", [(lsum, sql_lsum("x")), (dsum, sql_dsum("x"))])
+@given(values=st.lists(money, min_size=1, max_size=60), parts=st.integers(1, 8))
+@settings(max_examples=12, deadline=None)
+def test_exact_sum_matches_duckdb_bitwise(spark, agg, sql, values, parts):
+    got = _spark_sum(spark, values, agg, parts)
+    want = _duck_sum(values, sql)
+    assert _bits(got) == _bits(want), (got, want, values)
+
+
+@given(values=st.lists(anyfloat, min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_dsum_order_invariant(spark, values):
+    """Partition layout must never change the answer (plain double sums
+    fail this; the decimal accumulate makes it hold)."""
+    a = _spark_sum(spark, values, dsum, 1)
+    b = _spark_sum(spark, values, dsum, 8)
+    c = _spark_sum(spark, list(reversed(values)), dsum, 3)
+    assert _bits(a) == _bits(b) == _bits(c)
