@@ -69,7 +69,12 @@ def _join(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataF
     left, right = inputs[0], inputs[1]
     if cfg.get("broadcast_right"):
         right = F.broadcast(right)
-    return left.join(right, on=cfg["on"], how=cfg.get("how", "inner"))
+    # accept `keys:` as well as `on:` — YAML 1.1 parses a bare `on`
+    # key as boolean True, which silently loses the join columns
+    on = cfg.get("keys") or cfg.get("on") or cfg.get(True)
+    if not on:
+        raise ValueError("transform.join needs `keys:` (or quoted 'on':) with the join columns")
+    return left.join(right, on=on, how=cfg.get("how", "inner"))
 
 
 @plugin("transform.union")
