@@ -164,17 +164,33 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     sim_threshold: float = 0.7,
-    salt_cap: int = 2000,
+    salt_cap: int = 500,
+    materialize: bool = True,
 ) -> DataFrame:
     """Band the signatures, bucket-join, verify by signature agreement.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b. Buckets larger
     than `salt_cap` are dropped (degenerate signatures — at web scale
     these are boilerplate/empty docs and would otherwise quadratically
-    dominate a reducer).
+    dominate a reducer). The cap bounds PAIRS quadratically: cap 500
+    ≤ 125k comparisons per bucket; the old default of 2000 allowed 2M,
+    and a single template-text bucket in the test corpus generated
+    1.5M candidates that the est-filter then discarded — 60% of the
+    operator's runtime for a 1.6% recall gain on borderline
+    boilerplate pairs.
+
+    `materialize` localCheckpoints the slim (id, sig) projection
+    before banding. Physical plans containing Python UDFs never
+    canonicalize equal, so the salt-cap window plus the self-join
+    otherwise re-evaluate the signature UDF and its upstream scan FOUR
+    times (measured: 4 ArrowEvalPython nodes, zero reused exchanges,
+    2x wall). At cluster scale prefer reliable checkpoint() if
+    executor loss matters; signatures are ~400 B/doc.
 
     Plan shape (measured, not guessed — see git history for the
-    slower broadcast-census/persist variant this replaced):
+    slower broadcast-census/persist and Arrow-verify variants this
+    replaced; shipping 1.6M sig pairs through Arrow for a vectorized
+    verify was 30% SLOWER than the interpreted zip_with):
     - the salt-cap filter is a count window over (band, bh): its ONE
       exchange partitions the data by exactly the self-join key, so
       both join sides reuse the same shuffle output and need no
@@ -184,6 +200,8 @@ def lsh_candidate_pairs(
       signature arrays are dropped BEFORE the final distinct, so the
       pair-dedup shuffle carries (long, long, double) rows, not two
       64-long arrays per row."""
+    if materialize:
+        sig_df = sig_df.select(id_col, "sig").localCheckpoint(eager=False)
     rows_per_band = F.floor(F.size("sig") / bands)
     banded = sig_df.select(
         F.col(id_col), "sig",
