@@ -39,6 +39,6 @@ def register(name: str, oracle: str | None = None):
 
 def registry() -> dict[str, Query]:
     # Import side-effect modules on first use.
-    from rabbit_data_pipeline_spark.queries import events, llm, pipelines, streaming_q, tpch  # noqa: F401
+    from rabbit_data_pipeline_spark.queries import events, llm, pipelines, streaming_q, tpch, tpch2  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,391 @@
+"""Extended TPC-H-shaped relational surface (SURVEY.md §2 Q21–Q29).
+
+The reference's Pdo source/sink runs arbitrary SQL against the
+operational store (reference src/Sources/Pdo.php:70-101,
+src/Sinks/Pdo.php:60-118); this module widens the query surface to the
+remaining classic TPC-H access patterns expressible over the driver
+schema: correlated EXISTS with an inequality, bi-nation volume
+matrices, conditional market-share ratios, count-of-counts
+distributions, scalar-subquery maxima and OR-of-ANDs predicate
+pushdown.
+
+Scale rules are the same as queries/tpch.py: dimensions broadcast,
+fact-fact joins shuffle on the join key, every literal predicate
+reaches the parquet scan, money sums use the integer micro-unit exact
+path (functions/exact.py) so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rabbit_data_pipeline_spark.functions.exact import lsum, sql_lsum
+from rabbit_data_pipeline_spark.queries import register
+from rabbit_data_pipeline_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names)
+
+
+# --- Q21: shipping priority (TPC-H Q3) --------------------------------------
+@register(
+    "q_ship_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue. The mktsegment
+    filter reduces customer before its join is broadcast; the group key
+    includes the orderkey so the agg shuffle reuses the l⋈o join key.
+    Sort+limit plans TakeOrderedAndProject (no global sort); the
+    orderkey tiebreak keeps the limit deterministic."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1997-03-15")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1997-03-15")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q22: order-priority checking (TPC-H Q4: correlated EXISTS) --------------
+@register(
+    "q_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality across the
+    tables (shipped after its order date; the driver schema has no
+    commit/receipt dates — reference parity is the EXISTS decorrelation,
+    not the date pair). left_semi keeps one shuffle on orderkey and
+    never materializes the join blowup."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+        .join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q23: bi-nation volume (TPC-H Q7) ----------------------------------------
+@register(
+    "q_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_lsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations by year. The two
+    nation joins broadcast two DIFFERENT 25-row aliases; the OR-pair
+    predicate prunes after both are attached. lineitem⋈orders is the
+    only real shuffle."""
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --- Q24: market share (TPC-H Q8: ratio of conditional aggregates) -----------
+@register(
+    "q_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ({sql_lsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")})
+             / ({sql_lsum('volume')}) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = (
+        SELECT MIN(p_type) FROM part)
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional revenue for a part
+    type, per year — a ratio of two conditional sums in a single
+    aggregate pass (no second scan, no join back). The part-type
+    scalar subquery is evaluated driver-side against the broadcast dim
+    (min over 2k rows), mirroring Catalyst's scalar-subquery rewrite."""
+    t = _t(spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+    ptype = t["part"].agg(F.min("p_type")).collect()[0][0]
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_volume = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        t["part"]
+        .filter(F.col("p_type") == ptype)
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(t["region"]), F.col("n2_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((lsum(nat_volume) / lsum(volume)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --- Q25: returned-item reporting (TPC-H Q10) --------------------------------
+@register(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           n.n_name, c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns. The
+    returnflag filter pushes to the lineitem scan; customer attributes
+    ride through the group key (same shuffle as the join)."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01"))
+        .join(t["lineitem"].filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- Q26: customer order-count distribution (TPC-H Q13) ----------------------
+@register(
+    "q_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: count-of-counts. Two aggregations: the first shuffles
+    on custkey (shared with the join), the second on the tiny c_count
+    domain — AQE coalesces it to a handful of partitions."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- Q27: top supplier(s) by revenue (TPC-H Q15) -----------------------------
+@register(
+    "q_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_lsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the max quarterly revenue. The
+    MAX scalar subquery becomes an unpartitioned max window over the
+    tiny aggregated set (|suppliers| rows) — no second scan of
+    lineitem, no join back."""
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    best = rev.withColumn("__max", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("__max")
+    )
+    return (
+        t["supplier"]
+        .join(best, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q28: large-volume orders (TPC-H Q18) ------------------------------------
+@register(
+    "q_big_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_lsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)) / 1000000.0 > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold. The
+    HAVING subquery and the outer aggregate shuffle on the SAME key
+    (orderkey), so the semi join is exchange-reusable; at scale the
+    pre-aggregated key set is small enough to broadcast into the semi
+    join (AQE does this conversion at runtime)."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(lsum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("__bigkey"), "left_semi")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(lsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- Q29: OR-of-ANDs predicate revenue (TPC-H Q19) ---------------------------
+@register(
+    "q_or_predicates",
+    oracle=f"""
+    SELECT {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-table predicate. Catalyst derives
+    the cross-branch residuals (brand IN (...), quantity <= 30) and
+    pushes them into each scan even though the full OR straddles the
+    join; part stays broadcast."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#11") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#22") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#33") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
