@@ -357,3 +357,73 @@ def delete_where_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir, ("orders",))["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
     return delete_where(o, "o_orderstatus = 'F' AND o_totalprice < 100000")
+
+
+# --- Y6: SCD Type-2 history-preserving merge ---------------------------------
+@register(
+    "sync_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN CAST(c_acctbal + 100 AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
+             TIMESTAMP '2000-06-01' AS eff
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW_' || c_name, CAST(42.0 AS DOUBLE),
+             TIMESTAMP '2000-06-01'
+      FROM customer WHERE c_custkey % 100 = 0),
+    changed AS (
+      SELECT u.* FROM upd u
+      LEFT JOIN dim c ON u.c_custkey = c.c_custkey AND c.is_current
+      WHERE c.c_custkey IS NULL
+         OR u.c_name    IS DISTINCT FROM c.c_name
+         OR u.c_acctbal IS DISTINCT FROM c.c_acctbal)
+    SELECT d.* FROM dim d
+    WHERE d.is_current
+      AND NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = d.c_custkey)
+    UNION ALL
+    SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+           ch.eff AS valid_to, FALSE AS is_current
+    FROM dim d JOIN changed ch ON d.c_custkey = ch.c_custkey
+    WHERE d.is_current
+    UNION ALL
+    SELECT ch.c_custkey, ch.c_name, ch.c_acctbal, ch.eff AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM changed ch
+    """,
+)
+def sync_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over customer: 20% of updates change acctbal (new version +
+    closed old version), the rest are no-ops, 1% are brand-new keys."""
+    from rabbit_data_pipeline_spark.operators.sync import scd2_merge
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    dim = c.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd_even = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, (F.col("c_acctbal") + 100).cast("double"))
+         .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.lit("2000-06-01").cast("timestamp").alias("eff"),
+    )
+    upd_new = c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+        F.lit(42.0).cast("double").alias("c_acctbal"),
+        F.lit("2000-06-01").cast("timestamp").alias("eff"),
+    )
+    return scd2_merge(
+        dim, upd_even.unionByName(upd_new),
+        keys=["c_custkey"], compare_cols=["c_name", "c_acctbal"], effective_col="eff",
+    )

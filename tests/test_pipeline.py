@@ -192,3 +192,37 @@ def test_upsert_sink_plugin(spark, tmp_path):
     second = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
     out2 = sink(fake, {"path": path, "keys": ["k"], "staging": path + "2"}, [second])
     assert {(r["k"], r["v"]) for r in out2.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_merge_idempotent_and_versions(spark):
+    """Re-applying the same delta must be a no-op, changed keys get a
+    closed old version + one open new version, new keys one open row."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.sync import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, val double",
+    ).select(
+        "k", "name", "val",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)],
+        "k int, name string, val double",
+    ).withColumn("eff", F.lit("2021-06-01").cast("timestamp"))
+
+    merged = scd2_merge(dim, upd, keys=["k"], compare_cols=["name", "val"], effective_col="eff")
+    rows = {(r.k, r.is_current): r for r in merged.collect()}
+    assert len(rows) == 5  # 1,3 untouched; 2 closed + 2 open; 4 open
+    assert rows[(2, False)].valid_to is not None and rows[(2, False)].val == 20.0
+    assert rows[(2, True)].val == 99.0 and rows[(2, True)].valid_to is None
+    assert rows[(4, True)].val == 40.0
+    assert rows[(1, True)].valid_from.year == 2020  # no-op update kept original
+
+    again = scd2_merge(merged, upd, keys=["k"], compare_cols=["name", "val"], effective_col="eff")
+    assert again.count() == merged.count()
+    assert again.filter(F.col("is_current")).count() == 4
