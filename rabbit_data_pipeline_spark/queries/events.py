@@ -103,3 +103,66 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
     )
+
+
+# --- temporal joins: as-of and interval --------------------------------------
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      MAX(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS __matched_ts, c.click_value
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correlation: each purchase matched to the user's
+    most recent prior click. The union-window plan shuffles ONCE on
+    user_id (vs. the range-join + argmax formulation, quadratic per
+    key); DuckDB's native ASOF JOIN is the oracle. Left side is
+    pre-aggregated to unique (user, ts) so the match is deterministic."""
+    from rabbit_data_pipeline_spark.operators.joins import asof_join
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    return asof_join(clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", how="inner")
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 12 HOUR
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: click→purchase attribution pairs within 12 hours.
+    The equi-key keeps it a hash join with the range as residual —
+    one shuffle, no cartesian blowup."""
+    from rabbit_data_pipeline_spark.operators.joins import interval_join
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return interval_join(
+        clicks, purchases, on=["user_id"], left_ts="click_ts", right_ts="purchase_ts", upper="12 hours"
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")

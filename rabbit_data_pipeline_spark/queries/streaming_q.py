@@ -158,3 +158,42 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return _run_to_table(deduped, "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT * FROM {EVENTS_US} WHERE event_type = 'click') c
+    JOIN (SELECT * FROM {EVENTS_US} WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 12 HOUR
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: stream-stream interval join — clicks and purchases arrive as
+    two independent streams; each purchase pairs with the same user's
+    clicks from the preceding 12 hours. Inner joins emit matches as
+    both sides arrive (no watermark-close wait), so one availableNow
+    batch emits exactly the batch join — a full value-hash gate on the
+    stateful two-stream path. The range condition inside the join
+    condition is what bounds the join state on a real cluster."""
+    from rabbit_data_pipeline_spark.streaming import stream_interval_join
+
+    clicks = (
+        _events_queue(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _events_queue(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on=["user_id"], left_ts="click_ts", right_ts="purchase_ts",
+        upper="12 hours", watermark="1 hour",
+    )
+    return _run_to_table(joined, "append")

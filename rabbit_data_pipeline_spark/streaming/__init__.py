@@ -3,6 +3,7 @@ from rabbit_data_pipeline_spark.streaming.ops import (
     sessionize_stateful,
     session_window_agg,
     stream_dedup,
+    stream_interval_join,
     windowed_agg,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "sessionize_stateful",
     "session_window_agg",
     "stream_dedup",
+    "stream_interval_join",
     "windowed_agg",
 ]

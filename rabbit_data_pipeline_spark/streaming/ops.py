@@ -123,6 +123,41 @@ def stream_dedup(stream: DataFrame, key_cols: list[str], watermark: str = "10 mi
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: pairs with ``left_ts <= right_ts <
+    left_ts + upper`` per key — the streaming twin of
+    operators/joins.interval_join.
+
+    The range condition lives INSIDE the join condition (not a
+    post-filter) — that is what lets Spark derive the state-eviction
+    bound: left rows are dropped from the join state once the right
+    watermark passes ``left_ts + upper``, so state stays
+    O(rate × (watermark + upper)) on an unbounded stream. Both sides
+    must carry a watermark; timestamps and non-key columns must be
+    disjoint."""
+    l, r = left.withWatermark(left_ts, watermark).alias("l"), right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    keep = [F.col(f"l.{k}") for k in on]
+    keep += [F.col(f"l.{c}") for c in left.columns if c not in on]
+    keep += [F.col(f"r.{c}") for c in right.columns if c not in on]
+    return l.join(r, cond, "inner").select(*keep)
+
+
 # ------------------------------------------------- custom stateful op
 
 SESSION_OUTPUT_SCHEMA = StructType(

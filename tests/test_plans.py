@@ -138,3 +138,32 @@ def test_sync_incremental_pushes_watermark_filter(spark, sf_smoke):
         inc.explain("formatted")
     p = buf.getvalue()
     assert "PushedFilters" in p and "o_orderdate" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_asof_join_is_union_window_single_shuffle(plans):
+    """The as-of join must plan as union + window (linear), never as a
+    join with a range condition (quadratic per key). Exactly two
+    exchanges: the query's left-side pre-aggregation and the window;
+    the operator itself contributes one."""
+    p = plans("q_asof_join")
+    assert "Window" in p and "Union" in p
+    assert p.count("Exchange (") == 2
+    assert "Join" not in p  # no join operator anywhere
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_join_is_hash_join_with_range_residual(plans):
+    """Range joins must keep the equi-key as the join key (hash join)
+    with the time range as a residual predicate — not degrade to a
+    nested-loop over the cross product."""
+    p = plans("q_interval_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join user_id" in p or "hashpartitioning(user_id" in p or "BroadcastHashJoin" in p
+
+
+def test_scd2_broadcast_delta_no_dim_shuffle(plans):
+    """With a broadcast delta the dimension must not shuffle: every
+    join against the dim is a BroadcastHashJoin."""
+    p = plans("sync_scd2")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
