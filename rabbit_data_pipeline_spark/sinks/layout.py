@@ -1,0 +1,79 @@
+"""Storage-layout operators: bucketed tables, compaction, partitioned
+layouts.
+
+At 100 TB the dominant costs are shuffles and file listings, and both
+are layout problems:
+
+- ``write_bucketed`` persists a table hash-bucketed on its join key.
+  Two tables bucketed the same way join with ZERO exchange — the
+  shuffle is paid once at write time and amortized over every
+  subsequent join/aggregate on that key (classic fact-fact co-location:
+  lineitem ⋈ orders on orderkey).
+- ``compact`` rewrites a directory of too-many-small-files into
+  size-targeted files. Streaming sinks and over-parallel writers
+  produce kilobyte part files; at scale the NameNode/object-store
+  listing and per-file open dominate read time.
+- ``write_files(partition_by=...)`` (sinks/files.py) plus Spark's
+  dynamic partition pruning covers the partition-layout axis; the
+  plan contract is tested in tests/test_layout.py.
+
+The reference has no notion of storage layout (its sinks append rows
+to whatever the DB does); this module is where a Spark engine earns
+its scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` hash-bucketed (and optionally sorted) on
+    `bucket_cols` as a catalog table. Readers joining or aggregating on
+    the bucket key skip the exchange entirely; with sort_cols the
+    sort-merge join also skips its sort. Pick num_buckets so one bucket
+    ≈ 100-200 MB at the target scale (e.g. 100 TB / 2000 buckets / …);
+    both join sides must use the SAME bucket count to co-locate."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite `path` into ceil(bytes / target) equally-sized files;
+    returns the new file count. Reads the directory's current byte size
+    from the filesystem (no data pass), rewrites in one job to a temp
+    dir, then atomically swaps. The repartition is a round-robin
+    exchange — one pass over the data, no key skew."""
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                size += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n).write.format(fmt).mode("overwrite").save(tmp)
+    bak = path.rstrip("/") + "__old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(bak)
+    return n

@@ -1,0 +1,116 @@
+"""Storage-layout contracts (SURVEY §6): bucketed co-located joins skip
+the exchange, compaction hits the file-count target, partitioned
+layouts prune at the scan. These are the layout half of the scale
+design — plan/filesystem assertions, not value checks (values are
+covered by the oracle gate; layout only changes WHERE bytes live)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rabbit_data_pipeline_spark.session import load_tables
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_smoke, tmp_path_factory):
+    from rabbit_data_pipeline_spark.sinks.layout import write_bucketed
+
+    t = load_tables(spark, sf_smoke, ("lineitem", "orders"))
+    write_bucketed(t["lineitem"], "bt_lineitem", ["l_orderkey"], num_buckets=8)
+    write_bucketed(t["orders"], "bt_orders", ["o_orderkey"], num_buckets=8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_bucketed_join_skips_exchange(spark, bucketed_tables):
+    """lineitem ⋈ orders on the bucket key: both sides bucketed the
+    same way → no Exchange feeding the join. The shuffle was paid once
+    at write time. Broadcast is disabled to pin the shuffle-join path
+    this layout exists for (at 100 TB neither fact broadcasts)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_lineitem").join(
+            spark.table("bt_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        p = _explain(j.groupBy("o_orderpriority").count())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "Bucketed: true" in p
+    # the ONLY exchange is the post-join agg on o_orderpriority; the
+    # join consumes both bucketed scans directly
+    assert p.count("Exchange (") == 1
+    assert "hashpartitioning(o_orderpriority" in p
+
+
+def test_bucketed_agg_skips_exchange(spark, bucketed_tables):
+    """groupBy on the bucket key reuses the bucketing: no exchange."""
+    p = _explain(spark.table("bt_lineitem").groupBy("l_orderkey").agg(F.sum("l_quantity")))
+    assert "Exchange" not in p
+
+
+def test_compact_reduces_file_count(spark, sf_smoke, tmp_path):
+    from rabbit_data_pipeline_spark.sinks.layout import compact
+
+    path = str(tmp_path / "many_small")
+    li = load_tables(spark, sf_smoke, ("lineitem",))["lineitem"]
+    li.repartition(64).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 32
+    compact(spark, path, target_file_mb=128)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after <= 2
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_smoke, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (pruned at listing time), not a data filter."""
+    from rabbit_data_pipeline_spark.sinks.files import write_files
+
+    path = str(tmp_path / "orders_by_status")
+    o = load_tables(spark, sf_smoke, ("orders",))["orders"]
+    write_files(o, path, partition_by=["o_orderstatus"])
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    p = _explain(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in p.replace("#", "").replace("\n", "") or (
+        "PartitionFilters" in p and "o_orderstatus" in p.split("PartitionFilters")[1].split("]")[0]
+    )
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_smoke, tmp_path):
+    """DPP: a selective filter on the dim side prunes the fact's
+    partitions at runtime — the fact scan carries a dynamicpruning
+    subquery instead of reading every partition."""
+    from rabbit_data_pipeline_spark.sinks.files import write_files
+
+    path = str(tmp_path / "orders_by_prio")
+    o = load_tables(spark, sf_smoke, ("orders",))["orders"]
+    write_files(o, path, partition_by=["o_orderpriority"])
+    # stats-based benefit estimation vetoes DPP on toy-sized local data;
+    # disable it so the plan shape matches what a 100 TB fact gets
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try:
+        fact = spark.read.parquet(path)
+        dim = spark.createDataFrame(
+            [("1-URGENT", "keep")], "o_orderpriority string, tag string"
+        ).filter(F.col("tag") == "keep")
+        p = _explain(fact.join(dim, on="o_orderpriority"))
+    finally:
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    assert "dynamicpruning" in p.lower()
