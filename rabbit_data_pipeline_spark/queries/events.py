@@ -166,3 +166,30 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         clicks, purchases, on=["user_id"], left_ts="click_ts", right_ts="purchase_ts", upper="12 hours"
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-20 noisiest keys — the exact form of the
+    frequent-items pass every skew diagnosis starts with (its output
+    feeds operators/skew.py's salting decisions). Partial aggregation
+    does the heavy lifting map-side; TakeOrderedAndProject keeps the
+    top-k merge off the driver. At 100 TB swap the exact groupBy for
+    approx: F.count_min_sketch / datasketches — documented scale path,
+    exact here for the oracle."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )

@@ -57,3 +57,26 @@ def test_dsum_order_invariant(spark, values):
     b = _spark_sum(spark, values, dsum, 8)
     c = _spark_sum(spark, list(reversed(values)), dsum, 3)
     assert _bits(a) == _bits(b) == _bits(c)
+
+
+def test_approx_sketches_bounded_error(spark, sf_smoke):
+    """The documented 100 TB substitutions — approx_count_distinct for
+    DISTINCT, approx_percentile for percentile — must land within their
+    advertised error on real data (HLL rsd default 5%; percentile
+    accuracy parameter 10000 → <=0.01% rank error)."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    o = load_tables(spark, sf_smoke, ("orders",))["orders"]
+    exact, approx = o.agg(
+        F.countDistinct("o_custkey").alias("e"),
+        F.approx_count_distinct("o_custkey").alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.05
+
+    ep, ap = o.agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("e"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("a"),
+    ).first()
+    assert abs(ap - ep) / ep < 0.01
