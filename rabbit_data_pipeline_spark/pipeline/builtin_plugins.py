@@ -96,3 +96,55 @@ def _repartition(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -
     if cols:
         return df.repartition(*cols)
     return df.repartition(int(n))
+
+
+@plugin("transform.asof_join")
+def _asof_join(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Point-in-time enrichment: first input is the left (state)
+    stream, second the right (probe) rows; each right row gets the
+    latest left row at-or-before its timestamp. See
+    operators/joins.asof_join for the union-window scale design."""
+    from rabbit_data_pipeline_spark.operators.joins import asof_join
+
+    left, right = inputs[0], inputs[1]
+    on = cfg.get("keys") or cfg.get(True)
+    if not on:
+        raise ValueError("transform.asof_join needs `keys:` with the match columns")
+    return asof_join(
+        left, right, on=list(on),
+        left_ts=cfg.get("left_ts", "ts"), right_ts=cfg.get("right_ts", "ts"),
+        tolerance=cfg.get("tolerance"), how=cfg.get("how", "inner"),
+    )
+
+
+@plugin("transform.interval_join")
+def _interval_join(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.joins import interval_join
+
+    left, right = inputs[0], inputs[1]
+    on = cfg.get("keys") or cfg.get(True)
+    if not on:
+        raise ValueError("transform.interval_join needs `keys:` with the join columns")
+    return interval_join(
+        left, right, on=list(on),
+        left_ts=cfg.get("left_ts", "ts"), right_ts=cfg.get("right_ts", "ts"),
+        upper=cfg.get("upper", "1 hour"), lower=cfg.get("lower", "0 seconds"),
+    )
+
+
+@plugin("transform.scd2")
+def _scd2(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """SCD Type-2 merge: first input is the versioned dimension, second
+    the update delta. See operators/sync.scd2_merge."""
+    from rabbit_data_pipeline_spark.operators.sync import scd2_merge
+
+    dim, updates = inputs[0], inputs[1]
+    return scd2_merge(
+        dim, updates,
+        keys=list(cfg["keys"]), compare_cols=list(cfg["compare"]),
+        effective_col=cfg.get("effective_col", "updated_at"),
+        valid_from=cfg.get("valid_from", "valid_from"),
+        valid_to=cfg.get("valid_to", "valid_to"),
+        current_col=cfg.get("current_col", "is_current"),
+        broadcast_updates=bool(cfg.get("broadcast_updates", True)),
+    )

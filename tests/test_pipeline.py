@@ -226,3 +226,40 @@ def test_scd2_merge_idempotent_and_versions(spark):
     again = scd2_merge(merged, upd, keys=["k"], compare_cols=["name", "val"], effective_col="eff")
     assert again.count() == merged.count()
     assert again.filter(F.col("is_current")).count() == 4
+
+
+def test_yaml_asof_join_plugin(spark, tmp_path):
+    """YAML-declared as-of enrichment: quotes stream + trades stream →
+    each trade tagged with the prevailing quote."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+
+    quotes = str(tmp_path / "quotes")
+    trades = str(tmp_path / "trades")
+    spark.createDataFrame(
+        [("A", "2024-01-01 09:00:00", 10.0), ("A", "2024-01-01 10:00:00", 11.0)],
+        "sym string, qts string, px double",
+    ).withColumn("qts", F.to_timestamp("qts")).write.parquet(quotes)
+    spark.createDataFrame(
+        [("A", "2024-01-01 09:30:00", 5), ("A", "2024-01-01 10:30:00", 7)],
+        "sym string, tts string, qty int",
+    ).withColumn("tts", F.to_timestamp("tts")).write.parquet(trades)
+
+    spec = PipelineSpec.from_dict(
+        "asof_task",
+        {
+            "quotes": {"type": "source.parquet", "start": True, "path": quotes, "output": ["enriched"]},
+            "trades": {"type": "source.parquet", "start": True, "path": trades, "output": ["enriched"]},
+            "enriched": {
+                "type": "transform.asof_join",
+                "keys": ["sym"],
+                "left_ts": "qts",
+                "right_ts": "tts",
+            },
+        },
+    )
+    sch = Scheduler(spark, {"asof_task": spec})
+    df = sch.build("asof_task", "enriched")
+    out = {(r.tts.hour, r.px) for r in df.collect()}
+    assert out == {(9, 10.0), (10, 11.0)}
