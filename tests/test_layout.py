@@ -114,3 +114,24 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_smoke, tmp_path):
         spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
         spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     assert "dynamicpruning" in p.lower()
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
+    """Runtime bloom-filter join pruning — the shuffle-time complement
+    to DPP for non-partition keys: a selective filter on one join side
+    injects might_contain() into the fact scan, dropping non-matching
+    rows before the shuffle. Default-on (enabled=true) and size-gated;
+    a 100 TB fact clears the 10 GB application-side gate on its own —
+    locally we lower it to prove the rewrite fires."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = load_tables(spark, sf_smoke, ("lineitem", "orders"))
+        sel = t["orders"].filter(F.col("o_totalprice") > 400000)
+        j = t["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "might_contain" in plan.lower()
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
