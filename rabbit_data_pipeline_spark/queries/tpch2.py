@@ -389,3 +389,33 @@ def q_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+# --- Q33: full cube over two dims --------------------------------------------
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, {sql_lsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all 2^k grouping sets in ONE pass — Spark expands the
+    grouping sets map-side (Expand operator) so the fact is still
+    scanned once; the shuffle carries each row 2^k times, which is the
+    intrinsic cost of the answer, not a plan artifact."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), lsum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
