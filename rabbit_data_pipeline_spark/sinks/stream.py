@@ -54,3 +54,53 @@ def memory_write_stream(df: DataFrame, name: str, trigger: Trigger | None = None
     writer = df.writeStream.format("memory").queryName(name).outputMode("append")
     writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
     return writer.start()
+
+
+def upsert_write_stream(
+    df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+    trigger: Trigger | None = None,
+    order_col: str | None = None,
+) -> StreamingQuery:
+    """Stream → keyed table via per-batch MERGE (foreachBatch upsert):
+    the streaming counterpart of the reference's Pdo/Clickhouse upsert
+    sinks (src/Sinks/Pdo.php ON DUPLICATE KEY, Clickhouse flag dedup).
+
+    Exactly-once WITHOUT sink-side transactions: the source offsets
+    live in the checkpoint, and the merge itself is IDEMPOTENT — a
+    replayed micro-batch upserts the same keys to the same values, so
+    at-least-once delivery collapses to exactly-once table state (the
+    same trick the reference's CH flag column exists for). Each batch
+    rewrites the table via anti-join + union (operators/sync.upsert,
+    broadcast delta); on Delta/Iceberg swap the body for MERGE INTO —
+    same plan, transactional commit.
+
+    `order_col`: if batches can carry multiple versions of a key, keep
+    the max-`order_col` row per key (in-batch last-writer-wins) before
+    merging."""
+    from rabbit_data_pipeline_spark.operators.sync import keep_latest_by_flag, upsert
+
+    def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        delta = keep_latest_by_flag(batch, keys, order_col) if order_col else batch
+        import os
+
+        if os.path.exists(table_path):
+            current = spark.read.parquet(table_path)
+            merged = upsert(current, delta, keys=keys, broadcast_source=True)
+        else:  # first batch: table doesn't exist yet
+            merged = delta
+        tmp = table_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        import os
+        import shutil
+
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(tmp, table_path)
+
+    writer = df.writeStream.foreachBatch(merge_batch).option("checkpointLocation", checkpoint)
+    writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
+    return writer.start()

@@ -228,3 +228,45 @@ def test_sessionize_stateful(spark, tmp_path):
     out = _run(sessions, f"st_{uuid.uuid4().hex[:8]}")
     rows = [(r.user_id, r.n_events, r.total_value) for r in out.collect()]
     assert rows == [("u1", 2, 3)]
+
+
+def test_upsert_sink_idempotent_exactly_once(spark, tmp_path):
+    """R7: foreachBatch keyed upsert. Last-writer-wins within a batch,
+    upsert across batches, and a checkpoint-restart replays nothing —
+    the merge's idempotence turns at-least-once delivery into
+    exactly-once table state."""
+    from rabbit_data_pipeline_spark.sinks.stream import upsert_write_stream
+    from rabbit_data_pipeline_spark.sources.stream import queue_dir_publish, queue_dir_stream
+    from rabbit_data_pipeline_spark.streaming import parse_json_messages
+
+    qdir = str(tmp_path / "q")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _publish(qdir, [
+        {"key": "a", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(0)},
+        {"key": "b", "value": {"user_id": "u2", "amount": 2}, "ts": _ts(1)},
+    ])
+    _publish(qdir, [
+        {"key": "c", "value": {"user_id": "u1", "amount": 5}, "ts": _ts(2)},  # updates u1
+    ])
+
+    def run():
+        stream = parse_json_messages(queue_dir_stream(spark, qdir), VALUE_SCHEMA)
+        q = upsert_write_stream(
+            stream.select("user_id", "amount", "ts"),
+            table, keys=["user_id"], checkpoint=ckpt, order_col="ts",
+        )
+        q.awaitTermination(120)
+
+    run()
+    state = {(r.user_id, r.amount) for r in spark.read.parquet(table).collect()}
+    assert state == {("u1", 5), ("u2", 2)}
+
+    run()  # restart from checkpoint: no new input → table unchanged
+    state2 = {(r.user_id, r.amount) for r in spark.read.parquet(table).collect()}
+    assert state2 == state
+
+    _publish(qdir, [{"key": "d", "value": {"user_id": "u2", "amount": 9}, "ts": _ts(3)}])
+    run()
+    state3 = {(r.user_id, r.amount) for r in spark.read.parquet(table).collect()}
+    assert state3 == {("u1", 5), ("u2", 9)}
