@@ -190,7 +190,11 @@ def lsh_candidate_pairs(
     Plan shape (measured, not guessed — see git history for the
     slower broadcast-census/persist and Arrow-verify variants this
     replaced; shipping 1.6M sig pairs through Arrow for a vectorized
-    verify was 30% SLOWER than the interpreted zip_with):
+    verify was 30% SLOWER than the interpreted zip_with, and a
+    "skinny banding" variant — shuffle only (id, band, bh), distinct
+    the candidate pairs, then broadcast-join signatures back for the
+    verify — was 20% slower again: two hash joins + an extra distinct
+    cost more than carrying the ~400 B sig through the one shuffle):
     - the salt-cap filter is a count window over (band, bh): its ONE
       exchange partitions the data by exactly the self-join key, so
       both join sides reuse the same shuffle output and need no
