@@ -419,3 +419,68 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --- Q34: double-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------
+@register(
+    "q_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: lineitems whose supplier was the LAST to ship
+    in a multi-supplier order (no commit/receipt dates in the driver
+    schema, so "late" = shipped after every other supplier). The two
+    correlated subqueries decorrelate into ONE aggregation over
+    lineitem: per (orderkey, suppkey) the supplier's max shipdate,
+    then per orderkey the top-2 supplier maxima + supplier count.
+    other_max(row) = top1 if it belongs to a different supplier else
+    top2 — so EXISTS-other ⇔ n_supp ≥ 2 and NOT-EXISTS-later ⇔
+    other_max <= own shipdate. Everything shuffles on l_orderkey (the
+    same key as the orders join); no self-join of the fact against
+    itself."""
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    l = t["lineitem"]
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("smax"))
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("smax").desc(), F.col("l_suppkey"))
+    ranked = per_supp.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        "l_suppkey",
+        "smax",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_orderkey")).alias("n_supp"),
+    ).filter(F.col("rn") <= 2)
+    order_stats = (
+        ranked.groupBy("r_orderkey", "n_supp")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("smax"))).alias("smax1"),
+            F.max(F.when(F.col("rn") == 1, F.col("l_suppkey"))).alias("sk1"),
+            F.max(F.when(F.col("rn") == 2, F.col("smax"))).alias("smax2"),
+        )
+    )
+    other_max = F.when(F.col("sk1") != F.col("l_suppkey"), F.col("smax1")).otherwise(F.col("smax2"))
+    return (
+        l.join(order_stats, F.col("l_orderkey") == F.col("r_orderkey"))
+        .join(t["orders"].filter(F.col("o_orderstatus") == "F"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (other_max <= F.col("l_shipdate")))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
