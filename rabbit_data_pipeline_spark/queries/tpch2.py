@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rabbit_data_pipeline_spark.functions.exact import lsum, sql_lsum
+from rabbit_data_pipeline_spark.functions.exact import lavg, lsum, sql_lavg, sql_lsum
 from rabbit_data_pipeline_spark.queries import register
 from rabbit_data_pipeline_spark.session import load_tables
 
@@ -483,4 +483,41 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
+    )
+
+
+# --- Q35: scalar-subquery threshold + anti join (TPC-H Q22 shape) ------------
+@register(
+    "q_idle_customers",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           {sql_lsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT {sql_lavg('c_acctbal')} FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never
+    ordered, by nation (no phone prefixes in the driver schema — the
+    pattern parity is scalar-subquery threshold + anti join + agg).
+    The average is a 1-row aggregate cross-joined in (Spark broadcasts
+    single-row relations), the anti join shuffles on custkey, nation
+    broadcasts."""
+    t = _t(spark, sf_dir, "customer", "orders", "nation")
+    avg_bal = t["customer"].filter(F.col("c_acctbal") > 0).agg(lavg("c_acctbal").alias("__avg"))
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("numcust"), lsum("c_acctbal").alias("totacctbal"))
+        .orderBy("n_name")
     )
