@@ -23,6 +23,10 @@ HEADLINE = [
     "q_topn",
     "q_sessionize",
     "q_json_extract",
+    "q_ship_priority",
+    "q_big_orders",
+    "q_waiting_supplier",
+    "q_asof_join",
     # LLM ops (registered in later build steps; skipped if absent)
     "dedup_exact",
     "dedup_minhash",
