@@ -118,3 +118,79 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
             **{k: v for k, v in feats.items() if k not in df.columns},
         }
     )
+
+
+# ------------------------------------------------------ PII redaction
+
+# Patterns written in the common subset of Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit character classes.
+# Declaration order IS application order: most-specific first, so the
+# generic phone pattern can't eat an SSN-shaped id.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace emails / phone numbers / IPv4s / SSN-shaped ids with
+    ``[KIND]`` tokens — the scrubbing pass every training-data pipeline
+    runs before anything else sees the text. Chained regexp_replace:
+    single scan, shuffle-free, whole-stage-codegen (no Python). The
+    patterns deliberately use the Java∩RE2 regex subset so the DuckDB
+    oracle applies the IDENTICAL expressions."""
+    out = col
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def sql_redact_pii(expr: str, kinds: list[str] | None = None) -> str:
+    """DuckDB spelling of redact_pii (regexp_replace with 'g')."""
+    out = expr
+    for kind in kinds or list(PII_PATTERNS):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '[{kind.upper()}]', 'g')"
+    return out
+
+
+# ------------------------------------------------------ chunking
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the context-window prep step for embedding/training. Pure built-ins:
+    sequence() generates chunk starts, explode fans out, substring
+    slices — one scan, no Python, no shuffle; at 100 TB this is a
+    map-only stage that AQE never touches.
+
+    Output: (id_col, chunk_id, chunk_text). Stride = chunk_chars -
+    overlap; the final partial chunk is kept (min length 1)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.floor((F.length(F.col(text_col)) - 1) / stride).cast("int")),
+    )
+    return (
+        df.select(
+            id_col,
+            F.col(text_col),
+            F.explode(starts).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.substring(F.col(text_col), F.col("chunk_id") * stride + 1, chunk_chars).alias("chunk_text"),
+        )
+        .filter(F.length("chunk_text") > 0)
+    )

@@ -483,3 +483,44 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return ann_ivf(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _pii_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_redact_pii
+
+    return f"""
+    SELECT doc_id, {sql_redact_pii('text')} AS clean_text
+    FROM documents
+    """
+
+
+@register("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/phones/IPv4s/SSN-shapes → [KIND] tokens.
+    Chained regexp_replace in the Java∩RE2 subset — one shuffle-free
+    scan, identical expressions run in the DuckDB oracle."""
+    from rabbit_data_pipeline_spark.operators.text import redact_pii
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select("doc_id", redact_pii(F.col("text")).alias("clean_text"))
+
+
+@register(
+    "text_chunks",
+    oracle="""
+    SELECT doc_id, chunk_id,
+           SUBSTRING(text, CAST(chunk_id * 448 + 1 AS INT), 512) AS chunk_text
+    FROM (SELECT doc_id, text,
+                 UNNEST(generate_series(0, GREATEST(0,
+                     CAST(FLOOR((LENGTH(text) - 1) / 448) AS BIGINT)))) AS chunk_id
+          FROM documents)
+    WHERE LENGTH(SUBSTRING(text, CAST(chunk_id * 448 + 1 AS INT), 512)) > 0
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 512-char windows, 64-char overlap
+    (stride 448). sequence→explode→substring — a map-only stage."""
+    from rabbit_data_pipeline_spark.operators.text import chunk_text
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return chunk_text(d, chunk_chars=512, overlap=64)

@@ -203,3 +203,43 @@ def test_text_analysis_bundle(spark, sf_smoke):
         assert 0.0 <= r.quality <= 1.0
         assert len(r.fingerprint) == 32
         assert r.lang_guess in ("de", "en", "es", "fr", "zh", "und")
+
+
+def test_redact_pii_behaviors(spark):
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            ("contact bob.smith+x@corp.example.co for info",),
+            ("call +1 (415) 555-0199 now",),
+            ("server at 10.0.42.7 responded",),
+            ("ssn 123-45-6789 on file",),
+            ("no pii here, just text",),
+        ],
+        "text string",
+    ).select(redact_pii(F.col("text")).alias("t"))
+    out = [r.t for r in rows.collect()]
+    assert out[0] == "contact [EMAIL] for info"
+    assert out[1] == "call [PHONE] now"
+    assert out[2] == "server at [IPV4] responded"
+    assert out[3] == "ssn [SSN] on file"
+    assert out[4] == "no pii here, just text"
+
+
+def test_chunk_text_overlap_and_reconstruction(spark):
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.text import chunk_text
+
+    doc = "abcdefghij" * 30  # 300 chars
+    df = spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    chunks = chunk_text(df, chunk_chars=100, overlap=20).orderBy("chunk_id").collect()
+    # stride 80: starts 0,80,160,240 → lengths 100,100,100,60
+    assert [len(c.chunk_text) for c in chunks] == [100, 100, 100, 60]
+    # consecutive chunks overlap by exactly 20 chars
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.chunk_text[-20:] == b.chunk_text[:20]
+    # stitching strides reconstructs the document
+    assert "".join([chunks[0].chunk_text] + [c.chunk_text[20:] for c in chunks[1:]]) == doc
