@@ -62,3 +62,26 @@ def _text_metrics(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) 
             "bpe_tokens": bpe_token_count(tc),
         }
     )
+
+
+@plugin("transform.redact_pii")
+def _redact_pii(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import redact_pii
+
+    (df,) = inputs
+    col = cfg.get("text_col", "text")
+    return df.withColumn(cfg.get("out_col", col), redact_pii(F.col(col), kinds=cfg.get("kinds")))
+
+
+@plugin("transform.chunk")
+def _chunk(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import chunk_text
+
+    (df,) = inputs
+    return chunk_text(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        chunk_chars=int(cfg.get("chunk_chars", 512)),
+        overlap=int(cfg.get("overlap", 64)),
+    )

@@ -243,3 +243,26 @@ def test_chunk_text_overlap_and_reconstruction(spark):
         assert a.chunk_text[-20:] == b.chunk_text[:20]
     # stitching strides reconstructs the document
     assert "".join([chunks[0].chunk_text] + [c.chunk_text[20:] for c in chunks[1:]]) == doc
+
+
+def test_yaml_redact_then_chunk_pipeline(spark, tmp_path):
+    """Declarative scrub→chunk prep: the YAML surface covers the new
+    text ops end-to-end through the Scheduler."""
+    from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+
+    path = str(tmp_path / "pii_docs")
+    spark.createDataFrame(
+        [(1, "email me at a@b.co " + "x" * 120)], "doc_id int, text string"
+    ).write.parquet(path)
+    spec = PipelineSpec.from_dict(
+        "prep",
+        {
+            "docs": {"type": "source.parquet", "start": True, "path": path, "output": ["scrub"]},
+            "scrub": {"type": "transform.redact_pii", "output": ["chunks"]},
+            "chunks": {"type": "transform.chunk", "chunk_chars": 64, "overlap": 16},
+        },
+    )
+    rows = Scheduler(spark, {"prep": spec}).build("prep", "chunks").collect()
+    assert all("[EMAIL]" in r.chunk_text or "x" in r.chunk_text for r in rows)
+    assert "a@b.co" not in "".join(r.chunk_text for r in rows)
+    assert len(rows) >= 2
