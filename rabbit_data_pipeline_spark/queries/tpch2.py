@@ -521,3 +521,33 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), lsum("c_acctbal").alias("totacctbal"))
         .orderBy("n_name")
     )
+
+
+# --- Q36: argmin/argmax aggregates (min_by / max_by) -------------------------
+@register(
+    "q_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS biggest_order,
+           ARG_MIN(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS smallest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a self-join or window: max_by/min_by aggregate in
+    the same single-shuffle pass as the plain max. The ranking key
+    folds the unique orderkey into the price (exact in double far below
+    2^53) so ties can't make the two engines pick different winners."""
+    t = _t(spark, sf_dir, "orders")
+    rank_key = F.col("o_totalprice") * 10000000 + F.col("o_orderkey")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", rank_key).alias("biggest_order"),
+            F.min_by("o_orderkey", rank_key).alias("smallest_order"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
