@@ -551,3 +551,31 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+# --- Q37: array aggregation / nested types -----------------------------------
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities,
+           LEN(LIST(DISTINCT o_orderpriority)) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type output: per status the sorted distinct priority
+    list. collect_set is order-nondeterministic across partitions, so
+    sort_array makes the value canonical — the rule for ANY collected
+    array that leaves the engine (a raw collect_list hash-drifts
+    between runs, let alone engines)."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+        )
+    )
