@@ -193,3 +193,35 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "q_range_window",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_value
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    WHERE user_id < 50
+    """,
+)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the trailing-1-hour value sum
+    at each event. Unlike a ROWS frame the result is a pure function
+    of event TIMES, so ties can't perturb it; the decimal accumulate
+    keeps the sum order-independent. One shuffle on user_id."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.filter(F.col("user_id") < 50)
+        .select(
+            "user_id", "event_id", "ts",
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("hour_value"),
+        )
+    )

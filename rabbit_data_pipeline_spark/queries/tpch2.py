@@ -579,3 +579,43 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
         )
     )
+
+
+# --- Q38: set operations (INTERSECT / EXCEPT) --------------------------------
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, o_custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    UNION ALL
+    SELECT 'only_1996' AS tag, o_custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: customers active in both 1996 and 1997 vs
+    only 1996. Spark plans both as aggregated semi/anti joins on the
+    same key — the two branches share their shuffle key with the
+    distinct, so AQE dedups the exchanges."""
+    t = _t(spark, sf_dir, "orders")
+    y96 = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_custkey").distinct()
+    )
+    y97 = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_custkey").distinct()
+    )
+    both = y96.intersect(y97).select(F.lit("both").alias("tag"), "o_custkey")
+    only96 = y96.exceptAll(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
+    return both.unionByName(only96)
