@@ -80,3 +80,54 @@ def test_approx_sketches_bounded_error(spark, sf_smoke):
         F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("a"),
     ).first()
     assert abs(ap - ep) / ep < 0.01
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=0, max_size=30,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=30, unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join (union-window plan) vs pandas.merge_asof (the
+    reference implementation everyone knows): identical matches on
+    arbitrary key/timestamp data, including equal-timestamp matches
+    and keys with no left rows. Left side deduped to unique (key, ts)
+    latest-payload-wins to make the match well-defined."""
+    import pandas as pd
+
+    from rabbit_data_pipeline_spark.operators.joins import asof_join
+
+    lpdf = pd.DataFrame(lefts, columns=["k", "ts", "payload"])
+    # unique (k, ts): keep max payload, mirroring the query-side pre-agg
+    lpdf = lpdf.groupby(["k", "ts"], as_index=False)["payload"].max()
+    rpdf = pd.DataFrame(rights, columns=["k", "rts"])
+
+    left = spark.createDataFrame(lpdf.assign(ts=lpdf.ts.astype("int64"))) if len(lpdf) else (
+        spark.createDataFrame([], "k bigint, ts bigint, payload bigint")
+    )
+    right = spark.createDataFrame(rpdf.assign(rts=rpdf.rts.astype("int64")))
+
+    got = {
+        (r["k"], r["rts"]): (r["__matched_ts"], r["payload"])
+        for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", how="inner").collect()
+    }
+
+    if len(lpdf):
+        exp_df = pd.merge_asof(
+            rpdf.sort_values("rts"), lpdf.sort_values("ts"),
+            left_on="rts", right_on="ts", by="k", direction="backward",
+        )
+        exp = {
+            (int(r.k), int(r.rts)): (int(r.ts), int(r.payload))
+            for r in exp_df.itertuples()
+            if pd.notna(r.ts)
+        }
+    else:
+        exp = {}
+    assert got == exp
