@@ -131,3 +131,50 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
     else:
         exp = {}
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    dim_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+        min_size=1, max_size=10, unique_by=lambda r: r[0],
+    ),
+    upd_rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-50, 50)),
+        min_size=0, max_size=10, unique_by=lambda r: r[0],
+    ),
+)
+def test_scd2_invariants_hold(spark, dim_rows, upd_rows):
+    """SCD2 structural invariants on arbitrary dims/deltas: (1) every
+    key has exactly one current row and it has no valid_to; (2) closed
+    rows all carry valid_to; (3) total rows = old rows + changed keys;
+    (4) re-applying the same delta changes nothing (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.sync import scd2_merge
+
+    dim = spark.createDataFrame(dim_rows, "k int, val int").select(
+        "k", "val",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = spark.createDataFrame(upd_rows, "k int, val int").withColumn(
+        "eff", F.lit("2021-01-01").cast("timestamp")
+    ) if upd_rows else spark.createDataFrame([], "k int, val int, eff timestamp")
+
+    merged = scd2_merge(dim, upd, keys=["k"], compare_cols=["val"], effective_col="eff")
+    rows = merged.collect()
+
+    current = [r for r in rows if r.is_current]
+    closed = [r for r in rows if not r.is_current]
+    assert len({r.k for r in current}) == len(current)  # one current per key
+    assert all(r.valid_to is None for r in current)
+    assert all(r.valid_to is not None for r in closed)
+
+    old = {r[0]: r[1] for r in dim_rows}
+    changed = {k for k, v in upd_rows if k not in old or old[k] != v}
+    assert len(rows) == len(dim_rows) + len(changed)
+
+    again = scd2_merge(merged, upd, keys=["k"], compare_cols=["val"], effective_col="eff")
+    assert again.count() == len(rows)
