@@ -167,3 +167,29 @@ def test_scd2_broadcast_delta_no_dim_shuffle(plans):
     p = plans("sync_scd2")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_plan_audit_metrics(spark, sf_smoke):
+    """The audit() utility reports structured plan-quality metrics the
+    rest of this file asserts by string-matching — spot-check it on
+    queries with known shapes."""
+    from rabbit_data_pipeline_spark.functions.planaudit import audit
+
+    reg = registry()
+    a = audit(reg["q_join_broadcast"].builder(spark, sf_smoke))
+    assert a.broadcast_hash_joins >= 1
+    assert a.cartesian_products == 0 and a.nested_loop_joins == 0
+    assert a.scans_with_pushed_filters >= 1
+    assert a.partial_aggregates >= 1  # map-side combine present
+
+    a2 = audit(reg["q_filter_project"].builder(spark, sf_smoke))
+    assert a2.exchanges == 0  # pure scan→filter→project
+    assert a2.scans_with_pushed_filters == a2.scans == 1
+    assert not [w for w in a2.warnings if "without pushed" in w]
+
+    # dedup_minhash's Arrow kernel hides behind its localCheckpoint cut,
+    # so use the multimodal pipeline (mapInPandas feature extraction)
+    # to exercise the Python-eval detection
+    a3 = audit(reg["multimodal_ann"].builder(spark, sf_smoke))
+    assert a3.python_evals >= 1
+    assert any("Python eval" in w for w in a3.warnings)
