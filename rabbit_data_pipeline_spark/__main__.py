@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("plugins", help="print registered plugin types")
 
+    audit_p = sub.add_parser("audit", help="plan-quality pre-flight for a task's sinks")
+    audit_p.add_argument("spec")
+    audit_p.add_argument("-t", "--task", default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "plugins":
@@ -60,6 +64,22 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("rdps-cli")
     sch = Scheduler(spark, specs)
     tasks = [args.task] if args.task else list(specs)
+
+    if args.cmd == "audit":
+        from dataclasses import asdict
+
+        from rabbit_data_pipeline_spark.functions.planaudit import audit
+
+        for task in tasks:
+            for sink in specs[task].sinks():
+                a = audit(sch.build(task, sink))
+                print(f"== {task}.{sink}")
+                for k, v in asdict(a).items():
+                    if k != "warnings" and v:
+                        print(f"  {k}: {v}")
+                for w in a.warnings:
+                    print(f"  WARNING: {w}")
+        return 0
     for task in tasks:
         results = sch.run(task, target=args.node)
         for node, df in results.items():
