@@ -619,3 +619,33 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = y96.intersect(y97).select(F.lit("both").alias("tag"), "o_custkey")
     only96 = y96.exceptAll(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
     return both.unionByName(only96)
+
+
+# --- Q40: regexp capture-group extraction ------------------------------------
+@register(
+    "q_regexp_extract",
+    oracle="""
+    SELECT c_name,
+           CAST(REGEXP_EXTRACT(c_name, 'Customer#(0*)([0-9]+)', 2) AS BIGINT) AS cust_num,
+           REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 2) AS part_noun
+    FROM customer c JOIN part p ON c.c_custkey = p.p_partkey
+    WHERE REGEXP_MATCHES(p_name, '^[a-z]+ [a-z]+$')
+    """,
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction + regex predicate, in the Java∩RE2
+    subset so both engines evaluate identically. The regex filter
+    cannot push to parquet (no Filter API for it) but runs inside
+    codegen right above the scan — the audit's 'unpushed scan' warning
+    is expected and fine here."""
+    t = _t(spark, sf_dir, "customer", "part")
+    return (
+        t["customer"]
+        .join(t["part"], F.col("c_custkey") == F.col("p_partkey"))
+        .filter(F.col("p_name").rlike("^[a-z]+ [a-z]+$"))
+        .select(
+            "c_name",
+            F.regexp_extract("c_name", "Customer#(0*)([0-9]+)", 2).cast("bigint").alias("cust_num"),
+            F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("part_noun"),
+        )
+    )
