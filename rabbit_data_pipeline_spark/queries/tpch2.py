@@ -649,3 +649,35 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("part_noun"),
         )
     )
+
+
+# --- Q41: distribution window functions (ntile / percent_rank / cume_dist) ---
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: quartile bucketing and exact rank
+    percentiles per priority class. All three share ONE window spec →
+    one shuffle + one sort; the unique orderkey tiebreak makes ntile's
+    bucket assignment engine-independent."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
