@@ -692,3 +692,39 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume"),
         )
     )
+
+
+# --- Q42: full outer join ----------------------------------------------------
+@register(
+    "q_join_full",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+         o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                      {sql_lsum('o_totalprice')} AS spend
+               FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, o.n_orders, o.spend
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (disjoint
+    modulus filters guarantee them). Full outer can't broadcast —
+    Spark plans SMJ/shuffled-hash on the key regardless of size, which
+    is exactly the 100 TB behavior; the pre-aggregated order side
+    keeps the shuffle small."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    c = t["customer"].filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    o = (
+        t["orders"]
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), lsum("o_totalprice").alias("spend"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            "c_name", "n_orders", "spend",
+        )
+    )
