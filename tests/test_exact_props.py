@@ -178,3 +178,43 @@ def test_scd2_invariants_hold(spark, dim_rows, upd_rows):
 
     again = scd2_merge(merged, upd, keys=["k"], compare_cols=["val"], effective_col="eff")
     assert again.count() == len(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)),
+        min_size=0, max_size=20, unique_by=lambda r: (r[0], r[1]),
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)),
+        min_size=0, max_size=20, unique_by=lambda r: (r[0], r[1]),
+    ),
+    upper=st.integers(1, 100),
+)
+def test_interval_join_matches_bruteforce(spark, lefts, rights, upper):
+    """interval_join vs the O(n*m) definition: all (left, right) pairs
+    with the same key and left_ts <= right_ts < left_ts + upper."""
+    from rabbit_data_pipeline_spark.operators.joins import interval_join
+
+    def mk(rows, ts_name):
+        df = spark.createDataFrame(rows or [], f"k int, {ts_name} int") if rows else (
+            spark.createDataFrame([], f"k int, {ts_name} int")
+        )
+        return df.withColumn(ts_name, F.timestamp_seconds(F.col(ts_name)))
+
+    left, right = mk(lefts, "lts"), mk(rights, "rts")
+    got = {
+        (r.k, int(r.lts.timestamp()), int(r.rts.timestamp()))
+        for r in interval_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                               upper=f"{upper} seconds").collect()
+    }
+    # ts ints are seconds in the brute-force model (Spark side casts the
+    # int column + INTERVAL seconds the same way)
+    exp = {
+        (lk, lt, rt)
+        for lk, lt in lefts
+        for rk, rt in rights
+        if lk == rk and lt <= rt < lt + upper
+    }
+    assert got == exp
