@@ -524,3 +524,30 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return chunk_text(d, chunk_chars=512, overlap=64)
+
+
+@register(
+    "text_word_freq",
+    oracle="""
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT UNNEST(string_split(LOWER(text), ' ')) AS word FROM documents)
+    WHERE word != ''
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed wordcount, done right: split→explode→
+    partial-agg map-side (the shuffle carries one row per distinct
+    word per task, not one per token), TakeOrderedAndProject for the
+    top-k. The word tiebreak makes the limit deterministic."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
