@@ -728,3 +728,39 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name", "n_orders", "spend",
         )
     )
+
+
+# --- Q43: date part extraction + date arithmetic -----------------------------
+@register(
+    "q_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           CAST(DAY(o_orderdate) AS INT) AS d,
+           CAST(DATEDIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction and interval arithmetic — every expression
+    chosen for identical semantics in both engines (no dayofweek:
+    Spark counts Sunday=1, DuckDB Sunday=0). Pure projection: no
+    shuffle, pushdown intact."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_y2k"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        )
+    )
