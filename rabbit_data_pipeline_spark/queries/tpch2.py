@@ -764,3 +764,34 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
         )
     )
+
+
+# --- Q44: null-handling scalar functions -------------------------------------
+@register(
+    "q_null_funcs",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+           GREATEST(c_acctbal, 0.0) AS floored_bal,
+           LEAST(c_acctbal, 5000.0) AS capped_bal,
+           CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS bal_missing
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalars: nullif/coalesce/greatest/least — the
+    cleanup vocabulary of every ingest pipeline, all codegen'd
+    projections."""
+    t = _t(spark, sf_dir, "customer")
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("segment_or_other"),
+            F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored_bal"),
+            F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("capped_bal"),
+            F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("bal_missing"),
+        )
+    )
