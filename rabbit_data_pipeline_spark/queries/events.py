@@ -50,8 +50,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # Full-microsecond gap comparison: cast("long") truncates to whole
+    # seconds, which misclassifies gaps that straddle the 30-min boundary
+    # by a sub-second margin (the events table has microsecond timestamps).
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     is_new = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_MIN * 60),
+        prev_ts.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000),
         1,
     ).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
