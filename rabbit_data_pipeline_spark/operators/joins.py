@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -58,20 +59,28 @@ def asof_join(
     if overlap:
         raise ValueError(f"left payload columns collide with right: {sorted(overlap)}")
 
+    # The whole left row travels as ONE struct so `last(ignorenulls)`
+    # carries it atomically: a NULL inside the matched row's payload
+    # must stay NULL, not get back-filled from an older left row (which
+    # is what per-column last() would do).
+    l_struct_type = T.StructType(
+        [T.StructField("__matched_ts", left.schema[left_ts].dataType)]
+        + [T.StructField(c, left.schema[c].dataType) for c in payload]
+    )
     l_side = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(left_ts).alias("__matched_ts"),
-        *[F.col(c) for c in payload],
+        F.struct(
+            F.col(left_ts).alias("__matched_ts"), *[F.col(c) for c in payload]
+        ).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_cols],
     )
     r_side = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(left.schema[left_ts].dataType).alias("__matched_ts"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(l_struct_type).alias("__l"),
         *[F.col(c) for c in r_cols],
     )
     # __side orders left before right at equal ts, so ts-equal rows match.
@@ -81,10 +90,19 @@ def asof_join(
         "__ts",
         "__side",
         *r_cols,
-        F.last("__matched_ts", ignorenulls=True).over(w).alias("__matched_ts"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__l", ignorenulls=True).over(w).alias("__l"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        carried.filter(F.col("__side") == 1)
+        .drop("__side")
+        .select(
+            *on,
+            "__ts",
+            *r_cols,
+            F.col("__l.__matched_ts").alias("__matched_ts"),
+            *[F.col(f"__l.{c}").alias(c) for c in payload],
+        )
+    )
 
     matched: Column = F.col("__matched_ts").isNotNull()
     if tolerance is not None:

@@ -109,6 +109,11 @@ def scd2_merge(
     cur = dim.filter(F.col(current_col))
     hist = dim.filter(~F.col(current_col))
     upd = updates.select(*keys, *compare_cols, F.col(effective_col).alias("__eff"))
+    # A delta with two rows for one key would append two OPEN versions
+    # (both is_current) — corrupting the dimension. Collapse to the
+    # newest row per key first; callers needing every intermediate
+    # version apply deltas per effective-period instead.
+    upd = keep_latest_by_flag(upd, keys, "__eff")
     if broadcast_updates:
         upd = F.broadcast(upd)
 

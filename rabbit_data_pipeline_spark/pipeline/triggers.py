@@ -65,9 +65,14 @@ def cron_matches(expr: str, when: datetime) -> bool:
     return all(_match_field(f, v) for f, v in zip(fields, values))
 
 
-def run_on_trigger(trigger: Trigger, fn, max_runs: int = 1, sleep=time.sleep) -> int:
+def run_on_trigger(trigger: Trigger, fn, max_runs: int = 1, sleep=time.sleep, now=datetime.now) -> int:
     """Driver-side batch loop: run `fn` per trigger firing, at most
-    ``max_runs`` times (tests pin this; production passes a large n)."""
+    ``max_runs`` times (tests pin this; production passes a large n).
+
+    Cron fires at most once per matched minute: the 30 s poll lands
+    twice inside a minute, so without the last-fired guard every
+    matched minute would run the task twice (the reference's
+    Scheduler.php matches once per scheduler tick)."""
     runs = 0
     if trigger.kind == "once":
         fn()
@@ -79,9 +84,13 @@ def run_on_trigger(trigger: Trigger, fn, max_runs: int = 1, sleep=time.sleep) ->
             if runs < max_runs:
                 sleep(trigger.interval_sec or 0)
         return runs
+    last_fired: datetime | None = None
     while runs < max_runs:
-        if cron_matches(trigger.cron or "* * * * *", datetime.now()):
+        when = now()
+        minute = when.replace(second=0, microsecond=0)
+        if minute != last_fired and cron_matches(trigger.cron or "* * * * *", when):
             fn()
             runs += 1
+            last_fired = minute
         sleep(30)
     return runs

@@ -42,22 +42,16 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # 35 keys absent from CORRECTNESS_r01.json (no driver verdict yet).
-    "q_join_anti", "q_topn", "q_distinct", "q_union", "q_window_rank",
-    "q_window_running", "q_subquery_avg", "q_case_agg", "q_time_bucket",
-    "q_string_funcs", "q_having", "q_pivot", "q_rollup", "q_json_extract",
-    "q_percentile", "q_ship_priority", "q_order_priority", "q_nation_volume",
-    "q_market_share", "q_returned_items", "q_count_distribution",
-    "q_top_supplier", "q_big_orders", "q_or_predicates", "q_cube",
-    "q_waiting_supplier", "q_idle_customers", "q_argminmax", "q_array_agg",
-    "q_set_ops", "q_regexp_extract", "q_window_distribution", "q_join_full",
-    "q_date_parts", "q_null_funcs",
-    # Red in round 1 (sub-second gap bug, fixed) — needs a fresh verdict.
-    "q_sessionize",
-    # Formerly rows-only, now carrying seeded VALUES oracles.
+    # Round-3 front-load: the 12 keys red/errored in CORRECTNESS_r02
+    # (10 events-load errors fixed in session.py this round, plus the
+    # q_case_agg oracle-typing and q_array_agg canonicalizer fixes).
+    "q_sessionize", "q_window_running", "q_json_extract", "q_asof_join",
+    "q_interval_join", "q_heavy_hitters", "q_range_window", "q_event_funnel",
+    "q_tumbling_window", "stream_session_window", "q_case_agg", "q_array_agg",
+    # Rows-only in r2, given seeded brute-force oracles this round.
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "ann_lsh", "ann_ivf",
-    # Changed this round (ADVICE fixes) — re-verify ahead of untouched keys.
-    "q_asof_join", "stream_session_window", "sync_scd2", "line_parser_csv",
+    # Touched by this round's ADVICE fixes — re-verify ahead of green keys.
+    "sync_scd2", "q_market_share",
 )
 
 

@@ -183,17 +183,21 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of regional revenue for a part
     type, per year — a ratio of two conditional sums in a single
     aggregate pass (no second scan, no join back). The part-type
-    scalar subquery is evaluated driver-side against the broadcast dim
-    (min over 2k rows), mirroring Catalyst's scalar-subquery rewrite."""
+    scalar subquery stays IN the plan: the 1-row min(p_type) aggregate
+    is broadcast-joined against part, so the whole query is one
+    Catalyst plan with zero driver-side actions (a .collect() here
+    would serialize a second Spark job per run and stops AQE seeing
+    the dependency)."""
     t = _t(spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer", "nation", "region")
-    ptype = t["part"].agg(F.min("p_type")).collect()[0][0]
+    min_ptype = t["part"].agg(F.min("p_type").alias("__min_ptype"))
     n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation"))
     n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat_volume = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
         t["part"]
-        .filter(F.col("p_type") == ptype)
+        .join(F.broadcast(min_ptype), F.col("p_type") == F.col("__min_ptype"))
+        .drop("__min_ptype")
         .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -569,7 +573,7 @@ def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT o_orderstatus,
-           LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS priorities,
            LEN(LIST(DISTINCT o_orderpriority)) AS n_priorities
     FROM orders
     GROUP BY o_orderstatus
@@ -580,13 +584,16 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. collect_set is order-nondeterministic across partitions, so
     sort_array makes the value canonical — the rule for ANY collected
     array that leaves the engine (a raw collect_list hash-drifts
-    between runs, let alone engines)."""
+    between runs, let alone engines). The list is emitted joined into
+    one string: the driver's canonicalizer pandas-sorts result columns
+    and list cells are unhashable there, so arrays must leave the
+    compare surface as scalars on BOTH engines."""
     t = _t(spark, sf_dir, "orders")
     return (
         t["orders"]
         .groupBy("o_orderstatus")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
             F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
         )
     )

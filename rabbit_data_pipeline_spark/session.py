@@ -60,16 +60,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             if name == "events":
-                # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
-                # read natively; read ns-as-long and truncate to µs —
-                # matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation, so
-                # oracles stay bit-identical (integer div, no double math:
-                # ns values exceed 2^53).
+                # events.ts has shipped as both parquet TIMESTAMP(NANOS)
+                # (unreadable natively -> legacy ns-as-long BIGINT) and
+                # TIMESTAMP(MICROS) (reads as TimestampNTZ). Branch on the
+                # dtype actually read instead of assuming one generation of
+                # testdata. The ns path truncates with integer div (no
+                # double math: ns values exceed 2^53), matching DuckDB's
+                # CAST(ts AS TIMESTAMP) truncation bit-for-bit.
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = spark.read.parquet(path)
                 from pyspark.sql import functions as F
+                from pyspark.sql import types as T
 
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                if isinstance(df.schema["ts"].dataType, T.LongType):
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                else:
+                    # TIMESTAMP(MICROS) reads as TimestampNTZ, which several
+                    # downstream exprs (unix_micros, window ranges) reject.
+                    # Session tz is UTC, so NTZ -> TIMESTAMP keeps the same
+                    # wall-clock instant and matches the r1-green dtype that
+                    # timestamp_micros() produced.
+                    df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
             else:
                 df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)

@@ -83,23 +83,40 @@ def upsert_write_stream(
     from rabbit_data_pipeline_spark.operators.sync import keep_latest_by_flag, upsert
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        import os
+        import shutil
+
         spark = batch.sparkSession
         delta = keep_latest_by_flag(batch, keys, order_col) if order_col else batch
-        import os
+        base = table_path.rstrip("/")
+        tmp, old = base + "__staging", base + "__old"
+
+        # Crash recovery from a previous interrupted swap. Invariant of
+        # the swap below: a complete copy of the table always exists at
+        # `table_path` or `old` — never delete the only copy.
+        if os.path.exists(old):
+            if os.path.exists(table_path):
+                shutil.rmtree(old)  # swap completed, cleanup didn't
+            else:
+                os.rename(old, table_path)  # died between the renames
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # stale staging from a crashed write
 
         if os.path.exists(table_path):
             current = spark.read.parquet(table_path)
             merged = upsert(current, delta, keys=keys, broadcast_source=True)
         else:  # first batch: table doesn't exist yet
             merged = delta
-        tmp = table_path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        import os
-        import shutil
-
+        # Atomic-enough swap: rename the live table aside, promote the
+        # staging dir, then drop the old copy. A crash at any point
+        # leaves a full copy on disk, and the replayed micro-batch
+        # re-merges idempotently.
         if os.path.exists(table_path):
-            shutil.rmtree(table_path)
+            os.rename(table_path, old)
         os.rename(tmp, table_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     writer = df.writeStream.foreachBatch(merge_batch).option("checkpointLocation", checkpoint)
     writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))

@@ -197,8 +197,13 @@ def _session_fn(gap_ms: int):
             )
             return
 
-        rows = pd.concat(list(pdfs))
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).sort_values()
+        # ignore_index: each Arrow batch arrives with its own 0..n index,
+        # so a plain concat has duplicate labels and any later label-based
+        # .loc silently misaligns ts/value pairs. Re-index, then sort the
+        # WHOLE frame so ts and value stay paired positionally.
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort", ignore_index=True)
+        ts_ms = rows["ts"].astype("int64") // 1_000_000
         vals = rows["value"].fillna(0).astype("int64")
         if state.exists:
             start_ms, last_ms, n, tot = state.get
@@ -206,7 +211,7 @@ def _session_fn(gap_ms: int):
             start_ms, last_ms, n, tot = int(ts_ms.iloc[0]), int(ts_ms.iloc[0]), 0, 0
 
         closed = []
-        for t, v in zip(ts_ms, vals.loc[ts_ms.index]):
+        for t, v in zip(ts_ms, vals):
             t = int(t)
             if n > 0 and t - last_ms > gap_ms:
                 closed.append((start_ms, last_ms, n, tot))
