@@ -44,6 +44,11 @@ def main() -> None:
     spark = get_spark("rdps-bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
+    # Registered dedup_minhash is the small seeded-corpus correctness
+    # gate; the bench keeps timing the heavy sf-corpus pipeline.
+    from rabbit_data_pipeline_spark.queries.llm import dedup_minhash_scale
+
+    overrides = {"dedup_minhash": dedup_minhash_scale}
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT.
@@ -55,13 +60,13 @@ def main() -> None:
     # background machine noise, so round-over-round numbers compare).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = reg.get(name)
-        if q is None:
+        builder = overrides.get(name) or (reg[name].builder if name in reg else None)
+        if builder is None:
             continue
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

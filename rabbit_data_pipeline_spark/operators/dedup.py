@@ -340,6 +340,7 @@ def embedding_near_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets → in-bucket exact cosine ≥ t.
 
@@ -352,7 +353,8 @@ def embedding_near_pairs(
     from rabbit_data_pipeline_spark.functions.vector import cosine, hyperplane_bits
 
     rng = np.random.RandomState(seed)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = rng.standard_normal((n_planes, dim)).tolist()
     b = df.select(F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket"))
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")

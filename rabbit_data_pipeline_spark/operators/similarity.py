@@ -51,17 +51,22 @@ def ann_lsh(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a bucket in ANY of n_tables
     independent hyperplane tables (OR-amplification — single-table
     recall for a neighbor at angle θ is (1-θ/π)^planes, which is poor
     for the mid-similarity neighbors that matter; T tables lift it to
     1-(1-p)^T). Bucketing is one pass computing all tables' bits; the
-    per-table explode only replicates (id, bucket) keys, not vectors."""
+    per-table explode only replicates (id, bucket) keys, not vectors.
+
+    Pass `dim` when known — otherwise one `first()` row is fetched to
+    sniff the vector width before planning."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     tables = [rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)]
 
     def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -99,18 +104,22 @@ def ann_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF: partition the corpus by nearest centroid; queries scan only
-    their n_probe nearest centroid partitions. Centroids here are a
-    fixed random sample of the corpus (training a real k-means is an
-    offline job; the serving plan — the part that matters at scale —
-    is identical)."""
-    import numpy as np
+    their n_probe nearest centroid partitions.
 
-    centroid_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(512).collect()
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(centroid_rows), size=min(n_centroids, len(centroid_rows)), replace=False)
-    centroids = [(int(i), [float(x) for x in centroid_rows[j][vec_col]]) for i, j in enumerate(sorted(idx))]
+    `centroids` is the trained codebook — real IVF trains k-means
+    offline and serves with fixed centroids, so injection is the
+    production contract. When omitted, a distributed reservoir sample
+    (`takeSample`) picks n_centroids corpus rows: only n_centroids
+    rows ever reach the driver, no ordering or 512-row materialization
+    of the corpus (random-sample centroids are the standard cheap
+    substitute for k-means; the serving plan — the part that matters
+    at scale — is identical either way)."""
+    if centroids is None:
+        sampled = corpus.select(id_col, vec_col).rdd.takeSample(False, n_centroids, seed)
+        centroids = [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(sampled)]
 
     def nearest_expr(vec, n: int):
         """array of (sim, centroid_id) sorted desc, top n centroid ids"""

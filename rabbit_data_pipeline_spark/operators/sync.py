@@ -60,6 +60,43 @@ def sync_incremental(source: DataFrame, target: DataFrame, updated_at: str) -> D
     )
 
 
+def sync_chunked(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    updated_at: str,
+    rename: dict[str, str] | None = None,
+    exclude: list[str] | None = None,
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """Reference SyncOtherMysql parity (src/Common/SyncOtherMysql.php:
+    50-90): copy source rows whose `updated_at` exceeds the
+    destination's max watermark, apply the `replace` column renames,
+    drop `exclude` columns, and upsert into the destination.
+
+    The reference pages `size × parallel` rows through the driver; on
+    Spark the paging IS the partitioned read (pass the source through
+    a partitioned JDBC / chunked read — sources/sql.py
+    column_partition_predicates), so this operator only expresses the
+    watermark filter + merge: one broadcast of the 1-row max, one
+    key-shuffle (or broadcast) for the upsert, no driver loop.
+
+    The destination watermark column is `rename[updated_at]` when the
+    rename map moves it (the reference's from.max/to.max pair)."""
+    t_max = (rename or {}).get(updated_at, updated_at)
+    max_w = target.agg(F.max(t_max).alias("__max_w"))
+    delta = (
+        source.crossJoin(F.broadcast(max_w))
+        .filter(F.col("__max_w").isNull() | (F.col(updated_at) > F.col("__max_w")))
+        .drop("__max_w")
+    )
+    for old, new in (rename or {}).items():
+        delta = delta.withColumnRenamed(old, new)
+    for c in exclude or []:
+        delta = delta.drop(c)
+    return upsert(target, delta.select(*target.columns), keys=keys, broadcast_source=broadcast_source)
+
+
 def keep_latest_by_flag(df: DataFrame, keys: list[str], order_col: str, tiebreak: list[str] | None = None) -> DataFrame:
     """Collapse to the highest-`order_col` row per key — the read-side
     dedup the reference's CH flag column exists for (flag bumped on

@@ -50,6 +50,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tumbling_window", "stream_session_window", "q_case_agg", "q_array_agg",
     # Rows-only in r2, given seeded brute-force oracles this round.
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "ann_lsh", "ann_ivf",
+    # New this round: chunked parallel sync (SyncOtherMysql parity).
+    "sync_chunked",
     # Touched by this round's ADVICE fixes — re-verify ahead of green keys.
     "sync_scd2", "q_market_share",
 )
@@ -57,7 +59,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 
 def registry() -> dict[str, Query]:
     # Import side-effect modules on first use.
-    from rabbit_data_pipeline_spark.queries import events, llm, pipelines, streaming_q, tpch, tpch2  # noqa: F401
+    from rabbit_data_pipeline_spark.queries import events, llm, pipelines, seeded, streaming_q, tpch, tpch2  # noqa: F401
 
     ordered = {k: _REGISTRY[k] for k in _DRIVER_PRIORITY if k in _REGISTRY}
     ordered.update((k, q) for k, q in _REGISTRY.items() if k not in ordered)

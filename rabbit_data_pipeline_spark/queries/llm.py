@@ -203,11 +203,13 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(inp, k=3, threshold=0.7, block_prefix=12)
 
 
-@register("dedup_minhash", oracle=None)  # xxhash64-based → rows-only gate
-def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash(48 perms, 5-gram shingles) + 12-band LSH + signature
-    verify ≥ 0.6, then keep-lowest-id. Deterministic (fixed hash seeds);
-    invariants asserted in tests/test_llm_ops.py."""
+def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 at sf scale: MinHash(48 perms, 5-gram shingles) + 12-band LSH
+    + signature verify ≥ 0.6, then keep-lowest-id. Deterministic (fixed
+    hash seeds); invariants asserted in tests/test_llm_ops.py. The
+    driver-adjudicated correctness gate is the seeded-corpus twin in
+    queries/seeded.py (registered as `dedup_minhash`); this variant is
+    the bench's heavy probe over the real documents table."""
     from rabbit_data_pipeline_spark.operators.dedup import (
         dedup_by_pairs,
         lsh_candidate_pairs,
@@ -224,10 +226,9 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None)  # xxhash64-based → rows-only gate
-def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3: 64-bit SimHash over word tokens, 4×16-bit band buckets,
-    hamming ≤ 3 verify."""
+def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 at sf scale: 64-bit SimHash over word tokens, 4×16-bit band
+    buckets, hamming ≤ 3 verify. Correctness gate: queries/seeded.py."""
     from rabbit_data_pipeline_spark.operators.dedup import simhash64, simhash_near_pairs
 
     inp = _dup_input(spark, sf_dir, perturb=" qq")
@@ -238,11 +239,11 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding", oracle=None)  # LSH-bucketed → rows-only gate
-def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: embedding near-dup via hyperplane LSH + exact cosine ≥ 0.99.
-    Synthetic dups are scaled copies (cosine exactly 1, same LSH bucket
-    by construction — scaling preserves projection signs)."""
+def dedup_embedding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 at sf scale: embedding near-dup via hyperplane LSH + exact
+    cosine ≥ 0.99. Synthetic dups are scaled copies (cosine exactly 1,
+    same LSH bucket by construction — scaling preserves projection
+    signs). Correctness gate: queries/seeded.py."""
     from rabbit_data_pipeline_spark.operators.dedup import embedding_near_pairs
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select("vec_id", "embedding")
@@ -434,9 +435,9 @@ def ann_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bruteforce(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
-@register("ann_lsh", oracle=None)  # approximate → rows-only gate + recall unit test
-def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7: hyperplane-bucketed ANN, exact rerank within buckets."""
+def ann_lsh_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 at sf scale: hyperplane-bucketed ANN, exact rerank within
+    buckets. Correctness gate: queries/seeded.py."""
     from rabbit_data_pipeline_spark.operators.similarity import ann_lsh
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -476,9 +477,10 @@ def multimodal_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.select("q_id", "n_id", F.round("cos_sim", 9).alias("cos_sim"))
 
 
-@register("ann_ivf", oracle=None)  # approximate → rows-only gate + recall unit test
-def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7b: IVF-style probe of the 4 nearest of 16 centroid cells."""
+def ann_ivf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7b at sf scale: IVF-style probe of the 4 nearest of 16 centroid
+    cells, centroids via distributed takeSample. Correctness gate:
+    queries/seeded.py."""
     from rabbit_data_pipeline_spark.operators.similarity import ann_ivf
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]

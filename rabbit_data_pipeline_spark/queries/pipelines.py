@@ -320,6 +320,55 @@ def sync_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sync_incremental(e, dst, "ts").select("event_id", "ts", "user_id", "event_type")
 
 
+# --- Y2b: chunked parallel sync (SyncOtherMysql parity) ----------------------
+@register(
+    "sync_chunked",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+         dst AS (SELECT * FROM src WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         delta AS (SELECT * FROM src WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM dst))
+    SELECT * FROM dst WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    UNION ALL
+    SELECT * FROM delta
+    """,
+)
+def sync_chunked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SyncOtherMysql parity end-to-end: the source table arrives via a
+    4-predicate chunked read (the partitioned-JDBC quartet surfaced
+    through the YAML sql source — reference SyncOtherMysql.php:50-62
+    pages size×parallel rows; here the paging is the partitioning),
+    then rows above the destination's max watermark upsert in. Bounds
+    are deliberately interior to the key range so the unbounded
+    first/last predicates carry real rows."""
+    from rabbit_data_pipeline_spark.operators.sync import sync_chunked
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    spec = {
+        "chunked_pull": {
+            "pull": {
+                "type": "source.sql",
+                "start": True,
+                "driver": "duckdb",
+                "sql": "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+                "views": {"orders": f"{sf_dir}/orders.parquet"},
+                "partitionColumn": "o_orderkey",
+                "lowerBound": 2000,
+                "upperBound": 4000,
+                "numPartitions": 4,
+            }
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in spec.items()})
+    source = sch.run("chunked_pull")["pull"]
+    target = (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderdate") < "1997-01-01")
+    )
+    return sync_chunked(source, target, keys=["o_orderkey"], updated_at="o_orderdate")
+
+
 # --- Y3: keep-latest-by-flag --------------------------------------------------
 @register(
     "sync_flag_update",

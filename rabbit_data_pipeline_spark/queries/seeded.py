@@ -1,0 +1,283 @@
+"""Seeded-corpus correctness gates for the approximate dedup/ANN
+operators (L2, L3, L5, L7, L7b).
+
+These operators are deterministic (fixed hash seeds / fixed
+hyperplanes) but their outputs depend on hash families DuckDB cannot
+reproduce, so the sf-corpus variants can only get a rows-only check.
+This module closes that gap the same way ``multimodal_ann`` does: a
+corpus whose ground truth is known is generated ONCE in pure Python
+(seeded ``random.Random`` — stable across platforms and versions) and
+fed bit-identically to both engines — Spark via ``createDataFrame``,
+DuckDB via ``VALUES`` literals rendered from the same constants. The
+oracle then computes the answer by brute force (exact jaccard / exact
+cosine over all pairs) where SQL can express it, so the comparison
+proves the approximate operator achieves exact recall AND precision on
+a corpus where misses cannot hide; for SimHash (xxhash64-based, not
+SQL-expressible) the oracle is the by-construction truth table.
+
+The corpora are sized so brute force is trivial for DuckDB (≤ 3k
+pairs) while every Spark plan is the REAL operator pipeline — same
+signature → band → bucket-join → verify shape that runs at 100 TB.
+Scale behavior is exercised by the sf-corpus ``*_scale`` twins in
+queries/llm.py (bench + recall unit tests)."""
+
+from __future__ import annotations
+
+import random
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType, StructField, StructType
+
+from rabbit_data_pipeline_spark.queries import register
+
+# --------------------------------------------------------------- corpora
+
+
+@lru_cache(maxsize=1)
+def text_corpus() -> tuple[list[tuple[int, str]], list[int]]:
+    """40 base docs of 60 words from a 500-word vocab + a near-copy
+    (tiny appended suffix) for every 4th doc. Returns (rows, copy_ids);
+    copy doc_id = base doc_id + 1000. Base texts are already normalized
+    (lowercase, single-space) so both engines shingle the same string."""
+    rng = random.Random(20260813)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    base = [(i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(40)]
+    copy_ids = [i for i, _ in base if i % 4 == 0]
+    return base, copy_ids
+
+
+def minhash_corpus() -> list[tuple[int, str]]:
+    base, copy_ids = text_corpus()
+    texts = dict(base)
+    return base + [(i + 1000, texts[i] + " zz yy") for i in copy_ids]
+
+
+SIMHASH_COPY_IDS = tuple(range(0, 40, 4))
+
+
+@lru_cache(maxsize=1)
+def simhash_corpus() -> list[tuple[int, str]]:
+    """SimHash needs longer docs than MinHash: one appended token
+    flips each hash bit whose ±1 token-sum sits at 0 or -1, and with
+    60-word docs the expected flip count (~3.2) straddles the
+    hamming-3 verify bound — half the planted copies were lost. At 240
+    words the expected flips drop under 2; seed 12 is pinned because
+    every planted pair verifies within hamming 3 AND no random pair
+    comes near (random 240-token docs differ by ~32 bits)."""
+    rng = random.Random(12)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    base = [(i, " ".join(rng.choice(vocab) for _ in range(240))) for i in range(40)]
+    texts = dict(base)
+    return base + [(i + 1000, texts[i] + " zz") for i in SIMHASH_COPY_IDS]
+
+
+@lru_cache(maxsize=1)
+def vec_corpus() -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    """Clustered embedding corpus for ANN: 5 query centers (vec_id 0-4),
+    12 near members per center (cosine ≈ 0.997 to their center), 40
+    random background vectors. Returns (corpus_rows, centroid_rows) —
+    centroids for the IVF variant are the 5 centers + 11 background
+    vectors (16 total), so every query's own cluster cell is probed by
+    construction. dim=16, values rounded to 6 decimals so their repr()
+    parses to the identical double in DuckDB."""
+    rng = random.Random(4242)
+    dim = 16
+    centers = [(q, [round(rng.gauss(0, 1), 6) for _ in range(dim)]) for q in range(5)]
+    members = [
+        (100 + q * 20 + j, [round(x + 0.08 * rng.gauss(0, 1), 6) for x in c])
+        for q, c in centers
+        for j in range(12)
+    ]
+    background = [(500 + i, [round(rng.gauss(0, 1), 6) for _ in range(dim)]) for i in range(40)]
+    corpus = centers + members + background
+    centroids = [(i, vec) for i, (_, vec) in enumerate(centers + background[:11])]
+    return corpus, centroids
+
+
+@lru_cache(maxsize=1)
+def neardup_vec_corpus() -> list[tuple[int, list[float]]]:
+    """60 random vectors + a scaled copy (×1.5, computed once in Python
+    so both engines see the same doubles) of every 6th — scaling
+    preserves direction, so copy pairs sit at cosine ≈ 1 while random
+    16-dim pairs stay far below the 0.99 threshold."""
+    rng = random.Random(777)
+    dim = 16
+    base = [(i, [round(rng.gauss(0, 1), 6) for _ in range(dim)]) for i in range(60)]
+    copies = [(i + 1000, [1.5 * x for x in vec]) for i, vec in base if i % 6 == 0]
+    return base + copies
+
+
+# ------------------------------------------------------------ SQL render
+
+
+def _text_values(rows: list[tuple[int, str]]) -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in rows)
+
+
+def _vec_values(rows: list[tuple[int, list[float]]]) -> str:
+    return ", ".join(f"({i}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])" for i, vec in rows)
+
+
+def _spark_text_df(spark: SparkSession, rows: list[tuple[int, str]]) -> DataFrame:
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    return spark.createDataFrame(rows, schema)
+
+
+def _spark_vec_df(spark: SparkSession, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(DoubleType()))]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _brute_force_topk_sql(corpus: list[tuple[int, list[float]]], n_queries: int, k: int) -> str:
+    """Exact cosine top-k over the literal corpus — the ground truth the
+    approximate Spark plan must reproduce (full recall or hash fail)."""
+    return f"""
+    WITH e(vec_id, emb) AS (VALUES {_vec_values(corpus)}),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                  list_cosine_similarity(q.emb, c.emb) AS cos_sim
+           FROM e q JOIN e c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < {n_queries}
+         )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q_id, n_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------- L2: MinHash
+
+
+def _minhash_oracle() -> str:
+    # Brute-force exact jaccard over distinct char-5-grams; survivors =
+    # ids that are not the larger end of any >= 0.6 pair (mirrors
+    # dedup_by_pairs' keep-lowest rule; copy groups are size 2 by
+    # construction, so star-shaped == transitive here).
+    return f"""
+    WITH corpus(doc_id, text) AS (VALUES {_text_values(minhash_corpus())}),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5))) AS grams
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6
+    )
+    SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@register("dedup_minhash", oracle=_minhash_oracle())
+def dedup_minhash_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 gate: the full MinHash pipeline (Arrow 48-perm signatures,
+    5-gram shingles, 12-band LSH, est-jaccard >= 0.6 verify, keep
+    lowest id) over the seeded corpus must reproduce DuckDB's exact
+    brute-force jaccard dedup — every planted near-copy dropped
+    (recall 1) and no distinct doc merged (precision 1). The sf-corpus
+    scale twin lives in queries/llm.py (dedup_minhash_scale)."""
+    from rabbit_data_pipeline_spark.operators.dedup import (
+        dedup_by_pairs,
+        lsh_candidate_pairs,
+        minhash_signature_arrow,
+    )
+
+    inp = _spark_text_df(spark, minhash_corpus())
+    sigs = minhash_signature_arrow(inp, num_hashes=48, k=5)
+    pairs = lsh_candidate_pairs(sigs, bands=12, sim_threshold=0.6)
+    return dedup_by_pairs(inp, pairs).select("doc_id")
+
+
+# ---------------------------------------------------------- L3: SimHash
+
+
+def _simhash_oracle() -> str:
+    values = ", ".join(f"({i}, {i + 1000})" for i in SIMHASH_COPY_IDS)
+    return f"SELECT id_a, id_b FROM (VALUES {values}) AS t(id_a, id_b)"
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 gate: 64-bit SimHash + 16-bit-quarter banding + hamming <= 3
+    verify over the seeded corpus. Ground truth is by construction
+    (xxhash64 isn't SQL-expressible, so no in-DB brute force): the one
+    appended token perturbs only the few bit-sums near zero, so each
+    copy stays within hamming 3 of its base, while random 60-token
+    docs differ by ~32 bits — the output must be exactly the 10
+    planted (base, copy) pairs, nothing more, nothing less."""
+    from rabbit_data_pipeline_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    inp = _spark_text_df(spark, simhash_corpus())
+    return simhash_near_pairs(simhash64(inp)).select("id_a", "id_b")
+
+
+# ------------------------------------------------- L5: embedding near-dup
+
+
+def _embedding_oracle() -> str:
+    return f"""
+    WITH e(vec_id, emb) AS (VALUES {_vec_values(neardup_vec_corpus())})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.emb, b.emb) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+    """
+
+
+@register("dedup_embedding", oracle=_embedding_oracle())
+def dedup_embedding_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 gate: hyperplane-LSH near-dup pairs vs DuckDB's brute-force
+    all-pairs cosine >= 0.99. Scaled copies share their base's bucket
+    by construction (sign-preserving scaling), so full recall is
+    guaranteed structurally and the hash also proves the cosine math
+    is bit-identical across engines."""
+    from rabbit_data_pipeline_spark.operators.dedup import embedding_near_pairs
+
+    inp = _spark_vec_df(spark, neardup_vec_corpus())
+    return embedding_near_pairs(inp, threshold=0.99, dim=16)
+
+
+# ------------------------------------------------------------ L7: LSH ANN
+
+
+@register("ann_lsh", oracle=_brute_force_topk_sql(vec_corpus()[0], n_queries=5, k=10))
+def ann_lsh_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 gate: OR-amplified hyperplane LSH top-10 must equal DuckDB's
+    exact brute-force top-10 for all 5 queries. Each query's true
+    top-10 are its planted cluster members (cosine ≈ 0.997, within ~4°
+    of the query): single-table bucket-collision probability ≈ 0.9,
+    OR-amplified over 8 tables ≈ 1 - 1e-8, and the run is
+    deterministic (fixed seed), verified to hit full recall — so a
+    hash mismatch means a real regression in bucketing or scoring."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_lsh
+
+    corpus, _ = vec_corpus()
+    df = _spark_vec_df(spark, corpus)
+    return ann_lsh(df, df.filter(F.col("vec_id") < 5), k=10, dim=16)
+
+
+# ------------------------------------------------------------ L7b: IVF ANN
+
+
+@register("ann_ivf", oracle=_brute_force_topk_sql(vec_corpus()[0], n_queries=5, k=10))
+def ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7b gate: IVF with injected centroids (the 5 cluster centers +
+    11 background vectors). Every query's nearest centroid is its own
+    cluster center and its true top-10 all live in that cell, so
+    probing 4 of 16 cells must reproduce the exact brute-force top-10
+    — gating cell assignment, probe ordering, and rerank at once."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_ivf
+
+    corpus, centroids = vec_corpus()
+    df = _spark_vec_df(spark, corpus)
+    return ann_ivf(df, df.filter(F.col("vec_id") < 5), k=10, centroids=centroids)

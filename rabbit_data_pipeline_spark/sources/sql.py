@@ -44,6 +44,61 @@ def read_jdbc(
     return reader.load()
 
 
+def column_partition_predicates(
+    column: str, lower_bound: int, upper_bound: int, num_partitions: int
+) -> list[str]:
+    """The predicate set Spark's JDBC relation derives from the
+    (partitionColumn, lowerBound, upperBound, numPartitions) quartet:
+    stride = (upper - lower) / n, first predicate unbounded below and
+    last unbounded above, so rows OUTSIDE the bound guesses still land
+    in exactly one partition — the quartet bounds the SPLIT, not the
+    data. Exposed so non-JDBC chunked readers (and tests) share the
+    exact partitioning contract."""
+    if num_partitions <= 1 or lower_bound >= upper_bound:
+        return ["1 = 1"]
+    stride = (upper_bound - lower_bound) // num_partitions or 1
+    preds, cut = [], lower_bound + stride
+    preds.append(f"{column} < {cut} OR {column} IS NULL")
+    for _ in range(num_partitions - 2):
+        nxt = cut + stride
+        preds.append(f"{column} >= {cut} AND {column} < {nxt}")
+        cut = nxt
+    preds.append(f"{column} >= {cut}")
+    return preds
+
+
+def read_chunked_duckdb(
+    spark: SparkSession,
+    sql: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 4,
+    database: str = ":memory:",
+    views: dict[str, str] | None = None,
+) -> DataFrame:
+    """Local twin of a partitioned `spark.read.jdbc`: the same derived
+    predicate set, one chunk query per predicate against DuckDB, chunks
+    unioned into one DataFrame. This is the reference's SyncOtherMysql
+    `size × parallel` paging re-expressed as range predicates — on a
+    real cluster swap the DuckDB executor for read_jdbc and the chunk
+    queries run ON the executors; here they prove the partitioning
+    plumbing (predicate derivation, per-chunk schema, union) with no
+    JDBC driver in the container."""
+    import duckdb
+
+    con = duckdb.connect(database)
+    for name, path in (views or {}).items():
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    out: DataFrame | None = None
+    for pred in column_partition_predicates(partition_column, lower_bound, upper_bound, num_partitions):
+        tbl = con.execute(f"SELECT * FROM ({sql}) __chunk WHERE {pred}").arrow()
+        chunk = spark.createDataFrame(tbl.to_pandas())
+        out = chunk if out is None else out.unionByName(chunk)
+    con.close()
+    return out
+
+
 def read_duckdb(spark: SparkSession, sql: str, database: str = ":memory:", views: dict[str, str] | None = None) -> DataFrame:
     """Local test path: run SQL in DuckDB, hand Arrow batches to Spark.
 
@@ -82,5 +137,16 @@ def _sql_source(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) ->
             properties=cfg.get("properties"),
         )
     if driver == "duckdb":
+        if cfg.get("partitionColumn") is not None:
+            return read_chunked_duckdb(
+                sch.spark,
+                sql,
+                partition_column=cfg["partitionColumn"],
+                lower_bound=int(cfg["lowerBound"]),
+                upper_bound=int(cfg["upperBound"]),
+                num_partitions=int(cfg.get("numPartitions", 4)),
+                database=cfg.get("database", ":memory:"),
+                views=cfg.get("views"),
+            )
         return read_duckdb(sch.spark, sql, cfg.get("database", ":memory:"), cfg.get("views"))
     return sch.spark.sql(sql)

@@ -1,0 +1,82 @@
+"""Partitioned/chunked SQL reads + SyncOtherMysql-parity sync.
+
+Reference semantics (src/Common/SyncOtherMysql.php:50-90): page
+`size × parallel` source rows above the destination's max watermark,
+rename columns, upsert. Spark twin: the paging is a partitioned read
+(JDBC quartet / chunked predicates), the merge is sync_chunked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rabbit_data_pipeline_spark.sources.sql import (
+    column_partition_predicates,
+    read_chunked_duckdb,
+)
+
+
+def test_partition_predicates_cover_exactly_once():
+    """Every key — inside the bounds, outside them, and NULL — lands in
+    exactly one predicate (the JDBC contract: bounds split, not filter)."""
+    import duckdb
+
+    preds = column_partition_predicates("k", 10, 50, 4)
+    assert len(preds) == 4
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT UNNEST(range(-5, 70)) AS k UNION ALL SELECT NULL")
+    total = con.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+    counts = [con.execute(f"SELECT COUNT(*) FROM t WHERE {p}").fetchone()[0] for p in preds]
+    assert sum(counts) == total  # no gaps, no overlaps
+    assert all(c > 0 for c in counts)  # interior bounds -> all chunks used
+    con.close()
+
+
+def test_partition_predicates_degenerate():
+    assert column_partition_predicates("k", 5, 5, 4) == ["1 = 1"]
+    assert column_partition_predicates("k", 0, 100, 1) == ["1 = 1"]
+
+
+def test_chunked_read_equals_plain_read(spark, sf_dir):
+    chunked = read_chunked_duckdb(
+        spark,
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        partition_column="o_orderkey",
+        lower_bound=2000,
+        upper_bound=4000,
+        num_partitions=4,
+        views={"orders": f"{sf_dir}/orders.parquet"},
+    )
+    plain = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    assert chunked.count() == plain.count()
+    assert chunked.join(plain, on=["o_orderkey"], how="left_anti").count() == 0
+
+
+def test_sync_chunked_rename_and_watermark(spark):
+    from rabbit_data_pipeline_spark.operators.sync import sync_chunked
+
+    # source uses `updatedAt`, destination uses `updated_at` (the
+    # reference's from.max/to.max + replace map).
+    source = spark.createDataFrame(
+        [(1, "old", 10), (2, "newer", 20), (3, "new", 30)],
+        "id int, payload string, updatedAt int",
+    )
+    target = spark.createDataFrame(
+        [(1, "old", 10), (2, "stale", 15)],
+        "id int, payload string, updated_at int",
+    )
+    out = sync_chunked(
+        source, target, keys=["id"], updated_at="updatedAt", rename={"updatedAt": "updated_at"}
+    )
+    rows = {(r.id, r.payload, r.updated_at) for r in out.collect()}
+    # watermark = 15: rows 2 (20) and 3 (30) sync; row 1 (10) untouched.
+    assert rows == {(1, "old", 10), (2, "newer", 20), (3, "new", 30)}
+
+
+def test_sync_chunked_empty_target_full_copy(spark):
+    from rabbit_data_pipeline_spark.operators.sync import sync_chunked
+
+    source = spark.createDataFrame([(1, 5), (2, 6)], "id int, updated_at int")
+    target = spark.createDataFrame([], "id int, updated_at int")
+    out = sync_chunked(source, target, keys=["id"], updated_at="updated_at")
+    assert {(r.id, r.updated_at) for r in out.collect()} == {(1, 5), (2, 6)}
