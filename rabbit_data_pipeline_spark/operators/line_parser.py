@@ -14,21 +14,100 @@ index comes from zipWithIndex (one extra count job; line numbers are
 inherently sequential, so this is the honest distributed spelling —
 the reference reads the file serially line-by-line, LineParser.php:150).
 
-xls/xlsx: gated — no xlsx reader in this container (reference gates
-the same way on ext-xlswriter, LineParser.php:118).
+xlsx: parsed natively — an xlsx is a zip of XML, so the stdlib
+(zipfile + ElementTree) decodes it with no excel dependency (the
+reference gates on ext-xlswriter, LineParser.php:118; we only gate
+legacy binary .xls/BIFF). Scale shape: `binaryFile` scan →
+mapInPandas, so N workbook files parse on N executor slots — a zip
+member can't be split, but file-level parallelism is exactly how the
+reference's FindFiles→LineParser fan-out behaves.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from rabbit_data_pipeline_spark.pipeline.scheduler import Scheduler, plugin
 
 SUPPORT_EXT = ("csv", "txt", "tsv", "xls", "xlsx")  # reference SUPPORT_EXT
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def parse_xlsx_bytes(content: bytes) -> list[list[str]]:
+    """Decode the first worksheet of an xlsx workbook into rows of
+    strings using only the stdlib (zipfile + ElementTree): resolves
+    sharedStrings and inline strings, places cells by their A1-style
+    column reference (so sparse rows keep their gaps). Runs on
+    executors inside the mapInPandas batch below."""
+    import io
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheets = sorted(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            raise ValueError("xlsx has no xl/worksheets/sheet*.xml member")
+        root = ET.fromstring(z.read(sheets[0]))
+
+    rows: list[list[str]] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, str] = {}
+        for c in row.iter(f"{_XLSX_NS}c"):
+            col = 0
+            for ch in c.get("r", ""):
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            col = col - 1 if col else len(cells)
+            if c.get("t") == "inlineStr":
+                v = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
+            else:
+                ve = c.find(f"{_XLSX_NS}v")
+                v = ve.text if ve is not None and ve.text is not None else ""
+                if c.get("t") == "s":
+                    v = shared[int(v)]
+            cells[col] = v
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i, "") for i in range(width)])
+    return rows
+
+
+def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """(__line, cells) per worksheet row, 1-based per file — the xlsx
+    twin of the text+zipWithIndex path. binaryFile → mapInPandas: each
+    workbook is one Arrow row, parsed where it lands."""
+    import pandas as pd
+
+    binf = spark.read.format("binaryFile").load(path)
+    schema = StructType(
+        [StructField("__line", LongType()), StructField("cells", ArrayType(StringType()))]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            lines: list[int] = []
+            cell_rows: list[list[str]] = []
+            for content in pdf["content"]:
+                for i, r in enumerate(parse_xlsx_bytes(bytes(content))):
+                    lines.append(i + 1)
+                    cell_rows.append(r)
+            yield pd.DataFrame({"__line": lines, "cells": cell_rows})
+
+    return binf.select("content").mapInPandas(gen, schema)
 
 
 def parse_lines(
@@ -48,9 +127,23 @@ def parse_lines(
 ) -> DataFrame:
     if file_type not in SUPPORT_EXT:
         raise ValueError(f"fileType only support ({' & '.join(SUPPORT_EXT)})")  # LineParser.php:115
-    if file_type in ("xls", "xlsx"):
-        raise NotImplementedError("xls/xlsx needs an excel reader on the cluster (reference gates on ext-xlswriter)")
+    if file_type == "xls":
+        raise NotImplementedError("legacy binary .xls (BIFF) needs an external reader; .xlsx parses natively")
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
+
+    if file_type == "xlsx":
+        df_idx = _read_xlsx_indexed(spark, path)
+        header_names = columns
+        if head_line is not None and not columns:
+            h = df_idx.filter(F.col("__line") == head_line).first()
+            header_names = list(h["cells"]) if h else None
+        body = df_idx.filter(F.col("__line") >= data_line)
+        if end_line is not None:
+            body = body.filter(F.col("__line") < end_line)
+        n_cols = len(header_names) if header_names else len(body.first()["cells"])
+        names = header_names or [f"_c{i}" for i in range(n_cols)]
+        df = body.select(*[F.col("cells").getItem(i).alias(n) for i, n in enumerate(names)])
+        return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
 
     simple = head_line in (None, 1) and data_line == (2 if head_line == 1 else 1) and end_line is None
     if simple:
@@ -82,6 +175,17 @@ def parse_lines(
         schema = ", ".join(f"`{n}` string" for n in names)
         df = body.select(F.from_csv("value", schema, {"sep": sep}).alias("r")).select("r.*")
 
+    return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
+
+
+def _apply_column_opts(
+    df: DataFrame,
+    include: list[int] | None,
+    exclude: list[int] | None,
+    rename: dict[str, str] | None,
+    add_fields: dict[str, Any] | None,
+    id_key: str | None,
+) -> DataFrame:
     # include/exclude by position (reference uses integer indices)
     if exclude:
         keep = [c for i, c in enumerate(df.columns) if i not in set(exclude)]

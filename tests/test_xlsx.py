@@ -1,0 +1,108 @@
+"""Native xlsx parsing (stdlib zip+XML, mapInPandas distribution).
+
+The fixture writer emits a standards-shaped workbook (content types,
+workbook, sheet, sharedStrings) so the parser is exercised against the
+same member layout real producers emit — shared strings, inline
+strings, numeric cells, and sparse rows with A1-style references.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from rabbit_data_pipeline_spark.operators.line_parser import parse_lines, parse_xlsx_bytes
+
+_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def _col_ref(i: int) -> str:
+    name = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        name = chr(65 + rem) + name
+    return name
+
+
+def write_xlsx(path: str, rows: list[list[object]], skip_cols: set[tuple[int, int]] = frozenset()) -> None:
+    """Minimal valid xlsx: strings go through sharedStrings (like real
+    producers), numbers inline as <v>. (row, col) in skip_cols are
+    omitted entirely — sparse-row case."""
+    shared: list[str] = []
+    sheet_rows = []
+    for ri, row in enumerate(rows):
+        cells = []
+        for ci, val in enumerate(row):
+            if (ri, ci) in skip_cols:
+                continue
+            ref = f"{_col_ref(ci)}{ri + 1}"
+            if isinstance(val, str):
+                if val not in shared:
+                    shared.append(val)
+                cells.append(f'<c r="{ref}" t="s"><v>{shared.index(val)}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+        sheet_rows.append(f'<row r="{ri + 1}">{"".join(cells)}</row>')
+    sheet = f'<?xml version="1.0"?><worksheet {_NS}><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>'
+    sst = (
+        f'<?xml version="1.0"?><sst {_NS} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {_NS}><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_parse_xlsx_bytes_shared_inline_sparse(tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        p,
+        [["name", "qty", "note"], ["ham", 3, "x"], ["eggs", 5, "gap-here"]],
+        skip_cols={(2, 1)},  # eggs row has no qty cell
+    )
+    rows = parse_xlsx_bytes(open(p, "rb").read())
+    assert rows[0] == ["name", "qty", "note"]
+    assert rows[1] == ["ham", "3", "x"]
+    assert rows[2] == ["eggs", "", "gap-here"]  # sparse cell -> empty, no shift
+
+
+def test_parse_lines_xlsx_header_and_opts(spark, tmp_path):
+    p = str(tmp_path / "inv.xlsx")
+    write_xlsx(p, [["sku", "qty", "price"], ["a1", 2, 9.5], ["b2", 4, 1.25], ["c3", 6, 0.5]])
+    df = parse_lines(
+        spark, p, file_type="xlsx", rename={"qty": "n"}, add_fields={"src": "xl"}, id_key="rid"
+    )
+    rows = {(r.sku, r.n, r.price, r.src) for r in df.collect()}
+    assert rows == {("a1", "2", "9.5", "xl"), ("b2", "4", "1.25", "xl"), ("c3", "6", "0.5", "xl")}
+    assert df.select("rid").distinct().count() == 3
+
+
+def test_parse_lines_xlsx_line_range_multifile(spark, tmp_path):
+    for i, fname in enumerate(["x1.xlsx", "x2.xlsx"]):
+        write_xlsx(
+            str(tmp_path / fname),
+            [["k", "v"], [f"f{i}-r1", 1], [f"f{i}-r2", 2], [f"f{i}-r3", 3]],
+        )
+    # dataLine=3, endLine=4 -> only the second data row of EACH file.
+    df = parse_lines(
+        spark, [str(tmp_path / "x1.xlsx"), str(tmp_path / "x2.xlsx")],
+        file_type="xlsx", data_line=3, end_line=4,
+    )
+    assert {r.k for r in df.collect()} == {"f0-r2", "f1-r2"}
+
+
+def test_xls_still_gated(spark, tmp_path):
+    with pytest.raises(NotImplementedError):
+        parse_lines(spark, str(tmp_path / "a.xls"), file_type="xls")
