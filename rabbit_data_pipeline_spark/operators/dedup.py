@@ -341,13 +341,18 @@ def embedding_near_pairs(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets → in-bucket exact cosine ≥ t.
 
     With 8 planes a pair at cosine .95 (angle ~18°) lands in the same
-    bucket with P = (1-18/180)^8 ≈ .43 per table; production would OR
-    several tables — here one table keeps the test surface simple and
-    the recall bound documented."""
+    bucket with p = (1-18/180)^8 ≈ .43 per table; OR-amplification
+    over T independent tables lifts recall to 1-(1-p)^T — the default
+    4 tables ≈ .90, 8 ≈ .99. Each table only replicates the (id,
+    bucket) key through the explode, and a pair colliding in several
+    tables is scored once (the final distinct). One shuffle on the
+    (table, bucket) key; per-bucket pair counts bound the quadratic
+    step exactly as in the MinHash path."""
     import numpy as np
 
     from rabbit_data_pipeline_spark.functions.vector import cosine, hyperplane_bits
@@ -355,8 +360,16 @@ def embedding_near_pairs(
     rng = np.random.RandomState(seed)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = rng.standard_normal((n_planes, dim)).tolist()
-    b = df.select(F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket"))
+    tables = [rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)]
+    buckets = F.explode(
+        F.array(
+            *[
+                F.concat(F.lit(f"{t}:"), hyperplane_bits(F.col(vec_col), planes))
+                for t, planes in enumerate(tables)
+            ]
+        )
+    )
+    b = df.select(F.col(id_col), F.col(vec_col), buckets.alias("bucket"))
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
     return (

@@ -115,6 +115,42 @@ def test_embedding_near_dup_finds_scaled_copies(spark, sf_smoke):
     assert found == n_copies
 
 
+def test_embedding_near_dup_or_amplified_recall(spark):
+    """Mid-similarity pairs (cos ≈ 0.95, NOT same-bucket by
+    construction) are where OR-amplification earns its keep: one
+    8-plane table catches ~0.43 of them, 4 tables ~0.90. Deterministic
+    seeded corpus; regression guard on the amplified recall."""
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.dedup import embedding_near_pairs
+
+    rng = np.random.RandomState(9)
+    dim, n = 32, 60
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # partner at angle ~18 deg (cos ~0.95) in a random orthogonal direction
+    noise = rng.standard_normal((n, dim))
+    noise -= (noise * base).sum(1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    partner = 0.95 * base + np.sqrt(1 - 0.95**2) * noise
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    rows += [(i + 1000, partner[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    found1 = (
+        embedding_near_pairs(df, threshold=0.94, dim=dim, n_tables=1)
+        .filter(F.col("id_b") - F.col("id_a") == 1000)
+        .count()
+    )
+    found4 = (
+        embedding_near_pairs(df, threshold=0.94, dim=dim, n_tables=4)
+        .filter(F.col("id_b") - F.col("id_a") == 1000)
+        .count()
+    )
+    assert found4 > found1, f"OR-amplification gained nothing: {found1} -> {found4}"
+    assert found4 >= 0.75 * n, f"amplified recall too low: {found4}/{n}"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
     from rabbit_data_pipeline_spark.operators.similarity import ann_bruteforce, ann_lsh
 
