@@ -169,6 +169,29 @@ def test_scd2_broadcast_delta_no_dim_shuffle(plans):
     assert "BroadcastHashJoin" in p
 
 
+def test_sync_chunked_broadcasts_watermark_and_delta(spark, sf_smoke):
+    """SyncOtherMysql-parity sync: the 1-row max-watermark crosses in
+    as a broadcast (never a shuffle of the source), and the delta
+    upserts via broadcast join when flagged — the big source table
+    is scanned once and never exchanged."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.sync import sync_chunked
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, sf_smoke, ("orders",))["orders"]
+    dst = t.filter(F.col("o_orderdate") < "1996-01-01")
+    out = sync_chunked(t, dst, keys=["o_orderkey"], updated_at="o_orderdate", broadcast_source=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # delta-keyed anti join
+    # watermark filter pushes into the source parquet scan
+    assert "PushedFilters" in p and "o_orderdate" in p.split("PushedFilters")[1].split("]")[0]
+
+
 def test_plan_audit_metrics(spark, sf_smoke):
     """The audit() utility reports structured plan-quality metrics the
     rest of this file asserts by string-matching — spot-check it on
