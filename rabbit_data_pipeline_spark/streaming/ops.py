@@ -180,7 +180,7 @@ _SESSION_STATE_SCHEMA = StructType(
 )
 
 
-def _session_fn(gap_ms: int):
+def _session_fn(gap_ms: int, event_time: bool = False):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
@@ -221,7 +221,13 @@ def _session_fn(gap_ms: int):
             tot += int(v)
         state.update((start_ms, last_ms, n, tot))
         # close the open session if the stream goes quiet for gap_ms
-        state.setTimeoutDuration(gap_ms)
+        if event_time:
+            # fire when the WATERMARK passes session end + gap: late
+            # events inside the gap still extend the session, and the
+            # flush point is data-time, not wall-time.
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        else:
+            state.setTimeoutDuration(gap_ms)
         if closed:
             yield pd.DataFrame(
                 {
@@ -242,25 +248,41 @@ def sessionize_stateful(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    timeout: str = "processing",
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Custom gap sessionizer via `applyInPandasWithState` — the
     arbitrary-stateful path (reference plugins keep such state in PHP
     instance fields; here it's checkpointed per-key state with a
-    processing-time timeout that flushes idle sessions).
+    timeout that flushes idle sessions).
+
+    `timeout="processing"` flushes after gap_minutes of WALL time with
+    no input for the key — simple, but wrong when the stream lags.
+    `timeout="event"` registers the flush at `session_end + gap` in
+    EVENT time: the session closes exactly when the watermark proves
+    no in-gap event can still arrive, so replaying a backlog at 100×
+    speed yields the identical session set (the property that matters
+    for reprocessing at scale). Event mode watermarks `ts_col` with
+    `watermark` slack.
 
     Use `session_window_agg` when plain gap semantics suffice — it
     stays JVM-side. This exists for custom per-session logic and as
     the template for other stateful ops. Arrow-batched; state is one
     tuple per active user, so memory is O(active keys)."""
+    if timeout not in ("processing", "event"):
+        raise ValueError(f"timeout must be processing|event, got {timeout!r}")
     typed = stream.select(
         F.col(user_col).cast("string").alias("user_id"),
         F.col(ts_col).cast("timestamp").alias("ts"),
         F.col(value_col).cast("long").alias("value"),
     )
+    event = timeout == "event"
+    if event:
+        typed = typed.withWatermark("ts", watermark)
     return typed.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_minutes * 60 * 1000),
+        _session_fn(gap_minutes * 60 * 1000, event_time=event),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout if event else GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -230,6 +230,31 @@ def test_sessionize_stateful(spark, tmp_path):
     assert rows == [("u1", 2, 3)]
 
 
+def test_sessionize_stateful_event_time_timeout(spark, tmp_path):
+    """R3 (event-time mode): the idle session flushes when the
+    WATERMARK passes session_end + gap — pure data time, no wall-clock
+    wait. maxFilesPerTrigger=1 forces file-per-batch so the second
+    file's later event advances the watermark past u1's timeout; the
+    engine's trailing no-data batch then fires the timer."""
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": "1", "value": {"user_id": "u1", "amount": 1}, "ts": _ts(0)},
+        {"key": "2", "value": {"user_id": "u1", "amount": 2}, "ts": _ts(3)},
+    ])
+    _publish(qdir, [
+        # 120 min later: watermark -> 110 min, far past u1's 33-min timeout
+        {"key": "3", "value": {"user_id": "u2", "amount": 9}, "ts": _ts(120)},
+    ])
+
+    stream = queue_dir_stream(spark, qdir, max_files_per_trigger=1)
+    parsed = parse_json_messages(stream, VALUE_SCHEMA).select("user_id", "ts", F.col("amount").alias("value"))
+    sessions = sessionize_stateful(parsed, gap_minutes=30, timeout="event", watermark="10 minutes")
+    out = _run(sessions, f"ev_{uuid.uuid4().hex[:8]}")
+    rows = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+    # u1's session closed by the watermark; u2's stays open in state.
+    assert rows == {("u1", 2, 3)}
+
+
 def test_upsert_sink_idempotent_exactly_once(spark, tmp_path):
     """R7: foreachBatch keyed upsert. Last-writer-wins within a batch,
     upsert across batches, and a checkpoint-restart replays nothing —
