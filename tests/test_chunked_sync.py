@@ -32,6 +32,44 @@ def test_partition_predicates_cover_exactly_once():
     con.close()
 
 
+def test_partition_predicates_property():
+    """For ANY bounds/partition count, every integer key (and NULL)
+    matches exactly one predicate — the invariant that makes a
+    partitioned JDBC read lossless and duplicate-free."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lower=st.integers(-1000, 1000),
+        span=st.integers(0, 500),
+        n=st.integers(1, 12),
+        key=st.one_of(st.none(), st.integers(-2000, 2000)),
+    )
+    def check(lower, span, n, key):
+        preds = column_partition_predicates("k", lower, lower + span, n)
+        matches = sum(_eval_pred(p, key) for p in preds)
+        assert matches == 1, f"key {key} matched {matches} of {preds}"
+
+    def _eval_pred(pred: str, key) -> bool:
+        def _clause(c: str) -> bool:
+            c = c.strip()
+            if c == "1 = 1":
+                return True
+            if c.endswith("IS NULL"):
+                return key is None
+            if key is None:
+                return False
+            col, op, val = c.split()
+            return {"<": key < int(val), ">=": key >= int(val)}[op]
+
+        if " OR " in pred:
+            return any(_clause(c) for c in pred.split(" OR "))
+        return all(_clause(c) for c in pred.split(" AND "))
+
+    check()
+
+
 def test_partition_predicates_degenerate():
     assert column_partition_predicates("k", 5, 5, 4) == ["1 = 1"]
     assert column_partition_predicates("k", 0, 100, 1) == ["1 = 1"]
