@@ -194,3 +194,68 @@ def chunk_text(
         )
         .filter(F.length("chunk_text") > 0)
     )
+
+
+def word_kgrams(col: Column, k: int = 8) -> Column:
+    """Distinct word k-grams of normalized text (space-joined) — the
+    overlap unit for decontamination. Built-ins only: one split, one
+    sequence/transform, no Python."""
+    toks = F.split(norm_text(col), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/test contamination check: corpus documents sharing at
+    least `min_shared` distinct word k-grams with ANY benchmark
+    document. The standard LLM-training hygiene step (n-gram collision
+    decontamination) the reference has no analogue for.
+
+    Scale shape: explode k-grams on both sides, equi-join ON THE GRAM
+    (one shuffle keyed by gram; the benchmark side is tiny — eval sets
+    are thousands of rows — so it broadcasts), then count distinct
+    shared grams per corpus doc. No all-pairs doc comparison exists
+    anywhere: the gram join only materializes actual collisions.
+    Returns (id_col, n_shared) for contaminated docs.
+    """
+    c = corpus.select(F.col(id_col), F.explode(word_kgrams(F.col(text_col), k)).alias("gram"))
+    b = benchmark.select(F.explode(word_kgrams(F.col(text_col), k)).alias("gram")).distinct()
+    return (
+        c.join(F.broadcast(b), on="gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def stratified_mix(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    denom: int = 1000,
+) -> DataFrame:
+    """Deterministic per-group subsampling — the data-mixing step that
+    turns raw source corpora into a weighted training mixture. Keeps a
+    row iff ``id % denom < fraction(group) * denom``: reproducible
+    across runs/engines (no RNG), filter-only (no shuffle, pushes to
+    the scan), and exact-ratio in expectation for uniform ids. Groups
+    absent from `fractions` are dropped (weight 0)."""
+    frac = None
+    for g, f in fractions.items():
+        cond = F.col(group_col) == g
+        frac = F.when(cond, F.lit(int(f * denom))) if frac is None else frac.when(cond, F.lit(int(f * denom)))
+    frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
+    return df.filter(F.pmod(F.col(id_col), F.lit(denom)) < frac)

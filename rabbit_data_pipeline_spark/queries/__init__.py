@@ -50,8 +50,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tumbling_window", "stream_session_window", "q_case_agg", "q_array_agg",
     # Rows-only in r2, given seeded brute-force oracles this round.
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "ann_lsh", "ann_ivf",
-    # New this round: chunked parallel sync (SyncOtherMysql parity).
-    "sync_chunked",
+    # New this round: chunked parallel sync (SyncOtherMysql parity),
+    # decontamination + mixture sampling.
+    "sync_chunked", "text_decontaminate", "text_mix",
     # Touched by this round's ADVICE fixes — re-verify ahead of green keys.
     "sync_scd2", "q_market_share",
 )

@@ -553,3 +553,56 @@ def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "word")
         .limit(20)
     )
+
+
+_GRAMS_SQL = (
+    "list_transform("
+    "range(1, GREATEST(len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 7, 1) + 1), "
+    "i -> array_to_string(list_slice(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 7), ' '))"
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct({_GRAMS_SQL}) AS grams FROM documents
+    ),
+    b AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 250 = 0),
+    c AS (SELECT doc_id, UNNEST(grams) AS gram FROM g)
+    SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_shared
+    FROM c JOIN b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.gram) >= 1
+    """,
+)
+def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19: train/test contamination check — corpus docs sharing any
+    distinct word 8-gram with the benchmark set (here: every 250th doc
+    plays the eval set, so those docs must flag themselves at full
+    gram count, plus any naturally overlapping neighbors). Gram
+    equi-join, no all-pairs; benchmark side broadcasts."""
+    from rabbit_data_pipeline_spark.operators.text import decontaminate
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = d.filter(F.col("doc_id") % 250 == 0)
+    return decontaminate(d, bench, k=8, min_shared=1)
+
+
+@register(
+    "text_mix",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 1000 < CASE source
+        WHEN 'src0' THEN 700 WHEN 'src1' THEN 300 WHEN 'src2' THEN 100 ELSE 0 END
+    """,
+)
+def text_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: deterministic training-mixture sampling — per-source keep
+    fractions via id modulo (reproducible across engines and runs, no
+    RNG), a pure filter that pushes into the scan."""
+    from rabbit_data_pipeline_spark.operators.text import stratified_mix
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = stratified_mix(d, "source", {"src0": 0.7, "src1": 0.3, "src2": 0.1})
+    return out.select("doc_id", "source")

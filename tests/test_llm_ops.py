@@ -302,3 +302,42 @@ def test_yaml_redact_then_chunk_pipeline(spark, tmp_path):
     assert all("[EMAIL]" in r.chunk_text or "x" in r.chunk_text for r in rows)
     assert "a@b.co" not in "".join(r.chunk_text for r in rows)
     assert len(rows) >= 2
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from rabbit_data_pipeline_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark contains doc 1's opening 8-gram verbatim
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench, k=8).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out and 3 not in out
+
+
+def test_decontaminate_short_docs_no_crash(spark):
+    from rabbit_data_pipeline_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "tiny doc")], "doc_id long, text string")
+    # <k words: the whole doc is one short gram; identical short docs match
+    assert decontaminate(corpus, bench, k=8).count() == 1
+
+
+def test_stratified_mix_fractions_and_drop(spark):
+    from rabbit_data_pipeline_spark.operators.text import stratified_mix
+
+    rows = [(i, "a" if i < 1000 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_mix(df, "source", {"a": 0.25})  # b absent -> dropped
+    got = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"a": 250}
