@@ -85,3 +85,38 @@ def _chunk(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> Data
         chunk_chars=int(cfg.get("chunk_chars", 512)),
         overlap=int(cfg.get("overlap", 64)),
     )
+
+
+@plugin("transform.decontaminate")
+def _decontaminate(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Two inputs: (corpus, benchmark). Keeps corpus rows NOT sharing
+    >= min_shared word k-grams with the benchmark (mode=filter), or
+    returns the flagged contamination report (mode=report)."""
+    from rabbit_data_pipeline_spark.operators.text import decontaminate
+
+    corpus, benchmark = inputs
+    id_col = cfg.get("id_col", "doc_id")
+    flagged = decontaminate(
+        corpus,
+        benchmark,
+        text_col=cfg.get("text_col", "text"),
+        id_col=id_col,
+        k=int(cfg.get("k", 8)),
+        min_shared=int(cfg.get("min_shared", 1)),
+    )
+    if cfg.get("mode", "filter") == "report":
+        return flagged
+    return corpus.join(flagged.select(id_col), on=id_col, how="left_anti")
+
+
+@plugin("transform.mix")
+def _mix(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import stratified_mix
+
+    (df,) = inputs
+    return stratified_mix(
+        df,
+        group_col=cfg["group_col"],
+        fractions={str(k): float(v) for k, v in cfg["fractions"].items()},
+        id_col=cfg.get("id_col", "doc_id"),
+    )

@@ -265,3 +265,34 @@ def test_yaml_asof_join_plugin(spark, tmp_path):
     df = sch.build("asof_task", "enriched")
     out = {(r.tts.hour, r.px) for r in df.collect()}
     assert out == {(9, 10.0), (10, 11.0)}
+
+
+def test_yaml_decontaminate_and_mix_plugins(spark, tmp_path):
+    """YAML-declared training-data hygiene: corpus -> decontaminate
+    (vs benchmark) -> stratified mix, the L19/L20 ops as pipeline
+    nodes."""
+    from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+
+    corpus_p, bench_p = str(tmp_path / "corpus"), str(tmp_path / "bench")
+    rows = [(i, f"unique words number {i} padding text here okay fine", f"s{i % 2}") for i in range(100)]
+    rows[7] = (7, "alpha beta gamma delta epsilon zeta eta theta iota", "s1")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(corpus_p)
+    spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id long, text string"
+    ).write.parquet(bench_p)
+
+    spec = PipelineSpec.from_dict(
+        "hygiene",
+        {
+            "corpus": {"type": "source.parquet", "start": True, "path": corpus_p, "output": ["clean"]},
+            "bench": {"type": "source.parquet", "start": True, "path": bench_p, "output": ["clean"]},
+            "clean": {"type": "transform.decontaminate", "k": 8, "output": ["mixed"]},
+            "mixed": {"type": "transform.mix", "group_col": "source", "fractions": {"s0": 1.0, "s1": 0.5}},
+        },
+    )
+    out = Scheduler(spark, {"hygiene": spec}).run("hygiene")["mixed"]
+    got = {r.doc_id for r in out.collect()}
+    assert 7 not in got  # contaminated doc dropped
+    # s0 ids are even (kept fully); s1 ids odd, kept iff id % 1000 < 500
+    expect = {i for i in range(100) if (i % 2 == 0 or i < 500 and i % 1000 < 500) and i != 7}
+    assert got == expect
