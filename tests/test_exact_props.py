@@ -85,8 +85,12 @@ def test_approx_sketches_bounded_error(spark, sf_smoke):
 @settings(max_examples=15, deadline=None)
 @given(
     lefts=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
-        min_size=0, max_size=30,
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 1000),
+            st.one_of(st.none(), st.integers(-100, 100)),
+        ),
+        min_size=0, max_size=30, unique_by=lambda r: (r[0], r[1]),
     ),
     rights=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 1000)),
@@ -96,21 +100,20 @@ def test_approx_sketches_bounded_error(spark, sf_smoke):
 def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
     """asof_join (union-window plan) vs pandas.merge_asof (the
     reference implementation everyone knows): identical matches on
-    arbitrary key/timestamp data, including equal-timestamp matches
-    and keys with no left rows. Left side deduped to unique (key, ts)
-    latest-payload-wins to make the match well-defined."""
+    arbitrary key/timestamp data, including equal-timestamp matches,
+    keys with no left rows, and — the round-2 bug class — NULLs inside
+    the matched row's payload, which must surface as NULL instead of
+    being back-filled from an older row."""
     import pandas as pd
 
     from rabbit_data_pipeline_spark.operators.joins import asof_join
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    lpdf = pd.DataFrame(lefts, columns=["k", "ts", "payload"])
-    # unique (k, ts): keep max payload, mirroring the query-side pre-agg
-    lpdf = lpdf.groupby(["k", "ts"], as_index=False)["payload"].max()
-    rpdf = pd.DataFrame(rights, columns=["k", "rts"])
-
-    left = spark.createDataFrame(lpdf.assign(ts=lpdf.ts.astype("int64"))) if len(lpdf) else (
-        spark.createDataFrame([], "k bigint, ts bigint, payload bigint")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts", LongType()), StructField("payload", LongType())]
     )
+    left = spark.createDataFrame([tuple(r) for r in lefts], schema)
+    rpdf = pd.DataFrame(rights, columns=["k", "rts"])
     right = spark.createDataFrame(rpdf.assign(rts=rpdf.rts.astype("int64")))
 
     got = {
@@ -118,13 +121,14 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
         for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", how="inner").collect()
     }
 
-    if len(lpdf):
+    if lefts:
+        lpdf = pd.DataFrame(lefts, columns=["k", "ts", "payload"]).astype({"k": "int64", "ts": "int64"})
         exp_df = pd.merge_asof(
             rpdf.sort_values("rts"), lpdf.sort_values("ts"),
             left_on="rts", right_on="ts", by="k", direction="backward",
         )
         exp = {
-            (int(r.k), int(r.rts)): (int(r.ts), int(r.payload))
+            (int(r.k), int(r.rts)): (int(r.ts), None if pd.isna(r.payload) else int(r.payload))
             for r in exp_df.itertuples()
             if pd.notna(r.ts)
         }

@@ -295,3 +295,59 @@ def test_upsert_sink_idempotent_exactly_once(spark, tmp_path):
     run()
     state3 = {(r.user_id, r.amount) for r in spark.read.parquet(table).collect()}
     assert state3 == {("u1", 5), ("u2", 9)}
+
+
+def test_sessionize_streaming_matches_batch_semantics(spark, tmp_path):
+    """Parity: the streaming stateful sessionizer (event-time mode,
+    multi-batch) must emit exactly the sessions a batch gap-split of
+    the same events produces, once the watermark passes them — the
+    replay-determinism property that makes streaming sessionization
+    trustworthy for backfills."""
+    gap_min = 30
+    events = [  # (user, minute, amount) — u1: two sessions; u2: one
+        ("u1", 0, 1), ("u1", 10, 2), ("u1", 90, 4),
+        ("u2", 5, 7), ("u2", 20, 8),
+    ]
+
+    # batch ground truth: sort per user, split on gap > 30 min
+    def batch_sessions():
+        out = []
+        byu: dict = {}
+        for u, m, a in sorted(events, key=lambda e: (e[0], e[1])):
+            byu.setdefault(u, []).append((m, a))
+        for u, evs in byu.items():
+            start, last, n, tot = evs[0][0], evs[0][0], 0, 0
+            for m, a in evs:
+                if n > 0 and m - last > gap_min:
+                    out.append((u, start, last, n, tot))
+                    start, n, tot = m, 0, 0
+                last, n, tot = m, n + 1, tot + a
+            out.append((u, start, last, n, tot))
+        return {s for s in out}
+
+    qdir = str(tmp_path / "q")
+    _publish(qdir, [
+        {"key": str(i), "value": {"user_id": u, "amount": a}, "ts": _ts(m)}
+        for i, (u, m, a) in enumerate(events)
+    ])
+    # sentinel batch far in the future: watermark passes EVERY session
+    _publish(qdir, [{"key": "zz", "value": {"user_id": "zz", "amount": 0}, "ts": _ts(100000)}])
+
+    stream = queue_dir_stream(spark, qdir, max_files_per_trigger=1)
+    parsed = parse_json_messages(stream, VALUE_SCHEMA).select("user_id", "ts", F.col("amount").alias("value"))
+    sessions = sessionize_stateful(parsed, gap_minutes=gap_min, timeout="event", watermark="1 minute")
+    out = _run(sessions, f"par_{uuid.uuid4().hex[:8]}")
+
+    base = time.mktime(time.strptime(T0, "%Y-%m-%dT%H:%M:%S"))
+    got = {
+        (
+            r.user_id,
+            int((r.session_start.timestamp() - base) / 60),
+            int((r.session_end.timestamp() - base) / 60),
+            r.n_events,
+            r.total_value,
+        )
+        for r in out.collect()
+        if r.user_id != "zz"
+    }
+    assert got == batch_sessions()
