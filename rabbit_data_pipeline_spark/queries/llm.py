@@ -3,8 +3,10 @@
 Strong DuckDB oracles wherever both engines can compute the identical
 function (md5 fingerprints, regexp counts on RE2-compatible patterns,
 integer-count Jaccard, double cosine — verified bit-identical).
-MinHash/SimHash/LSH use xxhash64, which DuckDB cannot reproduce →
-rows-only gate + determinism asserted in unit tests.
+MinHash/SimHash/LSH use xxhash64, which DuckDB cannot reproduce — the
+driver-adjudicated gates for those live in queries/seeded.py (seeded
+corpora with brute-force DuckDB twins); the `*_scale` functions here
+are their sf-corpus twins for the bench and recall unit tests.
 
 The dedup inputs union the documents table with deterministic
 synthetic duplicates (the testdata has none), so the operators have

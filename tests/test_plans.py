@@ -192,6 +192,23 @@ def test_sync_chunked_broadcasts_watermark_and_delta(spark, sf_smoke):
     assert "PushedFilters" in p and "o_orderdate" in p.split("PushedFilters")[1].split("]")[0]
 
 
+def test_decontaminate_broadcasts_benchmark(plans):
+    """The benchmark gram set broadcasts; the corpus gram explosion
+    never shuffles before the join — at 100 TB the corpus moves only
+    into the post-join per-doc aggregation."""
+    p = plans("text_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mix_is_pure_pushed_filter(plans):
+    """Mixture sampling is filter-only: no exchange, no join, and the
+    modulo predicate evaluates in the scan stage."""
+    p = plans("text_mix")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
 def test_plan_audit_metrics(spark, sf_smoke):
     """The audit() utility reports structured plan-quality metrics the
     rest of this file asserts by string-matching — spot-check it on
