@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the heuristic language scorer.
 # Deliberately small + word-boundary matched: the score is a determin-
@@ -259,3 +260,36 @@ def stratified_mix(
         frac = F.when(cond, F.lit(int(f * denom))) if frac is None else frac.when(cond, F.lit(int(f * denom)))
     frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
     return df.filter(F.pmod(F.col(id_col), F.lit(denom)) < frac)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing: assign each document to a training bin so
+    consecutive docs fill a fixed token budget (contiguous-fill
+    packing: a bin takes docs until the cumulative count crosses the
+    budget, so bins may overflow by at most one doc — the standard
+    trade against bin-packing's NP-hardness).
+
+    Scale shape: docs hash into `n_buckets` independent packing
+    streams (pmod on the id — deterministic, no RNG), each bucket
+    packs with ONE window over its own partition, so the sort never
+    goes global and the operator is a single shuffle on the bucket
+    key. Bin ids are (bucket, local_bin) strings, unique corpus-wide.
+    Within a bucket, docs pack largest-first (classic first-fit-
+    decreasing order) with the id as tiebreak, so output is
+    deterministic."""
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(tokens_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = df.withColumn("__bucket", F.pmod(F.col(id_col), F.lit(n_buckets)))
+    cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return b.withColumn(
+        "bin", F.concat_ws("_", F.col("__bucket"), F.floor(cum_before / budget))
+    ).drop("__bucket")

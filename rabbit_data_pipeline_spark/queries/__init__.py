@@ -52,7 +52,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "ann_lsh", "ann_ivf",
     # New this round: chunked parallel sync (SyncOtherMysql parity),
     # decontamination + mixture sampling.
-    "sync_chunked", "text_decontaminate", "text_mix",
+    "sync_chunked", "text_decontaminate", "text_mix", "text_pack",
     # Touched by this round's ADVICE fixes — re-verify ahead of green keys.
     "sync_scd2", "q_market_share",
 )

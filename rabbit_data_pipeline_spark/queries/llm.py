@@ -608,3 +608,34 @@ def text_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     out = stratified_mix(d, "source", {"src0": 0.7, "src1": 0.3, "src2": 0.1})
     return out.select("doc_id", "source")
+
+
+@register(
+    "text_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '{_WS}')) END AS tokens,
+             doc_id % 16 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, tokens,
+           CONCAT(bucket, '_', CAST(FLOOR(
+             (SUM(tokens) OVER (PARTITION BY bucket
+                                ORDER BY tokens DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) - tokens) / 512
+           ) AS BIGINT)) AS bin
+    FROM t
+    """,
+)
+def text_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: sequence packing — whitespace token counts, then
+    contiguous-fill bin assignment against a 512-token budget inside
+    16 hash buckets (independent packing streams: one bucket-key
+    shuffle, no global sort)."""
+    from rabbit_data_pipeline_spark.operators.text import pack_sequences, ws_token_count
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = d.select("doc_id", ws_token_count(F.col("text")).alias("tokens"))
+    return pack_sequences(t, "tokens", budget=512, n_buckets=16)

@@ -341,3 +341,24 @@ def test_stratified_mix_fractions_and_drop(spark):
     out = stratified_mix(df, "source", {"a": 0.25})  # b absent -> dropped
     got = out.groupBy("source").count().collect()
     assert {r.source: r["count"] for r in got} == {"a": 250}
+
+
+def test_pack_sequences_fills_budget(spark):
+    from rabbit_data_pipeline_spark.operators.text import pack_sequences
+
+    # one bucket -> one packing stream; largest-first order is
+    # 40,30,20,10 -> cum-before 0,40,70,90 -> bins 0,0,1,1 at budget 64
+    df = spark.createDataFrame([(0, 10), (16, 20), (32, 30), (48, 40)], "doc_id long, tokens long")
+    out = {r.doc_id: r.bin for r in pack_sequences(df, "tokens", budget=64, n_buckets=1).collect()}
+    assert out == {48: "0_0", 32: "0_0", 16: "0_1", 0: "0_1"}
+
+
+def test_pack_sequences_buckets_independent(spark):
+    from rabbit_data_pipeline_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame([(i, 50) for i in range(8)], "doc_id long, tokens long")
+    out = pack_sequences(df, "tokens", budget=100, n_buckets=4)
+    # 2 docs per bucket, 50+50 = 100 <= budget: every bucket packs its
+    # two docs into local bin 0 -> exactly 4 distinct bins of size 2
+    bins = {r.bin for r in out.collect()}
+    assert len(bins) == 4 and all(b.endswith("_0") for b in bins)
