@@ -209,6 +209,14 @@ def test_mix_is_pure_pushed_filter(plans):
     assert "Join" not in p
 
 
+def test_pack_single_bucket_exchange(plans):
+    """Sequence packing shuffles once on the bucket key; the in-bucket
+    cumulative window must not add a second exchange or a global sort."""
+    p = plans("text_pack")
+    assert p.count("Exchange (") == 1
+    assert "Join" not in p
+
+
 def test_plan_audit_metrics(spark, sf_smoke):
     """The audit() utility reports structured plan-quality metrics the
     rest of this file asserts by string-matching — spot-check it on
