@@ -93,10 +93,45 @@ def read_chunked_duckdb(
     out: DataFrame | None = None
     for pred in column_partition_predicates(partition_column, lower_bound, upper_bound, num_partitions):
         tbl = con.execute(f"SELECT * FROM ({sql}) __chunk WHERE {pred}").arrow()
-        chunk = spark.createDataFrame(tbl.to_pandas())
+        # schema comes from the Arrow result, never inferred from rows:
+        # an empty chunk (sparse key range, or an empty source) must
+        # still union with the same column types.
+        chunk = spark.createDataFrame(tbl.to_pandas(), schema=_arrow_to_spark_schema(tbl.schema))
         out = chunk if out is None else out.unionByName(chunk)
     con.close()
     return out
+
+
+def _arrow_to_spark_schema(arrow_schema):
+    from pyspark.sql import types as T
+    import pyarrow as pa
+
+    def conv(t):
+        if pa.types.is_int8(t) or pa.types.is_int16(t):
+            return T.ShortType() if pa.types.is_int16(t) else T.ByteType()
+        if pa.types.is_int32(t):
+            return T.IntegerType()
+        if pa.types.is_integer(t):
+            return T.LongType()
+        if pa.types.is_float32(t):
+            return T.FloatType()
+        if pa.types.is_floating(t):
+            return T.DoubleType()
+        if pa.types.is_boolean(t):
+            return T.BooleanType()
+        if pa.types.is_timestamp(t):
+            return T.TimestampType()
+        if pa.types.is_date(t):
+            return T.DateType()
+        if pa.types.is_decimal(t):
+            return T.DecimalType(t.precision, t.scale)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return T.BinaryType()
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return T.ArrayType(conv(t.value_type))
+        return T.StringType()
+
+    return T.StructType([T.StructField(f.name, conv(f.type)) for f in arrow_schema])
 
 
 def read_duckdb(spark: SparkSession, sql: str, database: str = ":memory:", views: dict[str, str] | None = None) -> DataFrame:

@@ -118,3 +118,20 @@ def test_sync_chunked_empty_target_full_copy(spark):
     target = spark.createDataFrame([], "id int, updated_at int")
     out = sync_chunked(source, target, keys=["id"], updated_at="updated_at")
     assert {(r.id, r.updated_at) for r in out.collect()} == {(1, 5), (2, 6)}
+
+
+def test_chunked_read_empty_source_keeps_schema(spark):
+    """An empty source (or all-empty chunks) must still produce a typed
+    DataFrame — schema comes from Arrow, never from row inference."""
+    import duckdb  # noqa: F401  (documents the engine under test)
+
+    df = read_chunked_duckdb(
+        spark,
+        "SELECT 1 AS k, 'x' AS name, CAST(1.5 AS DOUBLE) AS v WHERE 1 = 0",
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    assert df.count() == 0
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "string", "double"]
