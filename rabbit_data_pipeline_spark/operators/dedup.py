@@ -348,11 +348,16 @@ def embedding_near_pairs(
     With 8 planes a pair at cosine .95 (angle ~18°) lands in the same
     bucket with p = (1-18/180)^8 ≈ .43 per table; OR-amplification
     over T independent tables lifts recall to 1-(1-p)^T — the default
-    4 tables ≈ .90, 8 ≈ .99. Each table only replicates the (id,
-    bucket) key through the explode, and a pair colliding in several
-    tables is scored once (the final distinct). One shuffle on the
-    (table, bucket) key; per-bucket pair counts bound the quadratic
-    step exactly as in the MinHash path."""
+    4 tables ≈ .90, 8 ≈ .99. A pair colliding in several tables is
+    scored once (the final distinct). One shuffle on the (table,
+    bucket) key — which carries the VECTOR T× (the explode replicates
+    the row, vector included). That trade is deliberate: the skinny
+    alternative (ship only (id, bucket), join vectors back for the
+    verify) costs two extra hash joins, which measured ~20% slower on
+    the MinHash twin (lsh_candidate_pairs docstring); for very wide
+    embeddings (≥1k dims) where the T× payload dominates, flip to the
+    skinny shape. Per-bucket pair counts bound the quadratic step
+    exactly as in the MinHash path."""
     import numpy as np
 
     from rabbit_data_pipeline_spark.functions.vector import cosine, hyperplane_bits

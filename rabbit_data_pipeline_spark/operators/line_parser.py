@@ -38,12 +38,17 @@ SUPPORT_EXT = ("csv", "txt", "tsv", "xls", "xlsx")  # reference SUPPORT_EXT
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
-def parse_xlsx_bytes(content: bytes) -> list[list[str]]:
-    """Decode the first worksheet of an xlsx workbook into rows of
-    strings using only the stdlib (zipfile + ElementTree): resolves
-    sharedStrings and inline strings, places cells by their A1-style
-    column reference (so sparse rows keep their gaps). Runs on
-    executors inside the mapInPandas batch below."""
+def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
+    """Decode the first worksheet of an xlsx workbook into (row_number,
+    cells) pairs using only the stdlib (zipfile + ElementTree):
+    resolves sharedStrings and inline strings, places cells by their
+    A1-style column reference (so sparse rows keep their gaps), and
+    keeps the sheet's own 1-based row numbers from the row `r`
+    attribute — real producers OMIT empty rows from the XML (ECMA-376),
+    so positional numbering would silently shift headLine/dataLine
+    addressing. "First worksheet" = lowest sheet NUMBER (numeric, so
+    sheet2 beats sheet10). Runs on executors inside the mapInPandas
+    batch below."""
     import io
     import re
     import zipfile
@@ -56,13 +61,14 @@ def parse_xlsx_bytes(content: bytes) -> list[list[str]]:
             for si in root.findall(f"{_XLSX_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
         sheets = sorted(
-            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
         if not sheets:
             raise ValueError("xlsx has no xl/worksheets/sheet*.xml member")
         root = ET.fromstring(z.read(sheets[0]))
 
-    rows: list[list[str]] = []
+    rows: list[tuple[int, list[str]]] = []
     for row in root.iter(f"{_XLSX_NS}row"):
         cells: dict[int, str] = {}
         for c in row.iter(f"{_XLSX_NS}c"):
@@ -82,7 +88,9 @@ def parse_xlsx_bytes(content: bytes) -> list[list[str]]:
                     v = shared[int(v)]
             cells[col] = v
         width = max(cells) + 1 if cells else 0
-        rows.append([cells.get(i, "") for i in range(width)])
+        r_attr = row.get("r")
+        line = int(r_attr) if r_attr else (rows[-1][0] + 1 if rows else 1)
+        rows.append((line, [cells.get(i, "") for i in range(width)]))
     return rows
 
 
@@ -102,8 +110,8 @@ def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
             lines: list[int] = []
             cell_rows: list[list[str]] = []
             for content in pdf["content"]:
-                for i, r in enumerate(parse_xlsx_bytes(bytes(content))):
-                    lines.append(i + 1)
+                for line, r in parse_xlsx_bytes(bytes(content)):
+                    lines.append(line)
                     cell_rows.append(r)
             yield pd.DataFrame({"__line": lines, "cells": cell_rows})
 
@@ -132,7 +140,9 @@ def parse_lines(
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
 
     if file_type == "xlsx":
-        df_idx = _read_xlsx_indexed(spark, path)
+        # cache: header sniff, width inference, and the caller's action
+        # would otherwise each re-read + re-unzip every workbook.
+        df_idx = _read_xlsx_indexed(spark, path).cache()
         header_names = columns
         if head_line is not None and not columns:
             h = df_idx.filter(F.col("__line") == head_line).first()
@@ -140,7 +150,13 @@ def parse_lines(
         body = df_idx.filter(F.col("__line") >= data_line)
         if end_line is not None:
             body = body.filter(F.col("__line") < end_line)
-        n_cols = len(header_names) if header_names else len(body.first()["cells"])
+        if header_names:
+            n_cols = len(header_names)
+        else:
+            # max width over the whole body (rows are trimmed to their
+            # last non-empty cell, so first() would undercount; an
+            # empty body yields 0 columns instead of crashing).
+            n_cols = (body.agg(F.max(F.size("cells"))).first()[0]) or 0
         names = header_names or [f"_c{i}" for i in range(n_cols)]
         df = body.select(*[F.col("cells").getItem(i).alias(n) for i, n in enumerate(names)])
         return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)

@@ -89,12 +89,21 @@ def _chunk(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> Data
 
 @plugin("transform.decontaminate")
 def _decontaminate(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
-    """Two inputs: (corpus, benchmark). Keeps corpus rows NOT sharing
-    >= min_shared word k-grams with the benchmark (mode=filter), or
-    returns the flagged contamination report (mode=report)."""
+    """Two inputs: (corpus, benchmark) in upstream-declaration order.
+    Keeps corpus rows NOT sharing >= min_shared word k-grams with the
+    benchmark (mode=filter), or returns the flagged contamination
+    report (mode=report). Positional roles are easy to silently swap
+    in YAML, so `benchmark_input: 0` flips them explicitly when the
+    benchmark node is declared first."""
     from rabbit_data_pipeline_spark.operators.text import decontaminate
 
-    corpus, benchmark = inputs
+    if len(inputs) != 2:
+        raise ValueError(f"transform.decontaminate needs exactly 2 inputs (corpus, benchmark), got {len(inputs)}")
+    bench_idx = int(cfg.get("benchmark_input", 1))
+    if bench_idx not in (0, 1):
+        raise ValueError("benchmark_input must be 0 or 1")
+    benchmark = inputs[bench_idx]
+    corpus = inputs[1 - bench_idx]
     id_col = cfg.get("id_col", "doc_id")
     flagged = decontaminate(
         corpus,

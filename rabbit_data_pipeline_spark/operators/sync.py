@@ -148,9 +148,11 @@ def scd2_merge(
     upd = updates.select(*keys, *compare_cols, F.col(effective_col).alias("__eff"))
     # A delta with two rows for one key would append two OPEN versions
     # (both is_current) — corrupting the dimension. Collapse to the
-    # newest row per key first; callers needing every intermediate
+    # newest row per key first (compare_cols as tiebreak so equal-
+    # effective duplicates pick a DETERMINISTIC winner, not whichever
+    # partition ordering produced); callers needing every intermediate
     # version apply deltas per effective-period instead.
-    upd = keep_latest_by_flag(upd, keys, "__eff")
+    upd = keep_latest_by_flag(upd, keys, "__eff", tiebreak=compare_cols)
     if broadcast_updates:
         upd = F.broadcast(upd)
 

@@ -73,9 +73,42 @@ def test_parse_xlsx_bytes_shared_inline_sparse(tmp_path):
         skip_cols={(2, 1)},  # eggs row has no qty cell
     )
     rows = parse_xlsx_bytes(open(p, "rb").read())
-    assert rows[0] == ["name", "qty", "note"]
-    assert rows[1] == ["ham", "3", "x"]
-    assert rows[2] == ["eggs", "", "gap-here"]  # sparse cell -> empty, no shift
+    assert rows[0] == (1, ["name", "qty", "note"])
+    assert rows[1] == (2, ["ham", "3", "x"])
+    assert rows[2] == (3, ["eggs", "", "gap-here"])  # sparse cell -> empty, no shift
+
+
+def test_parse_xlsx_bytes_omitted_rows_keep_numbers(tmp_path):
+    """ECMA-376 producers omit empty rows entirely; the sheet's own r
+    attributes must drive line numbering or headLine/dataLine shift."""
+    import zipfile
+
+    p = str(tmp_path / "gaps.xlsx")
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+        '<row r="2"><c r="A2"><v>20</v></c></row>'
+        '<row r="5"><c r="A5"><v>50</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert parse_xlsx_bytes(open(p, "rb").read()) == [(2, ["20"]), (5, ["50"])]
+
+
+def test_parse_xlsx_first_sheet_numeric_order(tmp_path):
+    """sheet2 must beat sheet10 (numeric, not lexicographic, order)."""
+    import zipfile
+
+    p = str(tmp_path / "many.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        for n, val in [(10, "ten"), (2, "two")]:
+            z.writestr(
+                f"xl/worksheets/sheet{n}.xml",
+                f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+                f'<row r="1"><c r="A1" t="inlineStr"><is><t>{val}</t></is></c></row>'
+                "</sheetData></worksheet>",
+            )
+    assert parse_xlsx_bytes(open(p, "rb").read()) == [(1, ["two"])]
 
 
 def test_parse_lines_xlsx_header_and_opts(spark, tmp_path):
