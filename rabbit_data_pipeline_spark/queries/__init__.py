@@ -42,19 +42,30 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-3 front-load: the 12 keys red/errored in CORRECTNESS_r02
-    # (10 events-load errors fixed in session.py this round, plus the
-    # q_case_agg oracle-typing and q_array_agg canonicalizer fixes).
-    "q_sessionize", "q_window_running", "q_json_extract", "q_asof_join",
-    "q_interval_join", "q_heavy_hitters", "q_range_window", "q_event_funnel",
-    "q_tumbling_window", "stream_session_window", "q_case_agg", "q_array_agg",
-    # Rows-only in r2, given seeded brute-force oracles this round.
-    "dedup_minhash", "dedup_simhash", "dedup_embedding", "ann_lsh", "ann_ivf",
-    # New this round: chunked parallel sync (SyncOtherMysql parity),
-    # decontamination + mixture sampling.
-    "sync_chunked", "text_decontaminate", "text_mix", "text_pack",
-    # Touched by this round's ADVICE fixes — re-verify ahead of green keys.
-    "sync_scd2", "q_market_share",
+    # Round-4 front-load, slot budget 50.
+    # (a) The one red key of r3 — its oracle's HUGEINT session_id (DuckDB
+    # SUM over int, the only final-output HUGEINT in the registry) is now
+    # CAST AS BIGINT — plus the five observability digest twins that
+    # localize which column diverges if the driver still disagrees.
+    "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
+    "q_sessionize_dg_val", "q_sessionize_dg_start", "q_sessionize_dg_end",
+    # (b) The 39 keys whose last green verdict is r1/r2 code — rotate them
+    # through the driver's 50-key cap so every key gets a verdict on
+    # current code.
+    "stream_windowed_agg", "stream_dedup", "stream_stream_join",
+    "q_filter_project", "q_agg_pricing", "q_join_broadcast",
+    "q_join_multiway", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_topn", "q_distinct", "q_union", "q_window_rank", "q_subquery_avg",
+    "q_time_bucket", "q_string_funcs", "q_having", "q_pivot", "q_rollup",
+    "q_percentile", "q_ship_priority", "q_order_priority", "q_nation_volume",
+    "q_returned_items", "q_count_distribution", "q_top_supplier",
+    "q_big_orders", "q_or_predicates", "q_cube", "q_waiting_supplier",
+    "q_idle_customers", "q_argminmax", "q_set_ops", "q_regexp_extract",
+    "q_window_distribution", "q_join_full", "q_date_parts", "q_null_funcs",
+    # (c) Keys whose code paths this round touches (line-range rewrite,
+    # xlsx ADVICE fixes, IVF centroid sampling) — re-verify on new code.
+    "line_parser_csv", "find_files", "ann_ivf", "dedup_clusters",
+    "pipeline_e2e",
 )
 
 
