@@ -8,11 +8,11 @@ file/text parsing with the reference's knobs:
 
 Spark-first: the fast path is the native CSV reader (whole-stage
 codegen, no Python). Line-range knobs (dataLine/endLine beyond a
-header) need per-file line numbers, which the csv reader doesn't
-expose — those use text + from_csv with an explicit line index. The
-index comes from zipWithIndex (one extra count job; line numbers are
-inherently sequential, so this is the honest distributed spelling —
-the reference reads the file serially line-by-line, LineParser.php:150).
+header) need PER-FILE line numbers, which the csv reader doesn't
+expose — those go binaryFile → mapInPandas with in-file numbering
+(one Arrow batch per file, no Python-RDD round-trip; the reference
+reads each file serially line-by-line, LineParser.php:150, so
+file-level parallelism is the faithful distributed spelling).
 
 xlsx: parsed natively — an xlsx is a zip of XML, so the stdlib
 (zipfile + ElementTree) decodes it with no excel dependency (the
@@ -46,9 +46,15 @@ def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
     keeps the sheet's own 1-based row numbers from the row `r`
     attribute — real producers OMIT empty rows from the XML (ECMA-376),
     so positional numbering would silently shift headLine/dataLine
-    addressing. "First worksheet" = lowest sheet NUMBER (numeric, so
-    sheet2 beats sheet10). Runs on executors inside the mapInPandas
-    batch below."""
+    addressing. "First worksheet" = the first <sheet> in
+    xl/workbook.xml resolved through the workbook rels (sheet ORDER is
+    defined there, not by member filename — a reordered workbook can
+    have sheet2.xml first); lowest-numbered sheetN.xml is the fallback
+    when the workbook/rels members are absent or unresolvable. Cells
+    lacking an `r` reference are placed at prev_col+1 per ECMA-376
+    §18.3.1.4 (placing at len(cells) would collide after a sparse
+    referenced cell). Runs on executors inside the mapInPandas batch
+    below."""
     import io
     import re
     import zipfile
@@ -60,17 +66,15 @@ def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_XLSX_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
-        sheets = sorted(
-            (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
-        )
-        if not sheets:
+        first_sheet = _resolve_first_sheet(z)
+        if first_sheet is None:
             raise ValueError("xlsx has no xl/worksheets/sheet*.xml member")
-        root = ET.fromstring(z.read(sheets[0]))
+        root = ET.fromstring(z.read(first_sheet))
 
     rows: list[tuple[int, list[str]]] = []
     for row in root.iter(f"{_XLSX_NS}row"):
         cells: dict[int, str] = {}
+        prev_col = -1
         for c in row.iter(f"{_XLSX_NS}c"):
             col = 0
             for ch in c.get("r", ""):
@@ -78,7 +82,8 @@ def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
                     col = col * 26 + (ord(ch.upper()) - 64)
                 else:
                     break
-            col = col - 1 if col else len(cells)
+            col = col - 1 if col else prev_col + 1
+            prev_col = col
             if c.get("t") == "inlineStr":
                 v = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
             else:
@@ -92,6 +97,38 @@ def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
         line = int(r_attr) if r_attr else (rows[-1][0] + 1 if rows else 1)
         rows.append((line, [cells.get(i, "") for i in range(width)]))
     return rows
+
+
+def _resolve_first_sheet(z: "zipfile.ZipFile") -> str | None:
+    """Workbook member path of the first sheet in display order:
+    xl/workbook.xml's <sheets> order + xl/_rels/workbook.xml.rels
+    r:id → Target mapping (ECMA-376 §18.2.20); numeric sheetN.xml sort
+    as fallback."""
+    import posixpath
+    import re
+    import xml.etree.ElementTree as ET
+
+    rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    rid_attr = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {r.get("Id"): r.get("Target") for r in rels.iter(f"{rel_ns}Relationship")}
+        for sheet in wb.iter(f"{_XLSX_NS}sheet"):
+            target = targets.get(sheet.get(rid_attr))
+            if not target:
+                continue
+            member = target if target.startswith("/") else posixpath.normpath(f"xl/{target}")
+            member = member.lstrip("/")
+            if member in z.namelist():
+                return member
+    except (KeyError, ET.ParseError):
+        pass
+    sheets = sorted(
+        (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+    return sheets[0] if sheets else None
 
 
 def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
@@ -118,6 +155,51 @@ def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return binf.select("content").mapInPandas(gen, schema)
 
 
+def _read_text_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """(__line, value) per text line, 1-based PER FILE — the text twin
+    of _read_xlsx_indexed. binaryFile → mapInPandas: each file's bytes
+    split on newlines where they land, no Python-RDD round-trip (the
+    old zipWithIndex spelling pickled every line through the driver's
+    RDD path and numbered lines across the concatenation of all files,
+    which is not the reference's per-file semantics,
+    LineParser.php:88-110). A single file can't split across tasks —
+    matching the serial reference — but N files parse on N slots."""
+    import pandas as pd
+
+    binf = spark.read.format("binaryFile").load(path)
+    schema = StructType(
+        [StructField("__line", LongType()), StructField("value", StringType())]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                text = bytes(content).decode("utf-8", "replace")
+                lines = text.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
+                yield pd.DataFrame(
+                    {"__line": range(1, len(lines) + 1), "value": lines}
+                )
+
+    return binf.select("content").mapInPandas(gen, schema)
+
+
+def _sniff_header(df_idx: DataFrame, head_line: int, value_col: str) -> list | None:
+    """Header cells at head_line. With multiple input files the filter
+    returns one row PER FILE; headers must agree (distinct) or the
+    choice would be nondeterministic — reference semantics are
+    per-file serial reads, so differing headers are a caller error."""
+    rows = df_idx.filter(F.col("__line") == head_line).select(value_col).distinct().take(2)
+    if len(rows) > 1:
+        raise ValueError(
+            f"input files disagree on the header at line {head_line}; "
+            "pass columns= explicitly to parse heterogeneous files"
+        )
+    return rows[0][0] if rows else None
+
+
 def parse_lines(
     spark: SparkSession,
     path: str,
@@ -140,25 +222,33 @@ def parse_lines(
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
 
     if file_type == "xlsx":
-        # cache: header sniff, width inference, and the caller's action
-        # would otherwise each re-read + re-unzip every workbook.
-        df_idx = _read_xlsx_indexed(spark, path).cache()
+        # Cache scoped to the sniff phase: header + width inference
+        # share one parse, then the cache is released — holding it for
+        # the caller's action would pin every workbook's rows in
+        # executor memory across parse_lines calls (the caller's single
+        # action re-parses once; bounded memory beats one saved scan).
+        df_idx = _read_xlsx_indexed(spark, path)
         header_names = columns
-        if head_line is not None and not columns:
-            h = df_idx.filter(F.col("__line") == head_line).first()
-            header_names = list(h["cells"]) if h else None
-        body = df_idx.filter(F.col("__line") >= data_line)
-        if end_line is not None:
-            body = body.filter(F.col("__line") < end_line)
-        if header_names:
-            n_cols = len(header_names)
-        else:
-            # max width over the whole body (rows are trimmed to their
-            # last non-empty cell, so first() would undercount; an
-            # empty body yields 0 columns instead of crashing).
-            n_cols = (body.agg(F.max(F.size("cells"))).first()[0]) or 0
-        names = header_names or [f"_c{i}" for i in range(n_cols)]
-        df = body.select(*[F.col("cells").getItem(i).alias(n) for i, n in enumerate(names)])
+        if not columns:
+            df_idx = df_idx.cache()
+        try:
+            if head_line is not None and not columns:
+                h = _sniff_header(df_idx, head_line, "cells")
+                header_names = list(h) if h is not None else None
+            body = df_idx.filter(F.col("__line") >= data_line)
+            if end_line is not None:
+                body = body.filter(F.col("__line") < end_line)
+            if header_names:
+                n_cols = len(header_names)
+            else:
+                # max width over the whole body (rows are trimmed to their
+                # last non-empty cell, so first() would undercount; an
+                # empty body yields 0 columns instead of crashing).
+                n_cols = (body.agg(F.max(F.size("cells"))).first()[0]) or 0
+            names = header_names or [f"_c{i}" for i in range(n_cols)]
+            df = body.select(*[F.col("cells").getItem(i).alias(n) for i, n in enumerate(names)])
+        finally:
+            df_idx.unpersist()
         return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
 
     simple = head_line in (None, 1) and data_line == (2 if head_line == 1 else 1) and end_line is None
@@ -173,23 +263,26 @@ def parse_lines(
         if columns:
             df = df.toDF(*columns)
     else:
-        # Line-range path: explicit line numbers.
-        lines = spark.read.text(path)
-        indexed = lines.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1] + 1))
-        df_idx = spark.createDataFrame(
-            indexed, StructType([StructField("value", StringType()), StructField("__line", LongType())])
-        )
+        # Line-range path: explicit per-file line numbers via
+        # binaryFile → mapInPandas (no Python-RDD round-trip), then
+        # from_csv stays JVM-side for the actual parsing.
+        df_idx = _read_text_indexed(spark, path)
         header_names = columns
-        if head_line is not None and not columns:
-            header = df_idx.filter(F.col("__line") == head_line).first()
-            header_names = header["value"].split(sep) if header else None
-        body = df_idx.filter(F.col("__line") >= data_line)
-        if end_line is not None:
-            body = body.filter(F.col("__line") < end_line)  # reference: i >= endLine stops BEFORE endLine
-        n_cols = len(header_names) if header_names else len(body.first()["value"].split(sep))
-        names = header_names or [f"_c{i}" for i in range(n_cols)]
-        schema = ", ".join(f"`{n}` string" for n in names)
-        df = body.select(F.from_csv("value", schema, {"sep": sep}).alias("r")).select("r.*")
+        if not columns:
+            df_idx = df_idx.cache()
+        try:
+            if head_line is not None and not columns:
+                h = _sniff_header(df_idx, head_line, "value")
+                header_names = h.split(sep) if h is not None else None
+            body = df_idx.filter(F.col("__line") >= data_line)
+            if end_line is not None:
+                body = body.filter(F.col("__line") < end_line)  # reference: i >= endLine stops BEFORE endLine
+            n_cols = len(header_names) if header_names else len(body.first()["value"].split(sep))
+            names = header_names or [f"_c{i}" for i in range(n_cols)]
+            schema = ", ".join(f"`{n}` string" for n in names)
+            df = body.select(F.from_csv("value", schema, {"sep": sep}).alias("r")).select("r.*")
+        finally:
+            df_idx.unpersist()
 
     return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
 

@@ -1,0 +1,60 @@
+"""LineParser line-range path (headLine/dataLine/endLine beyond the
+native csv reader's reach): per-FILE 1-based numbering via
+binaryFile → mapInPandas — no Python-RDD round-trip (the old
+zipWithIndex spelling pickled every line through the RDD API and
+numbered lines across the concatenation of all input files)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rabbit_data_pipeline_spark.operators.line_parser import _read_text_indexed, parse_lines
+
+
+def _write(p, lines):
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_line_range_per_file_numbering(spark, tmp_path):
+    """dataLine/endLine address lines WITHIN each file (reference reads
+    files serially one at a time, LineParser.php:88-110) — global
+    numbering would pick these rows from only the first file."""
+    f1 = _write(tmp_path / "a.csv", ["junk", "k,v", "a,1", "a,2", "a,3"])
+    f2 = _write(tmp_path / "b.csv", ["junk", "k,v", "b,1", "b,2", "b,3"])
+    df = parse_lines(spark, [f1, f2], file_type="csv", head_line=2, data_line=4, end_line=5)
+    assert {(r.k, r.v) for r in df.collect()} == {("a", "2"), ("b", "2")}
+
+
+def test_line_range_no_python_rdd_roundtrip(spark, tmp_path):
+    """The plan must be binaryFile scan → MapInPandas (Arrow), never a
+    Scan ExistingRDD (the signature of driver-side createDataFrame over
+    a pickled zipWithIndex RDD)."""
+    f = _write(tmp_path / "c.csv", ["h1,h2", "x,1", "y,2"])
+    df = parse_lines(spark, f, file_type="csv", head_line=1, data_line=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "ExistingRDD" not in plan
+    indexed_plan = _read_text_indexed(spark, f)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in indexed_plan
+
+
+def test_line_range_crlf_and_trailing_newline(spark, tmp_path):
+    p = tmp_path / "crlf.csv"
+    p.write_bytes(b"k,v\r\nx,1\r\ny,2\r\n")
+    df = parse_lines(spark, str(p), file_type="csv", head_line=1, data_line=2, end_line=3)
+    assert [(r.k, r.v) for r in df.collect()] == [("x", "1")]
+
+
+def test_line_range_multifile_header_mismatch_raises(spark, tmp_path):
+    f1 = _write(tmp_path / "m1.csv", ["junk", "a,b", "1,2"])
+    f2 = _write(tmp_path / "m2.csv", ["junk", "a,DIFFERENT", "1,2"])
+    with pytest.raises(Exception, match="disagree on the header"):
+        parse_lines(spark, [f1, f2], file_type="csv", head_line=2, data_line=3).collect()
+
+
+def test_line_range_no_header_width_inference(spark, tmp_path):
+    f = _write(tmp_path / "nh.tsv", ["x\t1\tq", "y\t2\tr", "z\t3\ts"])
+    df = parse_lines(spark, f, file_type="txt", head_line=None, data_line=2)
+    assert df.columns == ["_c0", "_c1", "_c2"]
+    assert {tuple(r) for r in df.collect()} == {("y", "2", "r"), ("z", "3", "s")}

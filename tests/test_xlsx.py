@@ -111,6 +111,68 @@ def test_parse_xlsx_first_sheet_numeric_order(tmp_path):
     assert parse_xlsx_bytes(open(p, "rb").read()) == [(1, ["two"])]
 
 
+def test_parse_xlsx_unreferenced_cell_after_sparse(tmp_path):
+    """Cells without r= land at prev_col+1 (ECMA-376 §18.3.1.4) — the
+    old len(cells) placement collided with an already-placed sparse
+    referenced cell (<c r="B1">x</c><c>y</c> overwrote x)."""
+    import zipfile
+
+    p = str(tmp_path / "noref.xlsx")
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+        '<row r="1"><c r="B1" t="inlineStr"><is><t>x</t></is></c>'
+        '<c t="inlineStr"><is><t>y</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert parse_xlsx_bytes(open(p, "rb").read()) == [(1, ["", "x", "y"])]
+
+
+def test_parse_xlsx_first_sheet_from_workbook_rels(tmp_path):
+    """Display order comes from workbook.xml + rels, not member names:
+    a workbook whose first <sheet> resolves to sheet2.xml must read
+    sheet2, even though sheet1.xml exists."""
+    import zipfile
+
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    doc_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    p = str(tmp_path / "reordered.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {_NS} xmlns:r="{doc_ns}"><sheets>'
+            '<sheet name="Second" sheetId="1" r:id="rId7"/>'
+            '<sheet name="First" sheetId="2" r:id="rId8"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{rel_ns}">'
+            '<Relationship Id="rId7" Type="t" Target="worksheets/sheet2.xml"/>'
+            '<Relationship Id="rId8" Type="t" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        for n, val in [(1, "one"), (2, "two")]:
+            z.writestr(
+                f"xl/worksheets/sheet{n}.xml",
+                f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+                f'<row r="1"><c r="A1" t="inlineStr"><is><t>{val}</t></is></c></row>'
+                "</sheetData></worksheet>",
+            )
+    assert parse_xlsx_bytes(open(p, "rb").read()) == [(1, ["two"])]
+
+
+def test_parse_lines_xlsx_multifile_header_mismatch_raises(spark, tmp_path):
+    write_xlsx(str(tmp_path / "h1.xlsx"), [["a", "b"], ["1", "2"]])
+    write_xlsx(str(tmp_path / "h2.xlsx"), [["a", "DIFFERENT"], ["1", "2"]])
+    with pytest.raises(Exception, match="disagree on the header"):
+        parse_lines(
+            spark,
+            [str(tmp_path / "h1.xlsx"), str(tmp_path / "h2.xlsx")],
+            file_type="xlsx",
+        ).collect()
+
+
 def test_parse_lines_xlsx_header_and_opts(spark, tmp_path):
     p = str(tmp_path / "inv.xlsx")
     write_xlsx(p, [["sku", "qty", "price"], ["a1", 2, 9.5], ["b2", 4, 1.25], ["c3", 6, 0.5]])
