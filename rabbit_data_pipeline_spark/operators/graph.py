@@ -7,14 +7,21 @@ canonical survivor per *cluster* needs the transitive closure. This is
 min-label propagation over the candidate-pair graph:
 
     label(v) <- min(label(v), min over neighbors u of label(u))
+    label(v) <- min(label(v), label(label(v)))      # pointer jump
 
-iterated to fixpoint — converges in O(graph diameter) rounds, and
-near-dup graphs are shallow (duplicate families, not social graphs).
-Everything is DataFrame joins/aggregations: the per-round shuffle is
-on the node id, the driver only sees one `count()` per round for the
-convergence check, and `localCheckpoint` cuts the lineage so plans
-don't grow exponentially with rounds. On a cluster, set a reliable
-checkpoint dir and swap localCheckpoint→checkpoint (flag below).
+iterated to fixpoint. The neighbor step alone needs O(diameter)
+rounds — degenerate on chain-shaped graphs (A~B~C~...~Z, which small
+sequential edits DO produce); the pointer-jumping step compresses
+label paths by doubling, so convergence is O(log diameter) — a
+100-node chain closes in ~8 rounds instead of 99. (Same asymptotics
+as the large-star/small-star algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14; this two-step spelling
+keeps every round a plain keyed join.) Everything is DataFrame
+joins/aggregations: the per-round shuffles are on node id / label id,
+the driver only sees one `count()` per round for the convergence
+check, and `localCheckpoint` cuts the lineage so plans don't grow
+exponentially with rounds. On a cluster, set a reliable checkpoint
+dir and swap localCheckpoint→checkpoint (flag below).
 
 The pair graph is the output of the LSH/banding candidate generators,
 i.e. ~(dup families) edges, orders of magnitude smaller than the
@@ -39,8 +46,9 @@ def connected_components(
     Returns (id, component) for every node that appears in `pairs`,
     where component = the minimum node id reachable (the canonical
     survivor). Deterministic; raises if not converged in `max_iter`
-    (near-dup graphs converge in a handful of rounds — hitting the cap
-    means the input is not a candidate-pair graph)."""
+    rounds — with pointer jumping the bound is O(log diameter), so the
+    default cap of 25 covers graphs with diameters up to ~2^20 and
+    hitting it means the input is not a candidate-pair graph."""
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)
@@ -54,6 +62,13 @@ def connected_components(
         )
         new_labels = labels.join(nbr_min, on="u", how="left").select(
             "u", F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label")
+        )
+        # Pointer jump: label(v) <- label(label(v)). Every label value
+        # is itself a node (a min-so-far id), so a self-join resolves
+        # one extra hop and halves the remaining path length per round.
+        jump = new_labels.select(F.col("u").alias("label"), F.col("label").alias("label2"))
+        new_labels = new_labels.join(jump, on="label", how="left").select(
+            "u", F.least("label", F.coalesce("label2", F.col("label"))).alias("label")
         )
         new_labels = (
             new_labels.checkpoint(eager=True)

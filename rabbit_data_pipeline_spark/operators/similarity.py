@@ -111,14 +111,23 @@ def ann_ivf(
 
     `centroids` is the trained codebook — real IVF trains k-means
     offline and serves with fixed centroids, so injection is the
-    production contract. When omitted, a distributed reservoir sample
-    (`takeSample`) picks n_centroids corpus rows: only n_centroids
-    rows ever reach the driver, no ordering or 512-row materialization
-    of the corpus (random-sample centroids are the standard cheap
-    substitute for k-means; the serving plan — the part that matters
-    at scale — is identical either way)."""
+    production contract. When omitted, the n_centroids corpus rows
+    with the lowest xxhash64(id, seed) become centroids: a
+    layout-INDEPENDENT pseudo-random sample (same seed + same ids =
+    same centroids, regardless of partitioning or input file order,
+    unlike rdd.takeSample whose draw depends on the RDD layout). The
+    plan is TakeOrderedAndProject — per-partition top-k merged on the
+    driver, only n_centroids rows ever collected (random-sample
+    centroids are the standard cheap substitute for k-means; the
+    serving plan — the part that matters at scale — is identical
+    either way)."""
     if centroids is None:
-        sampled = corpus.select(id_col, vec_col).rdd.takeSample(False, n_centroids, seed)
+        sampled = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
         centroids = [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(sampled)]
 
     def nearest_expr(vec, n: int):

@@ -15,24 +15,91 @@ step is operators.sync.bump_flag.
 
 from __future__ import annotations
 
-from typing import Any
+import re
+import time
+from typing import Any, Callable, Iterable
 
 from pyspark.sql import DataFrame
 
 from rabbit_data_pipeline_spark.operators.sync import upsert
 from rabbit_data_pipeline_spark.pipeline.scheduler import Scheduler, plugin
 
+# Default retryable set mirroring the reference's retryCode list shape
+# (Sinks/Pdo.php:87-101 retries only configured SQL error codes):
+# connection-class SQLSTATEs plus serialization/deadlock, and the MySQL
+# vendor codes the reference targets (2006 server-gone, 2013 lost
+# connection, 1213 deadlock, 1205 lock-wait timeout).
+DEFAULT_RETRY_CODES: tuple[str, ...] = (
+    "08000", "08001", "08003", "08004", "08006", "08S01",  # connection
+    "40001", "40P01",  # serialization failure / deadlock
+    "2006", "2013", "1213", "1205",  # MySQL vendor codes
+)
 
-def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", properties: dict | None = None, retries: int = 1) -> None:
-    """Pdo-sink parity incl. its retry loop (Sinks/Pdo.php retry/sleep)."""
-    last: Exception | None = None
-    for _ in range(max(1, retries)):
+_CODE_PATTERNS = (
+    re.compile(r"SQLSTATE\[(\w{5})\]", re.I),       # PDO-style message
+    re.compile(r"SQLSTATE:?\s*'?(\w{5})'?", re.I),  # JDBC SQLException message
+    re.compile(r"\berror(?:\s+code)?[:=]?\s*(\d{4})\b", re.I),  # vendor code
+)
+
+
+def error_code_of(exc: BaseException) -> str | None:
+    """Best-effort SQLSTATE / vendor code from a JDBC (Py4J-wrapped)
+    or DB-API exception: structured attributes first, then the
+    message patterns the common drivers emit."""
+    state = getattr(exc, "sqlstate", None) or getattr(exc, "pgcode", None)
+    if state:
+        return str(state)
+    msg = str(exc)
+    for pat in _CODE_PATTERNS:
+        m = pat.search(msg)
+        if m:
+            return next(g for g in m.groups() if g)
+    return None
+
+
+def retry_on_codes(
+    fn: Callable[[], Any],
+    retries: int = 1,
+    retry_codes: Iterable[str] | None = DEFAULT_RETRY_CODES,
+    backoff: float = 0.5,
+    _sleep: Callable[[float], None] = time.sleep,
+) -> Any:
+    """Pdo.php:87-101 retry semantics: re-run only when the failure's
+    SQL error code is in ``retry_codes`` (None = retry anything),
+    sleeping ``backoff * 2^attempt`` between attempts. A non-matching
+    code raises immediately — a constraint violation must not burn the
+    retry budget a flaky connection needs."""
+    allowed = None if retry_codes is None else {str(c).upper() for c in retry_codes}
+    attempts = max(1, retries)
+    for attempt in range(attempts):
         try:
-            df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
-            return
-        except Exception as e:  # retryCode semantics: retry any transient failure
-            last = e
-    raise last  # type: ignore[misc]
+            return fn()
+        except Exception as e:
+            code = error_code_of(e)
+            retryable = allowed is None or (code is not None and code.upper() in allowed)
+            if not retryable or attempt + 1 >= attempts:
+                raise
+            _sleep(backoff * (2**attempt))
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+    retries: int = 1,
+    retry_codes: Iterable[str] | None = DEFAULT_RETRY_CODES,
+    backoff: float = 0.5,
+) -> None:
+    """Pdo-sink parity incl. its code-conditional retry loop
+    (Sinks/Pdo.php retryCode/sleep)."""
+    retry_on_codes(
+        lambda: df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {}),
+        retries=retries,
+        retry_codes=retry_codes,
+        backoff=backoff,
+    )
 
 
 @plugin("sink.jdbc")
@@ -45,6 +112,9 @@ def _jdbc_sink(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> 
         mode=cfg.get("mode", "append"),
         properties=cfg.get("properties"),
         retries=int(cfg.get("retry", 1)),
+        # reference cfg key: retryCode (list of SQL error codes)
+        retry_codes=cfg.get("retryCode", cfg.get("retry_codes", DEFAULT_RETRY_CODES)),
+        backoff=float(cfg.get("backoff", 0.5)),
     )
     return df
 

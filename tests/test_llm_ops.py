@@ -82,6 +82,28 @@ def test_connected_components_chain_and_islands(spark):
     assert survivors == [1, 10, 20, 99]
 
 
+def test_connected_components_long_chain_converges_under_bound(spark):
+    """A 100-node chain has diameter 99 — plain neighbor-min label
+    propagation would need ~99 rounds and blow the 25-round cap; the
+    pointer-jumping step must close it in O(log n) rounds."""
+    from rabbit_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 100)], ["id_a", "id_b"])
+    comp = {r.id: r.component for r in connected_components(pairs, max_iter=25).collect()}
+    assert len(comp) == 100
+    assert set(comp.values()) == {1}
+
+
+def test_connected_components_raises_past_bound(spark):
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     from rabbit_data_pipeline_spark.operators.dedup import simhash64
 
