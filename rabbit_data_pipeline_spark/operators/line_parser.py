@@ -14,13 +14,14 @@ expose — those go binaryFile → mapInPandas with in-file numbering
 reads each file serially line-by-line, LineParser.php:150, so
 file-level parallelism is the faithful distributed spelling).
 
-xlsx: parsed natively — an xlsx is a zip of XML, so the stdlib
-(zipfile + ElementTree) decodes it with no excel dependency (the
-reference gates on ext-xlswriter, LineParser.php:118; we only gate
-legacy binary .xls/BIFF). Scale shape: `binaryFile` scan →
-mapInPandas, so N workbook files parse on N executor slots — a zip
-member can't be split, but file-level parallelism is exactly how the
-reference's FindFiles→LineParser fan-out behaves.
+xlsx and legacy .xls: parsed natively — an xlsx is a zip of XML
+(zipfile + ElementTree) and a .xls is BIFF8 in a CFB container
+(operators/xls.py, pure struct) — no excel dependency either way (the
+reference gates both on ext-xlswriter, LineParser.php:118). Scale
+shape: `binaryFile` scan → mapInPandas, so N workbook files parse on
+N executor slots — a workbook can't be split, but file-level
+parallelism is exactly how the reference's FindFiles→LineParser
+fan-out behaves.
 """
 
 from __future__ import annotations
@@ -131,10 +132,10 @@ def _resolve_first_sheet(z: "zipfile.ZipFile") -> str | None:
     return sheets[0] if sheets else None
 
 
-def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """(__line, cells) per worksheet row, 1-based per file — the xlsx
-    twin of the text+zipWithIndex path. binaryFile → mapInPandas: each
-    workbook is one Arrow row, parsed where it lands."""
+def _read_grid_indexed(spark: SparkSession, path: str | list[str], parse_fn) -> DataFrame:
+    """(__line, cells) per worksheet row, 1-based per file. binaryFile →
+    mapInPandas: each workbook is one Arrow row, parsed where it lands
+    by `parse_fn` (parse_xlsx_bytes or parse_xls_bytes)."""
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
@@ -147,12 +148,16 @@ def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
             lines: list[int] = []
             cell_rows: list[list[str]] = []
             for content in pdf["content"]:
-                for line, r in parse_xlsx_bytes(bytes(content)):
+                for line, r in parse_fn(bytes(content)):
                     lines.append(line)
                     cell_rows.append(r)
             yield pd.DataFrame({"__line": lines, "cells": cell_rows})
 
     return binf.select("content").mapInPandas(gen, schema)
+
+
+def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    return _read_grid_indexed(spark, path, parse_xlsx_bytes)
 
 
 def _read_text_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
@@ -217,17 +222,20 @@ def parse_lines(
 ) -> DataFrame:
     if file_type not in SUPPORT_EXT:
         raise ValueError(f"fileType only support ({' & '.join(SUPPORT_EXT)})")  # LineParser.php:115
-    if file_type == "xls":
-        raise NotImplementedError("legacy binary .xls (BIFF) needs an external reader; .xlsx parses natively")
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
 
-    if file_type == "xlsx":
+    if file_type in ("xlsx", "xls"):
         # Cache scoped to the sniff phase: header + width inference
         # share one parse, then the cache is released — holding it for
         # the caller's action would pin every workbook's rows in
         # executor memory across parse_lines calls (the caller's single
         # action re-parses once; bounded memory beats one saved scan).
-        df_idx = _read_xlsx_indexed(spark, path)
+        if file_type == "xls":
+            from rabbit_data_pipeline_spark.operators.xls import parse_xls_bytes
+
+            df_idx = _read_grid_indexed(spark, path, parse_xls_bytes)
+        else:
+            df_idx = _read_xlsx_indexed(spark, path)
         header_names = columns
         if not columns:
             df_idx = df_idx.cache()

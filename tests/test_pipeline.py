@@ -143,10 +143,6 @@ def test_line_parser_rejects_bad_type(spark):
 
     with pytest.raises(ValueError, match="fileType only support"):
         parse_lines(spark, "/x", file_type="pdf")
-    # xlsx parses natively now (tests/test_xlsx.py); only legacy
-    # binary .xls stays gated.
-    with pytest.raises(NotImplementedError):
-        parse_lines(spark, "/x", file_type="xls")
 
 
 def test_http_fetch_column_fake(spark):

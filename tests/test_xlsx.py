@@ -198,6 +198,10 @@ def test_parse_lines_xlsx_line_range_multifile(spark, tmp_path):
     assert {r.k for r in df.collect()} == {"f0-r2", "f1-r2"}
 
 
-def test_xls_still_gated(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
-        parse_lines(spark, str(tmp_path / "a.xls"), file_type="xls")
+def test_xls_parses_natively_now(spark, tmp_path):
+    """Legacy .xls routes through the BIFF8 reader (tests/test_xls_biff.py)
+    instead of raising — a zip renamed .xls still fails loudly."""
+    from rabbit_data_pipeline_spark.operators.xls import parse_xls_bytes
+
+    with pytest.raises(ValueError, match="bad magic"):
+        parse_xls_bytes(b"not-a-cfb" + b"\x00" * 100)
