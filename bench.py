@@ -63,8 +63,18 @@ def _ensure_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> float:
 
     from rabbit_data_pipeline_spark.session import load_tables
 
+    # Reuse only when the SOURCE is unchanged: the marker records a
+    # fingerprint of the source files (name/size/mtime), so regenerated
+    # testdata invalidates the scaled copy instead of silently timing
+    # queries against a stale 10x of the old data.
+    fingerprint = repr(
+        sorted(
+            (f, os.path.getsize(os.path.join(src_dir, f)), int(os.path.getmtime(os.path.join(src_dir, f))))
+            for f in os.listdir(src_dir)
+        )
+    )
     marker = os.path.join(dst_dir, "_BUILT")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read() == fingerprint:
         return 0.0
     t0 = time.perf_counter()
     offsets = {}
@@ -77,7 +87,8 @@ def _ensure_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> float:
         )
         tables[t] = df
         if t in _KEY_OWNERS:
-            offsets[t] = int(df.agg(F.max(_KEY_OWNERS[t])).first()[0]) + 1
+            m = df.agg(F.max(_KEY_OWNERS[t])).first()[0]  # None on an empty table
+            offsets[t] = (int(m) if m is not None else 0) + 1
     for t, shifts in _SHIFTS.items():
         df = tables[t]
         if not shifts:
@@ -97,7 +108,7 @@ def _ensure_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> float:
         n_files = 8 if t in ("lineitem", "orders", "events") else 2
         out.repartition(n_files).write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fingerprint)
     return round(time.perf_counter() - t0, 2)
 
 HEADLINE = [

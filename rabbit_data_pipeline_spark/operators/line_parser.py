@@ -121,7 +121,10 @@ def _resolve_first_sheet(z: "zipfile.ZipFile") -> str | None:
                 continue
             member = target if target.startswith("/") else posixpath.normpath(f"xl/{target}")
             member = member.lstrip("/")
-            if member in z.namelist():
+            # Only WORKsheets: a workbook whose first display tab is a
+            # chartsheet (xl/chartsheets/…) has no row grid — taking it
+            # would silently yield zero rows.
+            if member.startswith("xl/worksheets/") and member in z.namelist():
                 return member
     except (KeyError, ET.ParseError):
         pass
@@ -168,25 +171,51 @@ def _read_text_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
     RDD path and numbered lines across the concatenation of all files,
     which is not the reference's per-file semantics,
     LineParser.php:88-110). A single file can't split across tasks —
-    matching the serial reference — but N files parse on N slots."""
+    matching the serial reference — but N files parse on N slots.
+
+    Memory shape: binaryFile materializes each file's raw bytes in one
+    task (hard cap ~2 GB from the JVM byte array; guarded below with a
+    clear error), and the decode emits bounded 64k-line pandas chunks
+    so peak memory is ~file bytes + one chunk, not bytes + full decode
+    + full frame. Line-RANGE parsing of a single >1 GB file is the
+    wrong tool regardless — at that size use the native csv reader
+    (head_line∈{None,1}) which splits the file across tasks."""
     import pandas as pd
 
     binf = spark.read.format("binaryFile").load(path)
     schema = StructType(
         [StructField("__line", LongType()), StructField("value", StringType())]
     )
+    max_bytes = 1 << 30
+    chunk_lines = 65536
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for content in pdf["content"]:
-                text = bytes(content).decode("utf-8", "replace")
-                lines = text.split("\n")
-                if lines and lines[-1] == "":
-                    lines.pop()
-                lines = [ln[:-1] if ln.endswith("\r") else ln for ln in lines]
-                yield pd.DataFrame(
-                    {"__line": range(1, len(lines) + 1), "value": lines}
-                )
+                raw = bytes(content)
+                if len(raw) > max_bytes:
+                    raise ValueError(
+                        f"line-range parsing loads whole files per task; this file is "
+                        f"{len(raw)>>20} MiB (cap 1024). Split the file or use the "
+                        "native csv fast path (head_line=1/None, no end_line)."
+                    )
+                line_no = 0
+                lines_iter = raw.split(b"\n")
+                if lines_iter and lines_iter[-1] == b"":
+                    lines_iter.pop()
+                for off in range(0, len(lines_iter), chunk_lines):
+                    chunk = lines_iter[off : off + chunk_lines]
+                    vals = [
+                        (ln[:-1] if ln.endswith(b"\r") else ln).decode("utf-8", "replace")
+                        for ln in chunk
+                    ]
+                    yield pd.DataFrame(
+                        {
+                            "__line": range(line_no + 1, line_no + len(vals) + 1),
+                            "value": vals,
+                        }
+                    )
+                    line_no += len(vals)
 
     return binf.select("content").mapInPandas(gen, schema)
 
@@ -195,8 +224,20 @@ def _sniff_header(df_idx: DataFrame, head_line: int, value_col: str) -> list | N
     """Header cells at head_line. With multiple input files the filter
     returns one row PER FILE; headers must agree (distinct) or the
     choice would be nondeterministic — reference semantics are
-    per-file serial reads, so differing headers are a caller error."""
-    rows = df_idx.filter(F.col("__line") == head_line).select(value_col).distinct().take(2)
+    per-file serial reads, so differing headers are a caller error.
+    Cell arrays are compared with trailing empties stripped: Excel
+    routinely emits touched-but-empty styled cells, and ['k','v'] vs
+    ['k','v',''] is the same logical header."""
+    col = F.col(value_col)
+    if value_col == "cells":
+        # slice to the last non-empty cell (0-length when all empty;
+        # sequence(1,0) is DESCENDING in Spark, hence the size guard)
+        col = F.expr(
+            f"IF(size({value_col}) = 0, {value_col},"
+            f" slice({value_col}, 1, aggregate(sequence(1, size({value_col})), 0,"
+            f" (acc, i) -> IF(element_at({value_col}, i) <> '', i, acc))))"
+        )
+    rows = df_idx.filter(F.col("__line") == head_line).select(col.alias(value_col)).distinct().take(2)
     if len(rows) > 1:
         raise ValueError(
             f"input files disagree on the header at line {head_line}; "

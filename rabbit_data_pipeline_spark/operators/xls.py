@@ -54,7 +54,11 @@ def _cfb_stream(content: bytes, names: tuple[str, ...]) -> bytes:
     difat_start, n_difat = struct.unpack_from("<II", content, 68)
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # Sector 0 starts right after the header, which occupies one
+        # full sector: offset (i+1)*ssz. For v3 (512-byte sectors)
+        # that equals the familiar 512 + i*512; for v4 (4096-byte
+        # sectors) the first sector is at 4096, not 512.
+        off = (i + 1) * ssz
         return content[off : off + ssz]
 
     # DIFAT: 109 entries in the header, then chained DIFAT sectors.
@@ -164,21 +168,36 @@ def _parse_sst(stream: bytes, pos: int, length: int) -> list[str]:
         remaining = cch
         high = bool(grbit & 0x01)
         while remaining:
-            ensure_block()
-            avail = bend - bpos
-            width = 2 if high else 1
-            take = min(remaining, avail // width)
-            if take == 0:  # mid-string CONTINUE: fresh grbit byte
+            # Character data resuming in a CONTINUE starts with a fresh
+            # grbit byte ([MS-XLS] 2.5.294: the continued fragment may
+            # switch width) — consume it HERE, explicitly; ensure_block
+            # would advance past the boundary without eating it and the
+            # grbit would decode as a character.
+            if bpos >= bend or (bend - bpos) < (2 if high else 1):
                 bi += 1
                 bpos, bend = blocks[bi][0], blocks[bi][0] + blocks[bi][1]
                 high = bool(stream[bpos] & 0x01)
                 bpos += 1
-                continue
+            width = 2 if high else 1
+            take = min(remaining, (bend - bpos) // width)
             raw = stream[bpos : bpos + take * width]
             chars.append(raw.decode("utf-16-le", "replace") if high else raw.decode("latin-1"))
             bpos += take * width
             remaining -= take
-        bpos += 4 * c_run + cb_ext
+        # Rich-run / ExtRst payloads may themselves spill across a
+        # CONTINUE; unlike character data they carry NO fresh grbit at
+        # the boundary, so skip block-by-block — a flat `bpos += skip`
+        # that overshoots the block end would get snapped to the next
+        # block's START by ensure_block, silently desynchronizing every
+        # following string.
+        skip = 4 * c_run + cb_ext
+        while skip:
+            ensure_block()
+            take = min(skip, bend - bpos)
+            if take == 0:
+                break  # malformed: ran out of CONTINUE data
+            bpos += take
+            skip -= take
         strings.append("".join(chars))
     return strings
 
@@ -193,7 +212,13 @@ def _rk_value(rk: int) -> float:
 
 def _fmt_number(v: float) -> str:
     """Match the xlsx path's look: xlsx stores '3' / '9.5' as raw text;
-    BIFF stores IEEE doubles — render integers without the '.0'."""
+    BIFF stores IEEE doubles — render integers without the '.0'.
+    NaN/inf (corrupt or exotic cells) render as text instead of
+    aborting the workbook (int(nan) raises)."""
+    import math
+
+    if not math.isfinite(v):
+        return repr(v)
     return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
 
 

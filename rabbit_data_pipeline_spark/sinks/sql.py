@@ -38,23 +38,33 @@ DEFAULT_RETRY_CODES: tuple[str, ...] = (
 _CODE_PATTERNS = (
     re.compile(r"SQLSTATE\[(\w{5})\]", re.I),       # PDO-style message
     re.compile(r"SQLSTATE:?\s*'?(\w{5})'?", re.I),  # JDBC SQLException message
+    re.compile(r"\[(\d{4})\]"),                     # PDO bracketed vendor code
     re.compile(r"\berror(?:\s+code)?[:=]?\s*(\d{4})\b", re.I),  # vendor code
 )
 
 
-def error_code_of(exc: BaseException) -> str | None:
-    """Best-effort SQLSTATE / vendor code from a JDBC (Py4J-wrapped)
-    or DB-API exception: structured attributes first, then the
-    message patterns the common drivers emit."""
+def error_codes_of(exc: BaseException) -> tuple[str, ...]:
+    """ALL SQLSTATE / vendor codes extractable from a JDBC
+    (Py4J-wrapped) or DB-API exception: structured attributes first,
+    then every message-pattern match. Drivers routinely emit both at
+    once — 'SQLSTATE[HY000] [2006] MySQL server has gone away' — and
+    the retryable signal can be in either position, so the retry
+    decision must consider the whole set, not the first hit."""
+    codes: list[str] = []
     state = getattr(exc, "sqlstate", None) or getattr(exc, "pgcode", None)
     if state:
-        return str(state)
+        codes.append(str(state))
     msg = str(exc)
     for pat in _CODE_PATTERNS:
-        m = pat.search(msg)
-        if m:
-            return next(g for g in m.groups() if g)
-    return None
+        for m in pat.finditer(msg):
+            codes.extend(g for g in m.groups() if g)
+    return tuple(dict.fromkeys(codes))
+
+
+def error_code_of(exc: BaseException) -> str | None:
+    """First extractable code (see error_codes_of for the full set)."""
+    codes = error_codes_of(exc)
+    return codes[0] if codes else None
 
 
 def retry_on_codes(
@@ -64,8 +74,10 @@ def retry_on_codes(
     backoff: float = 0.5,
     _sleep: Callable[[float], None] = time.sleep,
 ) -> Any:
-    """Pdo.php:87-101 retry semantics: re-run only when the failure's
-    SQL error code is in ``retry_codes`` (None = retry anything),
+    """Pdo.php:87-101 retry semantics: re-run only when ANY of the
+    failure's extractable SQL error codes (a message can carry both a
+    generic SQLSTATE and the decisive vendor code) is in
+    ``retry_codes`` (None = retry anything),
     sleeping ``backoff * 2^attempt`` between attempts. A non-matching
     code raises immediately — a constraint violation must not burn the
     retry budget a flaky connection needs."""
@@ -75,8 +87,8 @@ def retry_on_codes(
         try:
             return fn()
         except Exception as e:
-            code = error_code_of(e)
-            retryable = allowed is None or (code is not None and code.upper() in allowed)
+            codes = error_codes_of(e)
+            retryable = allowed is None or any(c.upper() in allowed for c in codes)
             if not retryable or attempt + 1 >= attempts:
                 raise
             _sleep(backoff * (2**attempt))

@@ -66,6 +66,21 @@ def test_retry_codes_none_retries_anything():
     assert retry_on_codes(fn, retries=2, retry_codes=None, _sleep=lambda _: None) == "ok"
 
 
+def test_pdo_combined_state_and_vendor_code_retries():
+    """Real PDO messages carry BOTH a generic SQLSTATE and the decisive
+    vendor code: 'SQLSTATE[HY000] [2006] MySQL server has gone away'.
+    The retry decision must consider every extractable code — matching
+    only the first (HY000, not retryable) would give the exact
+    transient failure the default list targets zero retries."""
+    from rabbit_data_pipeline_spark.sinks.sql import error_codes_of
+
+    msg = "SQLSTATE[HY000] [2006] MySQL server has gone away"
+    assert set(error_codes_of(RuntimeError(msg))) >= {"HY000", "2006"}
+    fn = _Flaky([RuntimeError(msg)])
+    assert retry_on_codes(fn, retries=3, _sleep=lambda _: None) == "ok"
+    assert fn.calls == 2
+
+
 def test_vendor_code_and_jdbc_message_forms():
     assert error_code_of(RuntimeError("java.sql.SQLException: ... SQLState: 08S01")) == "08S01"
     assert error_code_of(RuntimeError("MySQL error code: 2013, lost connection")) == "2013"

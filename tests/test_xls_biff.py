@@ -223,6 +223,70 @@ def test_parse_lines_xls_line_range_multifile(spark, tmp_path):
     assert {r.k for r in df.collect()} == {"f0-r2", "f1-r2"}
 
 
+def _sst_rec(payload: bytes) -> bytes:
+    return _biff_rec(0x00FC, payload)
+
+
+def _wrap_custom_sst(sst_blocks: list[bytes], labels: list[tuple[int, int, int]]) -> bytes:
+    """Workbook stream with a hand-built SST (first block is the SST
+    record, the rest CONTINUEs) and LABELSST cells (row, col, isst)."""
+    bof_g = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    sst = _sst_rec(sst_blocks[0]) + b"".join(_biff_rec(0x003C, b) for b in sst_blocks[1:])
+
+    def boundsheet(lb):
+        return _biff_rec(0x0085, struct.pack("<I", lb) + bytes([0, 0]) + struct.pack("<B", 6) + b"\x00" + b"Sheet1")
+
+    globals_len = len(bof_g) + len(sst) + len(boundsheet(0)) + 4
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + b"".join(_biff_rec(0x00FD, struct.pack("<HHHI", r, c, 0, i)) for r, c, i in labels)
+        + _biff_rec(0x000A, b"")
+    )
+    stream = bof_g + sst + boundsheet(globals_len) + _biff_rec(0x000A, b"") + sheet
+    return _cfb_wrap(stream)
+
+
+def test_sst_mid_string_continue_split():
+    """Character data resuming in a CONTINUE starts with a fresh grbit
+    byte — it must be consumed, not decoded as a character."""
+    # one string "hello-world" (11 chars), split after 5 chars
+    head = struct.pack("<II", 1, 1) + struct.pack("<HB", 11, 0) + b"hello"
+    cont = b"\x00" + b"-world"  # fresh grbit (compressed) + remaining chars
+    blob = _wrap_custom_sst([head, cont], [(0, 0, 0)])
+    assert parse_xls_bytes(blob) == [(1, ["hello-world"])]
+
+
+def test_sst_mid_string_continue_width_switch():
+    """The continued fragment may switch to 16-bit chars (grbit bit 0)."""
+    head = struct.pack("<II", 1, 1) + struct.pack("<HB", 4, 0) + b"ab"
+    cont = b"\x01" + "éü".encode("utf-16-le")
+    blob = _wrap_custom_sst([head, cont], [(0, 0, 0)])
+    assert parse_xls_bytes(blob) == [(1, ["abéü"])]
+
+
+def test_sst_rich_run_spill_across_continue():
+    """A rich string whose formatting-run bytes spill into the next
+    CONTINUE must not desynchronize the following strings (runs carry
+    NO fresh grbit at the boundary, unlike character data)."""
+    # string 1: "rich", fRichSt, 3 runs (12 bytes) of which 8 spill
+    s1 = struct.pack("<HB", 4, 0x08) + struct.pack("<H", 3) + b"rich" + b"\xaa" * 4
+    cont = b"\xbb" * 8 + struct.pack("<HB", 5, 0) + b"after"
+    head = struct.pack("<II", 2, 2) + s1
+    blob = _wrap_custom_sst([head, cont], [(0, 0, 0), (0, 1, 1)])
+    assert parse_xls_bytes(blob) == [(1, ["rich", "after"])]
+
+
+def test_number_nan_inf_cells_do_not_abort(tmp_path):
+    from rabbit_data_pipeline_spark.operators.xls import _fmt_number
+
+    assert _fmt_number(float("nan")) == "nan"
+    assert _fmt_number(float("inf")) == "inf"
+    p = str(tmp_path / "nan.xls")
+    write_xls(p, [["k", float("nan")], ["x", 1]])
+    rows = parse_xls_bytes(open(p, "rb").read())
+    assert rows == [(1, ["k", "nan"]), (2, ["x", "1"])]
+
+
 def test_not_a_cfb_file_raises():
     with pytest.raises(ValueError, match="bad magic"):
         parse_xls_bytes(b"PK\x03\x04 this is a zip actually" + b"\x00" * 600)

@@ -162,6 +162,64 @@ def test_parse_xlsx_first_sheet_from_workbook_rels(tmp_path):
     assert parse_xlsx_bytes(open(p, "rb").read()) == [(1, ["two"])]
 
 
+def test_parse_xlsx_chartsheet_first_falls_to_worksheet(tmp_path):
+    """A workbook whose first display tab is a CHARTsheet has no row
+    grid; the resolver must skip it (only xl/worksheets/ targets) and
+    read the first real worksheet instead of returning zero rows."""
+    import zipfile
+
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    doc_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    p = str(tmp_path / "chartfirst.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {_NS} xmlns:r="{doc_ns}"><sheets>'
+            '<sheet name="Chart" sheetId="1" r:id="rId1"/>'
+            '<sheet name="Data" sheetId="2" r:id="rId2"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{rel_ns}">'
+            '<Relationship Id="rId1" Type="c" Target="chartsheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="w" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr(
+            "xl/chartsheets/sheet1.xml",
+            f'<?xml version="1.0"?><chartsheet {_NS}></chartsheet>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>data</t></is></c></row>'
+            "</sheetData></worksheet>",
+        )
+    assert parse_xlsx_bytes(open(p, "rb").read()) == [(1, ["data"])]
+
+
+def test_parse_lines_xlsx_trailing_empty_header_cell_agrees(spark, tmp_path):
+    """Touched-but-empty trailing styled cells must not trip the
+    multi-file header-agreement check: ['k','v'] == ['k','v','']."""
+    import zipfile
+
+    write_xlsx(str(tmp_path / "t1.xlsx"), [["k", "v"], ["a", 1]])
+    p2 = str(tmp_path / "t2.xlsx")
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>v</t></is></c>'
+        '<c r="C1"></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="B2"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p2, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = parse_lines(spark, [str(tmp_path / "t1.xlsx"), p2], file_type="xlsx")
+    assert {(r.k, r.v) for r in df.collect()} == {("a", "1"), ("b", "2")}
+
+
 def test_parse_lines_xlsx_multifile_header_mismatch_raises(spark, tmp_path):
     write_xlsx(str(tmp_path / "h1.xlsx"), [["a", "b"], ["1", "2"]])
     write_xlsx(str(tmp_path / "h2.xlsx"), [["a", "DIFFERENT"], ["1", "2"]])
