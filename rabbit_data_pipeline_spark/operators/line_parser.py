@@ -135,13 +135,15 @@ def _resolve_first_sheet(z: "zipfile.ZipFile") -> str | None:
     return sheets[0] if sheets else None
 
 
-def _read_grid_indexed(spark: SparkSession, path: str | list[str], parse_fn) -> DataFrame:
+def _read_grid_indexed(
+    spark: SparkSession, path: str | list[str], parse_fn, reader_options: dict | None = None
+) -> DataFrame:
     """(__line, cells) per worksheet row, 1-based per file. binaryFile →
     mapInPandas: each workbook is one Arrow row, parsed where it lands
     by `parse_fn` (parse_xlsx_bytes or parse_xls_bytes)."""
     import pandas as pd
 
-    binf = spark.read.format("binaryFile").load(path)
+    binf = spark.read.format("binaryFile").options(**(reader_options or {})).load(path)
     schema = StructType(
         [StructField("__line", LongType()), StructField("cells", ArrayType(StringType()))]
     )
@@ -159,11 +161,15 @@ def _read_grid_indexed(spark: SparkSession, path: str | list[str], parse_fn) -> 
     return binf.select("content").mapInPandas(gen, schema)
 
 
-def _read_xlsx_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    return _read_grid_indexed(spark, path, parse_xlsx_bytes)
+def _read_xlsx_indexed(
+    spark: SparkSession, path: str | list[str], reader_options: dict | None = None
+) -> DataFrame:
+    return _read_grid_indexed(spark, path, parse_xlsx_bytes, reader_options)
 
 
-def _read_text_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
+def _read_text_indexed(
+    spark: SparkSession, path: str | list[str], reader_options: dict | None = None
+) -> DataFrame:
     """(__line, value) per text line, 1-based PER FILE — the text twin
     of _read_xlsx_indexed. binaryFile → mapInPandas: each file's bytes
     split on newlines where they land, no Python-RDD round-trip (the
@@ -182,7 +188,7 @@ def _read_text_indexed(spark: SparkSession, path: str | list[str]) -> DataFrame:
     (head_line∈{None,1}) which splits the file across tasks."""
     import pandas as pd
 
-    binf = spark.read.format("binaryFile").load(path)
+    binf = spark.read.format("binaryFile").options(**(reader_options or {})).load(path)
     schema = StructType(
         [StructField("__line", LongType()), StructField("value", StringType())]
     )
@@ -260,7 +266,12 @@ def parse_lines(
     rename: dict[str, str] | None = None,
     add_fields: dict[str, Any] | None = None,
     id_key: str | None = None,
+    reader_options: dict | None = None,
 ) -> DataFrame:
+    """`reader_options` are extra Spark reader options (pathGlobFilter,
+    recursiveFileLookup, …) applied to whichever source reads `path` —
+    this is how a FindFiles listing spec flows through without
+    collecting the matched paths to the driver."""
     if file_type not in SUPPORT_EXT:
         raise ValueError(f"fileType only support ({' & '.join(SUPPORT_EXT)})")  # LineParser.php:115
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
@@ -274,9 +285,9 @@ def parse_lines(
         if file_type == "xls":
             from rabbit_data_pipeline_spark.operators.xls import parse_xls_bytes
 
-            df_idx = _read_grid_indexed(spark, path, parse_xls_bytes)
+            df_idx = _read_grid_indexed(spark, path, parse_xls_bytes, reader_options)
         else:
-            df_idx = _read_xlsx_indexed(spark, path)
+            df_idx = _read_xlsx_indexed(spark, path, reader_options)
         header_names = columns
         if not columns:
             df_idx = df_idx.cache()
@@ -307,6 +318,7 @@ def parse_lines(
             spark.read.format("csv")
             .option("header", "true" if head_line == 1 else "false")
             .option("sep", sep)
+            .options(**(reader_options or {}))
             .load(path)
         )
         if columns:
@@ -315,7 +327,7 @@ def parse_lines(
         # Line-range path: explicit per-file line numbers via
         # binaryFile → mapInPandas (no Python-RDD round-trip), then
         # from_csv stays JVM-side for the actual parsing.
-        df_idx = _read_text_indexed(spark, path)
+        df_idx = _read_text_indexed(spark, path, reader_options)
         header_names = columns
         if not columns:
             df_idx = df_idx.cache()
@@ -361,15 +373,30 @@ def _apply_column_opts(
 
 @plugin("transform.line_parser")
 def _line_parser(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
-    """Pipeline plugin: parses cfg['path'], or the paths produced by an
+    """Pipeline plugin: parses cfg['path'], or the files produced by an
     upstream find_files node (reference FindFiles → LineParser chain).
-    Multiple upstream paths parse as one multi-file load."""
+
+    When the upstream listing carries its load spec
+    (``__rdps_listing__``, set by sources.files.find_files), the glob
+    is passed straight through — the matched paths never round-trip
+    through the driver, so a millions-of-files scan stays distributed.
+    Otherwise (arbitrary upstream DataFrames of paths) falls back to
+    collecting the path column."""
     path = cfg.get("path")
+    reader_options = cfg.get("readerOptions", cfg.get("reader_options"))
     if path is None and inputs:
         (files_df,) = inputs
-        path = [r["path"].replace("file:", "") for r in files_df.select("path").collect()]
-        if not path:
-            raise ValueError("no input files")
+        listing = getattr(files_df, "__rdps_listing__", None)
+        if listing is not None:
+            path = listing["path"]
+            reader_options = {
+                **{k: v for k, v in listing.items() if k != "path"},
+                **(reader_options or {}),
+            }
+        else:
+            path = [r["path"].replace("file:", "") for r in files_df.select("path").collect()]
+            if not path:
+                raise ValueError("no input files")
     return parse_lines(
         sch.spark,
         path,
@@ -384,4 +411,5 @@ def _line_parser(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -
         rename=cfg.get("map"),
         add_fields=cfg.get("addField", cfg.get("add_fields")),
         id_key=cfg.get("idKey", cfg.get("id_key")),
+        reader_options=reader_options,
     )

@@ -50,6 +50,15 @@ def find_files(
         .load(pattern if "*" in scan_dir else scan_dir)
         .select("path", "length", "modificationTime")
     )
+    # Listing provenance for downstream consumers (FindFiles →
+    # LineParser chain): the equivalent load spec lets the parser read
+    # by glob instead of collecting N paths through the driver —
+    # at millions of files the path list itself is the bottleneck.
+    df.__rdps_listing__ = {
+        "path": scan_dir,
+        "pathGlobFilter": "*.{" + ",".join(extensions) + "}",
+        "recursiveFileLookup": "true",
+    }
     return df
 
 

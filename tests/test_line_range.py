@@ -53,6 +53,30 @@ def test_line_range_multifile_header_mismatch_raises(spark, tmp_path):
         parse_lines(spark, [f1, f2], file_type="csv", head_line=2, data_line=3).collect()
 
 
+def test_find_files_chain_passes_glob_not_paths(spark, tmp_path):
+    """FindFiles → LineParser: the listing's load spec must flow
+    through as a glob; the matched paths must NOT be collected to the
+    driver (at millions of files the path list is the bottleneck)."""
+    from types import SimpleNamespace
+
+    from rabbit_data_pipeline_spark.operators.line_parser import _line_parser
+    from rabbit_data_pipeline_spark.sources.files import find_files
+
+    _write(tmp_path / "a.csv", ["k,v", "a,1"])
+    _write(tmp_path / "b.csv", ["k,v", "b,2"])
+    (tmp_path / "skip.json").write_text("{}")
+    files = find_files(spark, scan_dir=str(tmp_path), extensions=["csv"])
+    assert getattr(files, "__rdps_listing__", None) is not None
+
+    def _no_collect(*_a, **_k):
+        raise AssertionError("plugin collected paths through the driver")
+
+    files.select = _no_collect  # instance shadow: fallback path would call it
+    sch = SimpleNamespace(spark=spark)
+    df = _line_parser(sch, {"fileType": "csv"}, [files])
+    assert {(r.k, r.v) for r in df.collect()} == {("a", "1"), ("b", "2")}
+
+
 def test_line_range_no_header_width_inference(spark, tmp_path):
     f = _write(tmp_path / "nh.tsv", ["x\t1\tq", "y\t2\tr", "z\t3\ts"])
     df = parse_lines(spark, f, file_type="txt", head_line=None, data_line=2)
