@@ -64,26 +64,53 @@ def approx_heavy_hitters(
 ) -> DataFrame:
     """Top-k keys by (weighted) frequency with bounded shuffle.
 
-    Two-level: per-partition partial counts (map-side combine — the
-    shuffle carries at most #partitions × #distinct-keys rows, same as
-    exact groupBy) then a global merge where TakeOrderedAndProject
-    keeps only k rows off the final sort. With `per_partition_cap`,
-    each partition forwards only its own top-`cap` keys: the result
-    can under-count a key that is globally heavy but locally light
-    (the classic SpaceSaving trade), in exchange for a shuffle bounded
-    at #partitions × cap rows even when every key is unique."""
+    Uncapped: per-key partial counts (map-side combine) then a global
+    merge where TakeOrderedAndProject keeps only k rows off the final
+    sort — exact, shuffle carries ≤ #partitions × #distinct-keys rows.
+
+    With `per_partition_cap`, each partition counts its OWN rows in a
+    lossy in-memory counter (mapInPandas; pruned to 8×cap whenever it
+    grows past that, keeping the current top keys — lossy-counting /
+    SpaceSaving style) and forwards only its local top-`cap`: both the
+    per-task memory AND the shuffle are bounded by a multiple of
+    `cap`, even when every key is unique. The trade: a key that is
+    globally heavy but below the local top-`cap` everywhere can be
+    under-counted or missed. (A groupBy+window spelling would NOT
+    deliver this bound — the groupBy exchange already ships every
+    distinct (partition, key) row; the cap must act before any
+    shuffle.)"""
+    if any(c == "freq" or c.startswith("__") for c in key_cols):
+        raise ValueError("key_cols may not be named 'freq' or start with '__' (reserved)")
     w = weight if weight is not None else F.lit(1)
-    partial = df.select(*key_cols, w.alias("__w"))
+    partial = df.select(*key_cols, w.cast("double").alias("__w"))
     if per_partition_cap is None:
         counts = partial.groupBy(*key_cols).agg(F.sum("__w").alias("freq"))
     else:
-        part = partial.withColumn("__pid", F.spark_partition_id())
-        local = part.groupBy("__pid", *key_cols).agg(F.sum("__w").alias("__lw"))
-        from pyspark.sql.window import Window
+        import pandas as pd
+        from pyspark.sql.types import StructType
 
-        rk = F.row_number().over(
-            Window.partitionBy("__pid").orderBy(F.col("__lw").desc(), *key_cols)
+        cap = int(per_partition_cap)
+        out_schema = StructType(
+            [partial.schema[c] for c in key_cols] + [partial.schema["__w"]]
         )
-        survivors = local.withColumn("__rk", rk).filter(F.col("__rk") <= per_partition_cap)
-        counts = survivors.groupBy(*key_cols).agg(F.sum("__lw").alias("freq"))
+
+        def local_top(batches):
+            from collections import Counter
+
+            counts_local: Counter = Counter()
+            for pdf in batches:
+                grouped = pdf.groupby(key_cols, sort=False)["__w"].sum()
+                counts_local.update(grouped.to_dict())
+                if len(counts_local) > 8 * cap:
+                    counts_local = Counter(dict(counts_local.most_common(4 * cap)))
+            top = counts_local.most_common(cap)
+            if not top:
+                return
+            keys = [t[0] if len(key_cols) > 1 else (t[0],) for t in top]
+            data = {c: [kt[i] for kt in keys] for i, c in enumerate(key_cols)}
+            data["__w"] = [t[1] for t in top]
+            yield pd.DataFrame(data)
+
+        survivors = partial.mapInPandas(local_top, out_schema)
+        counts = survivors.groupBy(*key_cols).agg(F.sum("__w").alias("freq"))
     return counts.orderBy(F.col("freq").desc(), *key_cols).limit(k)

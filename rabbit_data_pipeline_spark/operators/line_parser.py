@@ -338,7 +338,16 @@ def parse_lines(
             body = df_idx.filter(F.col("__line") >= data_line)
             if end_line is not None:
                 body = body.filter(F.col("__line") < end_line)  # reference: i >= endLine stops BEFORE endLine
-            n_cols = len(header_names) if header_names else len(body.first()["value"].split(sep))
+            if header_names:
+                n_cols = len(header_names)
+            else:
+                first_row = body.first()
+                if first_row is None:
+                    raise ValueError(
+                        "no data rows in the requested line range; pass columns= "
+                        "to parse a possibly-empty range"
+                    )
+                n_cols = len(first_row["value"].split(sep))
             names = header_names or [f"_c{i}" for i in range(n_cols)]
             schema = ", ".join(f"`{n}` string" for n in names)
             df = body.select(F.from_csv("value", schema, {"sep": sep}).alias("r")).select("r.*")
@@ -388,6 +397,8 @@ def _line_parser(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -
         (files_df,) = inputs
         listing = getattr(files_df, "__rdps_listing__", None)
         if listing is not None:
+            if files_df.isEmpty():  # limit-1 probe, not a path collect
+                raise ValueError("no input files")
             path = listing["path"]
             reader_options = {
                 **{k: v for k, v in listing.items() if k != "path"},

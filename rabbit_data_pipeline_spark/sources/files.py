@@ -43,20 +43,25 @@ def find_files(
     if not extensions:
         raise ValueError("if set scanDir you must set extends too")  # FindFiles.php:44
     pattern = os.path.join(scan_dir, "**")
+    load_path = pattern if "*" in scan_dir else scan_dir
+    glob_filter = "*.{" + ",".join(extensions) + "}"
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{" + ",".join(extensions) + "}")
+        .option("pathGlobFilter", glob_filter)
         .option("recursiveFileLookup", "true")
-        .load(pattern if "*" in scan_dir else scan_dir)
+        .load(load_path)
         .select("path", "length", "modificationTime")
     )
     # Listing provenance for downstream consumers (FindFiles →
-    # LineParser chain): the equivalent load spec lets the parser read
-    # by glob instead of collecting N paths through the driver —
-    # at millions of files the path list itself is the bottleneck.
+    # LineParser chain): the EXACT load spec used above (same path
+    # expression — recording scan_dir when the listing actually loaded
+    # scan_dir/** would make the parser read a different file set than
+    # the one listed), so the parser can read by glob instead of
+    # collecting N paths through the driver — at millions of files the
+    # path list itself is the bottleneck.
     df.__rdps_listing__ = {
-        "path": scan_dir,
-        "pathGlobFilter": "*.{" + ",".join(extensions) + "}",
+        "path": load_path,
+        "pathGlobFilter": glob_filter,
         "recursiveFileLookup": "true",
     }
     return df

@@ -77,6 +77,49 @@ def test_find_files_chain_passes_glob_not_paths(spark, tmp_path):
     assert {(r.k, r.v) for r in df.collect()} == {("a", "1"), ("b", "2")}
 
 
+def test_find_files_chain_glob_scan_dir_parses_same_set(spark, tmp_path):
+    """When scan_dir itself contains a glob, the listing spec must
+    reproduce the EXACT load expression find_files used — otherwise
+    the parser reads a different file set than the one listed."""
+    from types import SimpleNamespace
+
+    from rabbit_data_pipeline_spark.operators.line_parser import _line_parser
+    from rabbit_data_pipeline_spark.sources.files import find_files
+
+    (tmp_path / "sub1").mkdir()
+    (tmp_path / "sub2").mkdir()
+    _write(tmp_path / "sub1" / "a.csv", ["k,v", "a,1"])
+    _write(tmp_path / "sub2" / "b.csv", ["k,v", "b,2"])
+    _write(tmp_path / "toplevel.csv", ["k,v", "TOP,9"])  # NOT under the glob
+    files = find_files(spark, scan_dir=str(tmp_path) + "/sub*", extensions=["csv"])
+    listed = {r.path.rsplit("/", 1)[-1] for r in files.collect()}
+    assert listed == {"a.csv", "b.csv"}
+    sch = SimpleNamespace(spark=spark)
+    df = _line_parser(sch, {"fileType": "csv"}, [files])
+    assert {(r.k, r.v) for r in df.collect()} == {("a", "1"), ("b", "2")}
+
+
+def test_find_files_chain_empty_listing_raises(spark, tmp_path):
+    from types import SimpleNamespace
+
+    from rabbit_data_pipeline_spark.operators.line_parser import _line_parser
+    from rabbit_data_pipeline_spark.sources.files import find_files
+
+    _write(tmp_path / "only.json.txt", [""])  # wrong extension
+    files = find_files(spark, scan_dir=str(tmp_path), extensions=["csv"])
+    with pytest.raises(Exception, match="no input files"):
+        _line_parser(SimpleNamespace(spark=spark), {"fileType": "csv"}, [files])
+
+
+def test_line_range_empty_range_clear_error(spark, tmp_path):
+    f = _write(tmp_path / "short.csv", ["only-line"])
+    with pytest.raises(ValueError, match="no data rows"):
+        parse_lines(spark, f, file_type="csv", head_line=None, data_line=5)
+    # with explicit columns an empty range is a valid empty frame
+    df = parse_lines(spark, f, file_type="csv", head_line=None, data_line=5, columns=["a", "b"])
+    assert df.count() == 0 and df.columns == ["a", "b"]
+
+
 def test_line_range_no_header_width_inference(spark, tmp_path):
     f = _write(tmp_path / "nh.tsv", ["x\t1\tq", "y\t2\tr", "z\t3\ts"])
     df = parse_lines(spark, f, file_type="txt", head_line=None, data_line=2)
