@@ -133,6 +133,51 @@ HEADLINE = [
 ]
 
 
+def _stream_probe(spark, seconds: float = 8.0) -> float:
+    """End-to-end Structured Streaming throughput: rate source →
+    keyed watermarked 10s-window aggregation → noop sink, measured as
+    processed rows/sec from the engine's own progress metrics. The
+    rate source is asked for far more rows than one machine ingests
+    (1M rows/s) so the measured number is the PIPELINE's ceiling, not
+    the generator's."""
+    import pyspark.sql.functions as F
+
+    from rabbit_data_pipeline_spark.streaming import windowed_agg
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1000000")
+        .option("numPartitions", "8")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 1000).alias("key"),
+            (F.col("value") % 97).cast("double").alias("v"),
+        )
+    )
+    agg = windowed_agg(
+        src,
+        group_cols=["key"],
+        aggs=[F.count("*").alias("n"), F.sum("v").alias("sv")],
+        window_duration="10 seconds",
+        watermark="10 seconds",
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"/tmp/rdps_stream_probe_ckpt_{os.getpid()}")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(seconds)
+        rows = sum(p["numInputRows"] for p in q.recentProgress)
+        secs = sum(p["batchDuration"] for p in q.recentProgress) / 1000.0
+    finally:
+        q.stop()
+    return round(rows / max(secs, 1e-6), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rabbit_data_pipeline_spark.queries import registry
@@ -178,6 +223,10 @@ def main() -> None:
     }
 
     if sf_dir == _DEFAULT_SF_DIR and os.environ.get("SPARK_GRAFT_NO_SCALE") != "1":
+        try:
+            result["stream_rows_per_sec"] = _stream_probe(spark)
+        except Exception as e:
+            result["stream_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
             build_sec = _ensure_scaled(spark, sf_dir, _SCALED_DIR, _SCALE_FACTOR)
             sf1: dict[str, float] = {}
