@@ -95,6 +95,84 @@ def ann_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def nearest_cells(vec, centroids: list[tuple[int, list[float]]], n: int):
+    """Column expr: ids of the `n` nearest centroids (cosine, ties by
+    centroid id via the struct sort). Broadcast-free — the codebook is
+    folded into the plan as literals, so assignment is one codegen'd
+    map pass, no join, no shuffle."""
+    sims = F.array(
+        *[
+            F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"), F.lit(cid).alias("cid"))
+            for cid, cv in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+    return F.transform(top, lambda t: t["cid"])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for the IVF codebook, expressed as DataFrame
+    ops — the offline training step real IVF serving assumes.
+
+    init: deterministic farthest-point (k-means++-style) — the first
+    centroid is the lowest-xxhash64(id, seed) row, each next one the
+    corpus row LEAST similar to any chosen so far (ties by id). That
+    guarantees well-separated clusters each get a seed, where a pure
+    random draw can put two seeds in one cluster and Lloyd then sticks
+    in the merged local optimum. Cost: n_centroids-1 TakeOrdered
+    passes, offline. Each Lloyd iteration: assign every vector to its
+    nearest centroid (literal-folded map pass, no shuffle), then
+    recompute means via posexplode → groupBy(cell, dim) — ONE shuffle
+    of (cell, dim, value) triples per iteration, reduced map-side;
+    only C×D averages ever reach the driver. Empty cells keep their
+    previous centroid. At 100 TB train on a sample
+    (corpus.sample(0.001) is the standard k-means practice) — the
+    codebook quality needs representative data, not all of it."""
+    first = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen: list[list[float]] = [[float(x) for x in first[vec_col]]]
+    for _ in range(n_centroids - 1):
+        max_sim = F.greatest(
+            *[cosine(F.col(vec_col), F.array(*[F.lit(x) for x in cv])) for cv in chosen]
+        ) if len(chosen) > 1 else cosine(F.col(vec_col), F.array(*[F.lit(x) for x in chosen[0]]))
+        far = (
+            corpus.select(id_col, vec_col)
+            .orderBy(max_sim.asc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append([float(x) for x in far[vec_col]])
+    centroids = list(enumerate(chosen))
+    for _ in range(max(0, n_iters)):
+        # Two selects: putting the struct-sort HOF and a multi-alias
+        # posexplode in ONE select trips a Spark analysis quirk that
+        # strips the struct field aliases (FIELD_NOT_FOUND on `cid`).
+        assigned = corpus.select(
+            F.element_at(nearest_cells(F.col(vec_col), centroids, 1), 1).alias("cell"),
+            F.col(vec_col).alias("__vec"),
+        ).select("cell", F.posexplode("__vec").alias("dim", "val"))
+        means = assigned.groupBy("cell", "dim").agg(F.avg("val").alias("m")).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["m"])
+        centroids = [
+            (cid, [by_cell[cid][d] for d in range(len(old))] if cid in by_cell else old)
+            for cid, old in centroids
+        ]
+    return centroids
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,46 +183,44 @@ def ann_ivf(
     n_probe: int = 4,
     seed: int = 42,
     centroids: list[tuple[int, list[float]]] | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF: partition the corpus by nearest centroid; queries scan only
     their n_probe nearest centroid partitions.
 
     `centroids` is the trained codebook — real IVF trains k-means
     offline and serves with fixed centroids, so injection is the
-    production contract. When omitted, the n_centroids corpus rows
-    with the lowest xxhash64(id, seed) become centroids: a
-    layout-INDEPENDENT pseudo-random sample (same seed + same ids =
-    same centroids, regardless of partitioning or input file order,
-    unlike rdd.takeSample whose draw depends on the RDD layout). The
-    plan is TakeOrderedAndProject — per-partition top-k merged on the
-    driver, only n_centroids rows ever collected (random-sample
-    centroids are the standard cheap substitute for k-means; the
-    serving plan — the part that matters at scale — is identical
-    either way)."""
+    production contract (`train_ivf_centroids` produces one). When
+    omitted: `train_iters` > 0 runs that k-means here; otherwise the
+    n_centroids corpus rows with the lowest xxhash64(id, seed) become
+    centroids — a layout-INDEPENDENT pseudo-random sample (same seed +
+    same ids = same centroids, regardless of partitioning or input
+    file order, unlike rdd.takeSample whose draw depends on the RDD
+    layout; plan is TakeOrderedAndProject, only n_centroids rows ever
+    collected). Random-sample centroids are the standard cheap
+    substitute for k-means; the serving plan — the part that matters
+    at scale — is identical either way."""
     if centroids is None:
-        sampled = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-            .limit(n_centroids)
-            .collect()
-        )
-        centroids = [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(sampled)]
-
-    def nearest_expr(vec, n: int):
-        """array of (sim, centroid_id) sorted desc, top n centroid ids"""
-        sims = F.array(
-            *[F.struct(cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"), F.lit(cid).alias("cid")) for cid, cv in centroids]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda t: t["cid"])
+        if train_iters > 0:
+            centroids = train_ivf_centroids(
+                corpus, vec_col, id_col, n_centroids=n_centroids, n_iters=train_iters, seed=seed
+            )
+        else:
+            sampled = (
+                corpus.select(id_col, vec_col)
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+                .limit(n_centroids)
+                .collect()
+            )
+            centroids = [(int(i), [float(x) for x in r[vec_col]]) for i, r in enumerate(sampled)]
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        F.element_at(nearest_expr(F.col(vec_col), 1), 1).alias("cell"),
+        F.element_at(nearest_cells(F.col(vec_col), centroids, 1), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")

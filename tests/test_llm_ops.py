@@ -82,6 +82,53 @@ def test_connected_components_chain_and_islands(spark):
     assert survivors == [1, 10, 20, 99]
 
 
+def test_train_ivf_centroids_recovers_planted_clusters(spark):
+    """Three well-separated gaussian clusters in 8-dim: after a few
+    Lloyd iterations each trained centroid must align (cosine > .95)
+    with one planted mean, and all three means must be covered —
+    random-sample init alone can't promise coverage."""
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.functions.vector import cosine as _  # noqa: F401
+    from rabbit_data_pipeline_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.RandomState(7)
+    means = np.eye(3, 8) * 10.0  # orthogonal, far apart
+    rows = []
+    i = 0
+    for m in range(3):
+        for _n in range(60):
+            rows.append((i, (means[m] + rng.standard_normal(8) * 0.3).tolist()))
+            i += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    trained = train_ivf_centroids(df, n_centroids=3, n_iters=4, seed=11)
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    covered = set()
+    for _cid, cv in trained:
+        sims = [cos(cv, means[m]) for m in range(3)]
+        best = int(np.argmax(sims))
+        assert sims[best] > 0.95, sims
+        covered.add(best)
+    assert covered == {0, 1, 2}
+
+
+def test_ann_ivf_with_training_runs(spark):
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.similarity import ann_ivf
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ann_ivf(df, df.limit(5), k=3, n_centroids=4, n_probe=2, train_iters=2)
+    got = out.collect()
+    assert len(got) > 0 and all(r.rank <= 3 for r in got)
+
+
 def test_connected_components_long_chain_converges_under_bound(spark):
     """A 100-node chain has diameter 99 — plain neighbor-min label
     propagation would need ~99 rounds and blow the 25-round cap; the
