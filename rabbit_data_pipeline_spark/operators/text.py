@@ -241,6 +241,46 @@ def decontaminate(
     )
 
 
+def repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document repeated n-gram detection — the signal behind
+    substring-level training-data dedup (boilerplate, licenses,
+    templated spam appear verbatim across many documents even when
+    whole-doc near-dup misses them; cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Word k-grams occurring in ≥ `min_docs` DISTINCT documents are
+    "repeated"; returns per affected doc: how many of its distinct
+    grams are repeated and the widest spread among them
+    (id, n_repeated, max_gram_docs).
+
+    Scale shape: one gram explode (distinct per doc), ONE shuffle
+    keyed by gram for the doc-frequency count, then an equi-join of
+    the gram stream back to the heavy grams — the join key is again
+    the gram, so AQE reuses the exchange; heavy-gram tables are small
+    (boilerplate is rare among distinct grams) and broadcast. No
+    all-pairs doc comparison anywhere."""
+    grams = df.select(F.col(id_col), F.explode(word_kgrams(F.col(text_col), k)).alias("gram"))
+    heavy = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        grams.join(F.broadcast(heavy), on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("gram").alias("n_repeated"),
+            F.max("n_docs").alias("max_gram_docs"),
+        )
+    )
+
+
 def stratified_mix(
     df: DataFrame,
     group_col: str,

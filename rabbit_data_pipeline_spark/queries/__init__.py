@@ -63,9 +63,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idle_customers", "q_argminmax", "q_set_ops", "q_regexp_extract",
     "q_window_distribution", "q_join_full", "q_date_parts", "q_null_funcs",
     # (c) Keys whose code paths this round touches (line-range rewrite,
-    # xlsx ADVICE fixes, IVF centroid sampling) — re-verify on new code.
+    # xlsx ADVICE fixes, IVF centroid sampling) or that are new this
+    # round (repeated-ngram detection) — verify on current code.
     "line_parser_csv", "find_files", "ann_ivf", "dedup_clusters",
-    "pipeline_e2e",
+    "text_repeated_ngrams",
 )
 
 

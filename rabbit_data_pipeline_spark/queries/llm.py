@@ -565,6 +565,33 @@ _GRAMS_SQL = (
 
 
 @register(
+    "text_repeated_ngrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct({_GRAMS_SQL}) AS grams FROM documents
+    ),
+    u AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    h AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+          FROM u GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT u.doc_id,
+           COUNT(DISTINCT u.gram) AS n_repeated,
+           MAX(h.n_docs) AS max_gram_docs
+    FROM u JOIN h ON u.gram = h.gram
+    GROUP BY u.doc_id
+    """,
+)
+def text_repeated_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: cross-document repeated word-8-gram detection (substring-
+    dedup signal — boilerplate/templates shared verbatim across docs
+    that whole-doc near-dup misses). One gram-keyed shuffle for the
+    doc-frequency count, broadcast join back; no all-pairs."""
+    from rabbit_data_pipeline_spark.operators.text import repeated_ngrams
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return repeated_ngrams(d, k=8, min_docs=2)
+
+
+@register(
     "text_decontaminate",
     oracle=f"""
     WITH g AS (

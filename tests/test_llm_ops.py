@@ -402,6 +402,23 @@ def test_decontaminate_short_docs_no_crash(spark):
     assert decontaminate(corpus, bench, k=8).count() == 1
 
 
+def test_repeated_ngrams_flags_boilerplate(spark):
+    """A license header pasted into several docs must be flagged for
+    exactly those docs, with max_gram_docs = the paste count; unique
+    docs stay unflagged."""
+    from rabbit_data_pipeline_spark.operators.text import repeated_ngrams
+
+    boiler = "this software is provided as is without warranty of any kind express or implied"
+    rows = [(i, f"{boiler} unique tail {i} " + " ".join(f"w{i}x{j}" for j in range(10))) for i in range(4)]
+    rows += [(10 + i, " ".join(f"solo{i}y{j}" for j in range(20))) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_repeated, r.max_gram_docs) for r in repeated_ngrams(df, k=8, min_docs=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for _doc, (n_rep, spread) in got.items():
+        assert n_rep >= 7  # the 14-word boilerplate yields ≥7 shared 8-grams
+        assert spread == 4
+
+
 def test_stratified_mix_fractions_and_drop(spark):
     from rabbit_data_pipeline_spark.operators.text import stratified_mix
 
