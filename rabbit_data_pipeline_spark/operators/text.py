@@ -281,6 +281,111 @@ def repeated_ngrams(
     )
 
 
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A1.1): per document the
+    duplicate-word fraction, the fraction of word bigrams covered by
+    the single most repeated bigram, and the mean word length — the
+    intra-document repetition filters every web-scale corpus applies
+    after near-dup removal (they catch keyword-stuffed spam and
+    boilerplate loops that WHOLE-document dedup cannot).
+
+    Scale shape: word stats (distinct count, char sum) are pure HOFs
+    over the token array — no shuffle; only the top-bigram mode needs
+    an explode + two aggregations, both keyed by id (the second
+    reuses the first's partitioning). No Python, no all-pairs, and the
+    explode fan-out is n_words-1 per doc — linear in corpus size.
+
+    Returns (id, n_words, dup_word_frac, top_bigram_frac,
+    mean_word_len, keep) where `keep` applies the two thresholds."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    stats = base.select(
+        id_col,
+        n.alias("n_words"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
+        F.aggregate("__toks", F.lit(0), lambda a, t: a + F.length(t)).alias("char_sum"),
+    )
+    t = F.col("__toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        base.select(id_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top_n"))
+    )
+    nz = F.greatest(F.col("n_words"), F.lit(1))
+    return (
+        stats.join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_words",
+            ((F.col("n_words") - F.col("n_distinct")).cast("double") / nz).alias("dup_word_frac"),
+            (
+                F.coalesce(F.col("top_n"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words") - 1, F.lit(1))
+            ).alias("top_bigram_frac"),
+            (F.col("char_sum").cast("double") / nz).alias("mean_word_len"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+        )
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF — the keyword
+    signal used for topic bucketing / domain tagging of training
+    corpora. Returns (id, term, tf, df, rank).
+
+    Ranking uses the raw quotient tf/df (ties → term asc): for a fixed
+    corpus this orders identically to tf·ln(N/df) where it matters
+    (same tf ⇒ lower df wins) and — unlike ln — IEEE division is
+    bit-identical across engines, so the result is exactly
+    reproducible. Call `F.log` on top if the caller wants the
+    conventional score.
+
+    Scale shape: one explode; TF aggregates on (id, term); DF
+    aggregates the slim TF rows on term; the DF join is again keyed by
+    term (exchange reuse); the final top-k is one window keyed by id.
+    Everything is counts over exploded tokens — linear in corpus
+    token count, no all-pairs, no Python."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
 def stratified_mix(
     df: DataFrame,
     group_col: str,

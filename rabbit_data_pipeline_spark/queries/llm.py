@@ -666,3 +666,74 @@ def text_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     t = d.select("doc_id", ws_token_count(F.col("text")).alias("tokens"))
     return pack_sequences(t, "tokens", budget=512, n_buckets=16)
+
+
+_NORM_TOKS_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS char_sum
+      FROM t
+    ), b AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    ), bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), tb AS (
+      SELECT doc_id, MAX(c) AS top_n FROM bc GROUP BY 1
+    )
+    SELECT s.doc_id, n_words,
+           CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1) AS dup_word_frac,
+           CAST(COALESCE(top_n, 0) AS DOUBLE) / GREATEST(n_words - 1, 1) AS top_bigram_frac,
+           CAST(char_sum AS DOUBLE) / GREATEST(n_words, 1) AS mean_word_len,
+           CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1) <= 0.3
+             AND CAST(COALESCE(top_n, 0) AS DOUBLE) / GREATEST(n_words - 1, 1) <= 0.2 AS keep
+    FROM s LEFT JOIN tb ON s.doc_id = tb.doc_id
+    """,
+)
+def text_gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: Gopher-style intra-document repetition filters (duplicate-
+    word fraction, top-bigram coverage, mean word length + keep flag) —
+    the post-dedup spam/boilerplate-loop screen (Rae et al. 2021 A1.1).
+    Word stats are shuffle-free HOFs; only the bigram mode explodes,
+    keyed by (doc, bigram) then doc."""
+    from rabbit_data_pipeline_spark.operators.text import gopher_repetition
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return gopher_repetition(d)
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST({_NORM_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.term) AS rank
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25: per-document top-3 TF-IDF terms (exact-quotient ranking —
+    see operators/text.py:tfidf_terms for why not ln). TF keyed by
+    (doc, term), DF + join keyed by term, top-k window keyed by doc."""
+    from rabbit_data_pipeline_spark.operators.text import tfidf_terms
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tfidf_terms(d, top_k=3)
