@@ -95,6 +95,143 @@ def ann_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Range search: ALL corpus vectors with cosine ≥ threshold per
+    query (the vector-DB `range` API, vs top-k's fixed count) —
+    retrieval-augmentation filters and near-dup audits want "everything
+    this similar", not "the 5 nearest". Broadcast the query set, one
+    corpus pass, pure filter — no window, no shuffle at all (cheaper
+    than top-k, which needs the per-query rank exchange)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------- product quantization
+
+
+def _sub(vec, j: int, dsub: int):
+    """Subvector j (0-based) of a vector column, as doubles."""
+    return F.transform(F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double"))
+
+
+def _l2sq(sub, centroid: list[float]):
+    """Σ (x-c)² as a left-assoc fold — bit-identical to a chained
+    `+` in SQL, which is how the DuckDB oracle spells it."""
+    lits = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(sub, lits, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def sample_pq_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """PQ codebook (m subspaces × ks centroids × dim/m floats) from a
+    layout-independent pseudo-random corpus sample: the ks rows with
+    the lowest xxhash64(id, seed) supply each subspace's centroids
+    (same ids + seed ⇒ same codebook, any partitioning). Sampled
+    centroids are the cheap stand-in for per-subspace k-means — the
+    encode/serve plan is identical either way, and `train_ivf_centroids`
+    shows the k-means upgrade shape. Only ks rows reach the driver."""
+    dsub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(ks)
+        .collect()
+    )
+    return [
+        [[float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: code[j] = argmin_c L2²(subvec_j,
+    codebook[j][c]); ties → lowest c (struct sort). Output
+    (id, codes: array<int>) — m bytes-ish per vector instead of
+    dim floats, the compression that makes 100 TB ANN serveable from
+    RAM. The codebook folds into the plan as literals: encoding is one
+    codegen'd map pass, no join, no shuffle, no Python."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    codes = []
+    for j in range(m):
+        sub = _sub(F.col(vec_col), j, dsub)
+        cands = F.array(
+            *[
+                F.struct(_l2sq(sub, cv).alias("d"), F.lit(c).alias("cid"))
+                for c, cv in enumerate(codebook[j])
+            ]
+        )
+        codes.append(F.element_at(F.array_sort(cands), 1)["cid"])
+    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def ann_pq(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance ANN over PQ codes: each query precomputes a
+    lookup table lut[j][c] = L2²(q_sub_j, codebook[j][c]) (m×ks
+    distances, computed ONCE per query), then every corpus row scores
+    with m table lookups + m adds — never touching a full vector.
+    That's the PQ serving trade: the corpus lives as m-byte codes, the
+    per-pair cost is O(m) instead of O(dim).
+
+    Scale shape: queries (with their luts) broadcast; the code table
+    streams through one scored pass; per-query top-k via the rank
+    window is the only exchange. Returns (q_id, n_id, adc, rank) —
+    adc ascending (it is a distance, not a similarity)."""
+    m = len(codebook)
+    lut = F.array(
+        *[
+            F.array(*[_l2sq(_sub(F.col(vec_col), j, len(codebook[0][0])), cv) for cv in codebook[j]])
+            for j in range(m)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), lut.alias("lut"))
+    score = None
+    for j in range(m):
+        term = F.element_at(F.element_at(F.col("lut"), j + 1), F.element_at(F.col("codes"), j + 1) + 1)
+        score = term if score is None else score + term
+    scored = (
+        codes.withColumnRenamed(id_col, "n_id")
+        .join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", score.alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def nearest_cells(vec, centroids: list[tuple[int, list[float]]], n: int):
     """Column expr: ids of the `n` nearest centroids (cosine, ties by
     centroid id via the struct sort). Broadcast-free — the codebook is

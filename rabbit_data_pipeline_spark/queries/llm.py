@@ -737,3 +737,121 @@ def text_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tfidf_terms(d, top_k=3)
+
+
+@register(
+    "ann_range",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           list_cosine_similarity(q.emb, c.emb) AS cos_sim
+    FROM e q JOIN e c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 20
+      AND list_cosine_similarity(q.emb, c.emb) >= 0.3
+    """,
+)
+def ann_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26: cosine range search (all neighbors ≥ 0.3) for 20 query
+    vectors — pure broadcast-filter pass, no window exchange."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_range
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ann_range(e, e.filter(F.col("vec_id") < 20), threshold=0.3)
+
+
+# ------------------------------------------------- product quantization
+# Fixed codebook for the driver gate: deterministic pseudo-random
+# literals injected into BOTH engines (layout-independent sampling from
+# the corpus uses xxhash64, which DuckDB cannot mirror — the operator's
+# corpus-trained path is unit-tested instead; see sample_pq_codebook).
+# 6-decimal literals parse to the same double in both engines.
+
+
+def _pq_codebook(m: int = 4, ks: int = 8, dsub: int = 16, seed: int = 7) -> list[list[list[float]]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [[round(float(v), 6) for v in rng.standard_normal(dsub)] for _ in range(ks)]
+        for _ in range(m)
+    ]
+
+
+_PQ_CB = _pq_codebook()
+_PQ_M, _PQ_KS, _PQ_DSUB = len(_PQ_CB), len(_PQ_CB[0]), len(_PQ_CB[0][0])
+
+
+def _sql_pq_l2sq(vec_expr: str, j: int, cv: list[float]) -> str:
+    """Chained left-assoc Σ (v[i]-c)² — bit-identical to the Spark
+    fold in operators/similarity.py:_l2sq."""
+    return "(" + " + ".join(
+        f"({vec_expr}[{j * _PQ_DSUB + i + 1}] - ({c!r})) * ({vec_expr}[{j * _PQ_DSUB + i + 1}] - ({c!r}))"
+        for i, c in enumerate(cv)
+    ) + ")"
+
+
+def _sql_pq_dists(vec_expr: str, j: int) -> str:
+    return "list_value(" + ", ".join(_sql_pq_l2sq(vec_expr, j, cv) for cv in _PQ_CB[j]) + ")"
+
+
+def _sql_pq_codes(vec_expr: str) -> str:
+    """codes list: argmin per subspace (first-min = lowest cid, same
+    tie-break as Spark's struct sort). The dists list is let-bound via
+    a single-element list_transform so it is written (and evaluated)
+    once per subspace."""
+    parts = [
+        f"list_transform([{_sql_pq_dists(vec_expr, j)}], d -> list_position(d, list_min(d)) - 1)[1]"
+        for j in range(_PQ_M)
+    ]
+    return "list_value(" + ", ".join(parts) + ")"
+
+
+def _pq_codes_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT vec_id, {_sql_pq_codes('emb')} AS codes FROM e
+    """
+
+
+@register("emb_pq_codes", oracle=_pq_codes_oracle())
+def emb_pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27: product-quantization encode — 4 subspaces × 8 centroids,
+    codes replace 64 floats with 4 small ints (the compression that
+    serves 100 TB ANN from RAM). Literal-folded codebook: one map
+    pass, no shuffle, no Python."""
+    from rabbit_data_pipeline_spark.operators.similarity import pq_encode
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return pq_encode(e, _PQ_CB)
+
+
+def _pq_adc_oracle() -> str:
+    terms = " + ".join(
+        f"{_sql_pq_dists('q.emb', j)}[c.codes[{j + 1}] + 1]" for j in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    codes AS (SELECT vec_id, {_sql_pq_codes('emb')} AS codes FROM e),
+    q AS (SELECT vec_id, emb FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id, {terms} AS adc
+      FROM codes c JOIN q ON q.vec_id != c.vec_id
+    )
+    SELECT q_id, n_id, adc, rank FROM (
+      SELECT q_id, n_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("ann_pq", oracle=_pq_adc_oracle())
+def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27b: asymmetric-distance ANN over the PQ codes — per query an
+    m×ks lookup table, per corpus row m lookups + m adds (O(m), not
+    O(dim)). Top-5 by ADC distance for 5 queries."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_pq, pq_encode
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    codes = pq_encode(e, _PQ_CB)
+    return ann_pq(codes, e.filter(F.col("vec_id") < 5), _PQ_CB, k=5)

@@ -448,3 +448,89 @@ def test_pack_sequences_buckets_independent(spark):
     # two docs into local bin 0 -> exactly 4 distinct bins of size 2
     bins = {r.bin for r in out.collect()}
     assert len(bins) == 4 and all(b.endswith("_0") for b in bins)
+
+
+# ---------------------------------------------- gopher repetition filters
+def test_gopher_repetition_flags_spam(spark):
+    from rabbit_data_pipeline_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a perfectly ordinary sentence with many distinct words here"),
+            (3, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    # doc 1: 8 words, 2 distinct -> dup 0.75; "buy now" bigram 4/7
+    assert rows[1]["n_words"] == 8
+    assert abs(rows[1]["dup_word_frac"] - 0.75) < 1e-12
+    assert abs(rows[1]["top_bigram_frac"] - 4 / 7) < 1e-12
+    assert rows[1]["keep"] is False
+    assert rows[2]["keep"] is True
+    # single word: no bigrams, frac 0, never divides by zero
+    assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["n_words"] == 1
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from rabbit_data_pipeline_spark.operators.text import tfidf_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple banana banana"), (2, "apple cherry")],
+        ["doc_id", "text"],
+    )
+    top = {(r["doc_id"], r["rank"]): r for r in tfidf_terms(df, top_k=2).collect()}
+    assert top[(1, 1)]["term"] == "banana" and top[(1, 1)]["tf"] == 2 and top[(1, 1)]["df"] == 1
+    assert top[(1, 2)]["term"] == "apple" and top[(1, 2)]["df"] == 2
+    assert top[(2, 1)]["term"] == "cherry"
+
+
+# ------------------------------------------------- product quantization
+def _pq_cb():
+    from rabbit_data_pipeline_spark.queries.llm import _PQ_CB
+
+    return _PQ_CB
+
+
+def test_pq_encode_centroid_roundtrip(spark):
+    """A vector assembled from centroid c of every subspace must encode
+    to codes [c, c, c, c] (distance exactly 0 beats every other cell)."""
+    from rabbit_data_pipeline_spark.operators.similarity import pq_encode
+
+    cb = _pq_cb()
+    vec = [x for j in range(len(cb)) for x in cb[j][3]]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    codes = pq_encode(df, cb).collect()[0]["codes"]
+    assert codes == [3, 3, 3, 3]
+
+
+def test_sample_pq_codebook_layout_independent(spark, sf_smoke):
+    from rabbit_data_pipeline_spark.operators.similarity import sample_pq_codebook
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    e = load_tables(spark, sf_smoke, ("embeddings",))["embeddings"]
+    cb1 = sample_pq_codebook(e, m=4, ks=4, dim=64)
+    cb2 = sample_pq_codebook(e.repartition(7), m=4, ks=4, dim=64)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and len(cb1[0]) == 4 and len(cb1[0][0]) == 16
+
+
+def test_ann_pq_exact_duplicate_attains_min_adc(spark, sf_smoke):
+    """A planted exact duplicate shares the query's codes, so its ADC
+    equals the global minimum for that query (ties possible with other
+    same-code rows — assert on the distance, not the rank)."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.similarity import ann_pq, pq_encode
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    cb = _pq_cb()
+    e = load_tables(spark, sf_smoke, ("embeddings",))["embeddings"].select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9_000_000))
+    corpus = e.unionByName(dup)
+    out = ann_pq(pq_encode(corpus, cb), corpus.filter(F.col("vec_id") == 0), cb, k=1000)
+    rows = [r for r in out.collect() if r["q_id"] == 0]
+    best = min(r["adc"] for r in rows)
+    dup_row = next(r for r in rows if r["n_id"] == 9_000_000)
+    assert dup_row["adc"] == best

@@ -241,3 +241,37 @@ def test_plan_audit_metrics(spark, sf_smoke):
     a3 = audit(reg["multimodal_ann"].builder(spark, sf_smoke))
     assert a3.python_evals >= 1
     assert any("Python eval" in w for w in a3.warnings)
+
+
+def test_ann_range_is_pure_broadcast_filter(plans):
+    """Range search never shuffles: broadcast queries, one scored
+    corpus pass, filter — no window/rank exchange at all."""
+    p = plans("ann_range")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert not any("Exchange hashpartitioning" in l for l in p.splitlines())
+    assert "Window" not in p
+
+
+def test_pq_encode_is_shuffle_free_map_pass(plans):
+    """The codebook folds into the plan as literals: encoding is a
+    single projection over the scan — no exchange, no join, no
+    Python."""
+    p = plans("emb_pq_codes")
+    assert "Exchange" not in p and "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_ann_pq_broadcasts_queries(plans):
+    """ADC serving: query luts broadcast; the only non-broadcast
+    exchange is the per-query top-k rank window."""
+    p = plans("ann_pq")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 1
+
+
+def test_gopher_and_tfidf_no_python_no_cartesian(plans):
+    for q in ("text_gopher_quality", "text_tfidf"):
+        p = plans(q)
+        assert "EvalPython" not in p, f"{q} must stay JVM-side"
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
