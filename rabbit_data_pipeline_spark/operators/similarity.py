@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rabbit_data_pipeline_spark.functions.vector import cosine, hyperplane_bits
+from rabbit_data_pipeline_spark.functions.vector import as_double, cosine, hyperplane_bits
 
 
 def ann_bruteforce(
@@ -165,18 +165,9 @@ def sample_pq_codebook(
     ]
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebook: list[list[list[float]]],
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Encode vectors to PQ codes: code[j] = argmin_c L2²(subvec_j,
-    codebook[j][c]); ties → lowest c (struct sort). Output
-    (id, codes: array<int>) — m bytes-ish per vector instead of
-    dim floats, the compression that makes 100 TB ANN serveable from
-    RAM. The codebook folds into the plan as literals: encoding is one
-    codegen'd map pass, no join, no shuffle, no Python."""
+def pq_codes_expr(codebook: list[list[list[float]]], vec_col: str = "embedding"):
+    """Column expr: PQ codes array — code[j] = argmin_c L2²(subvec_j,
+    codebook[j][c]); ties → lowest c (struct sort)."""
     m = len(codebook)
     dsub = len(codebook[0][0])
     codes = []
@@ -189,7 +180,42 @@ def pq_encode(
             ]
         )
         codes.append(F.element_at(F.array_sort(cands), 1)["cid"])
-    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes. Output (id, codes: array<int>) —
+    m bytes-ish per vector instead of dim floats, the compression that
+    makes 100 TB ANN serveable from RAM. The codebook folds into the
+    plan as literals: encoding is one codegen'd map pass, no join, no
+    shuffle, no Python."""
+    return corpus.select(F.col(id_col), pq_codes_expr(codebook, vec_col).alias("codes"))
+
+
+def _pq_lut(codebook: list[list[list[float]]], vec_col: str):
+    """Per-query lookup table lut[j][c] = L2²(q_sub_j, codebook[j][c])."""
+    dsub = len(codebook[0][0])
+    return F.array(
+        *[
+            F.array(*[_l2sq(_sub(F.col(vec_col), j, dsub), cv) for cv in codebook[j]])
+            for j in range(len(codebook))
+        ]
+    )
+
+
+def _pq_adc(m: int):
+    """ADC score from broadcast lut + codes: m lookups, left-assoc adds
+    (matches the oracle's chained `+`)."""
+    score = None
+    for j in range(m):
+        term = F.element_at(F.element_at(F.col("lut"), j + 1), F.element_at(F.col("codes"), j + 1) + 1)
+        score = term if score is None else score + term
+    return score
 
 
 def ann_pq(
@@ -211,22 +237,66 @@ def ann_pq(
     streams through one scored pass; per-query top-k via the rank
     window is the only exchange. Returns (q_id, n_id, adc, rank) —
     adc ascending (it is a distance, not a similarity)."""
-    m = len(codebook)
-    lut = F.array(
-        *[
-            F.array(*[_l2sq(_sub(F.col(vec_col), j, len(codebook[0][0])), cv) for cv in codebook[j]])
-            for j in range(m)
-        ]
-    )
-    q = queries.select(F.col(id_col).alias("q_id"), lut.alias("lut"))
-    score = None
-    for j in range(m):
-        term = F.element_at(F.element_at(F.col("lut"), j + 1), F.element_at(F.col("codes"), j + 1) + 1)
-        score = term if score is None else score + term
+    q = queries.select(F.col(id_col).alias("q_id"), _pq_lut(codebook, vec_col).alias("lut"))
     scored = (
         codes.withColumnRenamed(id_col, "n_id")
         .join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", score.alias("adc"))
+        .select("q_id", "n_id", _pq_adc(len(codebook)).alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def nearest_cells_l2(vec, centroids: list[tuple[int, list[float]]], n: int):
+    """Column expr: ids of the n nearest centroids by L2² (ties →
+    lowest cid via the ascending struct sort). The L2 twin of
+    `nearest_cells` — IVF-PQ's coarse quantizer must match the metric
+    ADC ranks with."""
+    cands = F.array(
+        *[
+            F.struct(_l2sq(as_double(vec), cv).alias("d"), F.lit(cid).alias("cid"))
+            for cid, cv in centroids
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(cands), 1, n), lambda t: t["cid"])
+
+
+def ann_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC architecture): the coarse quantizer
+    partitions the corpus into centroid cells, each vector is stored
+    only as its m PQ codes, and a query probes its n_probe nearest
+    cells scoring candidates by asymmetric distance — the standard
+    shape for trillion-vector serving (RAM holds m bytes/vector, the
+    scan touches n_probe/C of the corpus).
+
+    Plan: corpus → ONE map pass computing (cell, codes) — both the
+    coarse argmin and the encode are literal-folded, no Python, no
+    shuffle; queries (with their luts) broadcast, the cell equi-join
+    prunes to probed cells, the per-query top-k rank window is the
+    only exchange. Returns (q_id, n_id, adc, rank), adc ascending."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.element_at(nearest_cells_l2(F.col(vec_col), centroids, 1), 1).alias("cell"),
+        pq_codes_expr(codebook, vec_col).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _pq_lut(codebook, vec_col).alias("lut"),
+        F.explode(nearest_cells_l2(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", _pq_adc(len(codebook)).alias("adc"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -281,3 +281,101 @@ def ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, centroids = vec_corpus()
     df = _spark_vec_df(spark, corpus)
     return ann_ivf(df, df.filter(F.col("vec_id") < 5), k=10, centroids=centroids)
+
+
+# ------------------------------------------------------- L27c: IVF-PQ ANN
+
+
+@lru_cache(maxsize=1)
+def ivfpq_corpus() -> tuple[
+    list[tuple[int, list[float]]],
+    list[tuple[int, list[float]]],
+    list[list[list[float]]],
+]:
+    """Corpus where IVF-PQ is provably EXACT, so a brute-force oracle
+    gates the whole pipeline (coarse assign → probe → encode → lut →
+    ADC): every corpus vector is a concatenation of PQ-codebook
+    centroids, so encoding is lossless (per-subspace distance 0 at its
+    own centroid) and ADC(q, x) equals the true subspace-grouped
+    L2²(q, x) for ANY query. 4 clusters separated by +8 shifts on a
+    cluster-specific coordinate of every subspace (inter-cluster L2²
+    ≥ ~500, intra ≤ ~80), each cluster using its own pair of centroids
+    per subspace — a query's top-5 all live in its own (nearest) cell,
+    so probing 2 of 4 cells must reproduce exact brute force.
+
+    Returns (corpus, coarse_centroids, codebook): dim 16 = 4 subspaces
+    × 4; codebook 4×8 (centroid 2g/2g+1 belong to cluster g); coarse
+    centroid g = concat of cluster g's even centroids."""
+    rng = random.Random(31415)
+    m, dsub, n_clusters = 4, 4, 4
+    codebook: list[list[list[float]]] = []
+    for _ in range(m):
+        cents = []
+        for g in range(n_clusters):
+            for _ in range(2):
+                v = [round(rng.gauss(0, 1), 6) for _ in range(dsub)]
+                v[g] = round(v[g] + 8.0, 6)
+                cents.append(v)
+        codebook.append(cents)
+    corpus = []
+    for g in range(n_clusters):
+        for i in range(15):
+            codes = [2 * g + rng.randint(0, 1) for _ in range(m)]
+            vec = [x for j in range(m) for x in codebook[j][codes[j]]]
+            corpus.append((g * 100 + i, vec))
+    centroids = [(g, [x for j in range(m) for x in codebook[j][2 * g]]) for g in range(n_clusters)]
+    return corpus, centroids, codebook
+
+
+def _brute_force_adc_sql(corpus: list[tuple[int, list[float]]], query_ids: list[int], k: int) -> str:
+    """Exact L2² top-k with the ADC summation grouping: per-subspace
+    chained sums, then subspace partials added left-assoc — the
+    identical float operation order as _l2sq + _pq_adc, so values hash
+    bit-identically when encoding is lossless."""
+    m, dsub = 4, 4
+    subs = []
+    for j in range(m):
+        subs.append(
+            "("
+            + " + ".join(
+                f"(q.emb[{j * dsub + i}] - c.emb[{j * dsub + i}]) * (q.emb[{j * dsub + i}] - c.emb[{j * dsub + i}])"
+                for i in range(1, dsub + 1)
+            )
+            + ")"
+        )
+    adc = " + ".join(subs)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH e(vec_id, emb) AS (VALUES {_vec_values(corpus)}),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id, {adc} AS adc
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({ids})
+    )
+    SELECT q_id, n_id, adc, rank FROM (
+      SELECT q_id, n_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+_IVFPQ_QUERY_IDS = [0, 107, 203, 301, 314]
+
+
+@register(
+    "ann_ivfpq",
+    oracle=_brute_force_adc_sql(ivfpq_corpus()[0], _IVFPQ_QUERY_IDS, k=5),
+)
+def ann_ivfpq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27c gate: IVF-PQ (FAISS IVFADC shape) with injected coarse
+    centroids + codebook must equal exact brute-force L2² top-5 — the
+    corpus makes PQ lossless and clusters well-separated, so any error
+    in cell assignment, probe ordering, code argmin, lut indexing, or
+    the ADC sum breaks the hash."""
+    from rabbit_data_pipeline_spark.operators.similarity import ann_ivfpq
+
+    corpus, centroids, codebook = ivfpq_corpus()
+    df = _spark_vec_df(spark, corpus)
+    qs = df.filter(F.col("vec_id").isin(_IVFPQ_QUERY_IDS))
+    return ann_ivfpq(df, qs, centroids, codebook, k=5, n_probe=2)

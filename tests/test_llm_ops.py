@@ -534,3 +534,27 @@ def test_ann_pq_exact_duplicate_attains_min_adc(spark, sf_smoke):
     best = min(r["adc"] for r in rows)
     dup_row = next(r for r in rows if r["n_id"] == 9_000_000)
     assert dup_row["adc"] == best
+
+
+def test_ann_ivfpq_matches_bruteforce_on_lossless_corpus(spark):
+    """On the seeded lossless corpus, IVF-PQ top-5 == exact L2 top-5
+    computed in numpy (independent of the DuckDB oracle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.similarity import ann_ivfpq
+    from rabbit_data_pipeline_spark.queries.seeded import _IVFPQ_QUERY_IDS, _spark_vec_df, ivfpq_corpus
+
+    corpus, centroids, codebook = ivfpq_corpus()
+    df = _spark_vec_df(spark, corpus)
+    out = ann_ivfpq(
+        df, df.filter(F.col("vec_id").isin(_IVFPQ_QUERY_IDS)), centroids, codebook, k=5, n_probe=2
+    )
+    got = {(r["q_id"], r["rank"]): r["n_id"] for r in out.collect()}
+    vecs = {i: np.array(v) for i, v in corpus}
+    for qid in _IVFPQ_QUERY_IDS:
+        d = sorted(
+            (float(((vecs[qid] - v) ** 2).sum()), nid) for nid, v in vecs.items() if nid != qid
+        )
+        for rank, (_, nid) in enumerate(d[:5], 1):
+            assert got[(qid, rank)] == nid, (qid, rank)

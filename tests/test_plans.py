@@ -275,3 +275,14 @@ def test_gopher_and_tfidf_no_python_no_cartesian(plans):
         p = plans(q)
         assert "EvalPython" not in p, f"{q} must stay JVM-side"
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_ivfpq_single_map_pass_and_probe_join(plans):
+    """IVF-PQ: corpus side is one literal-folded projection (cell +
+    codes, no Python, no join below it); query luts broadcast; the
+    only non-broadcast exchange is the top-k rank window."""
+    p = plans("ann_ivfpq")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 1
