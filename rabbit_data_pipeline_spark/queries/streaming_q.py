@@ -197,3 +197,39 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper="12 hours", watermark="1 hour",
     )
     return _run_to_table(joined, "append")
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+      SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS window_start,
+             event_type, value
+      FROM {EVENTS_US}
+    )
+    SELECT window_start, event_type,
+           {sql_dsum('value')} AS total_value, COUNT(*) AS n
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2c: sliding windows (1 h window, 30 min slide) over the
+    streamed feed — each event lands in exactly 2 overlapping windows
+    (the moving-average shape tumbling can't express). Same watermarked
+    single-batch harness as stream_windowed_agg, so the DuckDB oracle
+    (explicit 2-start UNNEST per event) is a full value-hash gate."""
+    from rabbit_data_pipeline_spark.streaming import windowed_agg
+
+    stream = _events_queue(spark, sf_dir)
+    agg = windowed_agg(
+        stream,
+        group_cols=["event_type"],
+        aggs=[dsum("value").alias("total_value"), F.count("*").alias("n")],
+        window_duration="1 hour",
+        slide="30 minutes",
+        watermark="1 hour",
+    )
+    return _run_to_table(agg.drop("window_end"), "update")
