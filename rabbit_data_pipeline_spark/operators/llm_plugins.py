@@ -129,3 +129,49 @@ def _mix(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFr
         fractions={str(k): float(v) for k, v in cfg["fractions"].items()},
         id_col=cfg.get("id_col", "doc_id"),
     )
+
+
+@plugin("transform.gopher_filter")
+def _gopher_filter(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Drop documents failing the Gopher repetition thresholds (keeps
+    the original columns; the stats join is keyed by the doc id)."""
+    from rabbit_data_pipeline_spark.operators.text import gopher_repetition
+
+    (df,) = inputs
+    id_col = cfg.get("id_col", "doc_id")
+    stats = gopher_repetition(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=id_col,
+        max_dup_word_frac=float(cfg.get("max_dup_word_frac", 0.3)),
+        max_top_bigram_frac=float(cfg.get("max_top_bigram_frac", 0.2)),
+    )
+    return df.join(stats.filter(F.col("keep")).select(id_col), on=id_col, how="inner")
+
+
+@plugin("transform.tfidf")
+def _tfidf(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import tfidf_terms
+
+    (df,) = inputs
+    return tfidf_terms(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        top_k=int(cfg.get("top_k", 3)),
+        max_df=int(cfg["max_df"]) if "max_df" in cfg else None,
+    )
+
+
+@plugin("transform.pack")
+def _pack(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import pack_sequences
+
+    (df,) = inputs
+    return pack_sequences(
+        df,
+        tokens_col=cfg["tokens_col"],
+        id_col=cfg.get("id_col", "doc_id"),
+        budget=int(cfg.get("budget", 2048)),
+        n_buckets=int(cfg.get("n_buckets", 64)),
+    )

@@ -354,6 +354,7 @@ def tfidf_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-document top-k characteristic terms by TF-IDF — the keyword
     signal used for topic bucketing / domain tagging of training
@@ -370,11 +371,20 @@ def tfidf_terms(
     aggregates the slim TF rows on term; the DF join is again keyed by
     term (exchange reuse); the final top-k is one window keyed by id.
     Everything is counts over exploded tokens — linear in corpus
-    token count, no all-pairs, no Python."""
+    token count, no all-pairs, no Python.
+
+    `max_df` is the stopword-skew guard: terms in more than max_df
+    documents are dropped BEFORE the join — they are definitionally
+    uninformative for TF-IDF (df ≈ N ⇒ idf ≈ 0) and they are exactly
+    the keys that would hot-spot the term-keyed shuffle at corpus
+    scale (the salt_cap idiom, applied by pruning instead of
+    salting because the pruned keys carry no signal)."""
     toks = F.split(norm_text(F.col(text_col)), " ")
     terms = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
     w = Window.partitionBy(id_col).orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term")
     )

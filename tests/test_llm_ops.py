@@ -558,3 +558,35 @@ def test_ann_ivfpq_matches_bruteforce_on_lossless_corpus(spark):
         )
         for rank, (_, nid) in enumerate(d[:5], 1):
             assert got[(qid, rank)] == nid, (qid, rank)
+
+
+def test_tfidf_max_df_prunes_stopword_terms(spark):
+    from rabbit_data_pipeline_spark.operators.text import tfidf_terms
+
+    df = spark.createDataFrame(
+        [(i, "the common word plus token%d" % i) for i in range(4)], ["doc_id", "text"]
+    )
+    out = tfidf_terms(df, top_k=10, max_df=3).collect()
+    terms = {r["term"] for r in out}
+    # 'the'/'common'/'word'/'plus' appear in all 4 docs -> pruned
+    assert terms == {f"token{i}" for i in range(4)}
+
+
+def test_gopher_filter_plugin_drops_spam(spark, tmp_path):
+    from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+
+    src = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "regular words make a fine document here")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "docs")
+    src.write.mode("overwrite").parquet(path)
+    spec = PipelineSpec.from_dict(
+        "gq",
+        {
+            "src": {"type": "source.parquet", "start": True, "path": path, "output": ["gf"]},
+            "gf": {"type": "transform.gopher_filter"},
+        },
+    )
+    out = Scheduler(spark, {"gq": spec}).run("gq")["gf"]
+    assert [r["doc_id"] for r in out.collect()] == [2]
