@@ -396,6 +396,117 @@ def tfidf_terms(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet/RefinedWeb
+    boilerplate-removal step): a line appearing in ≥ `min_docs`
+    distinct documents is boilerplate (nav menus, cookie banners,
+    signatures) and is removed from EVERY document; surviving lines
+    are reassembled in their original order. Documents left with no
+    lines drop out entirely — their whole content was boilerplate.
+
+    Scale shape: one posexplode (linear in corpus lines), one
+    line-keyed shuffle for the distinct-doc count, an anti-join keyed
+    by the same line key (exchange reuse; the heavy-line side is tiny
+    — boilerplate is rare among DISTINCT lines — and broadcasts), one
+    doc-keyed reassembly agg. Order restoration is a struct sort
+    inside the agg, not a global sort. Returns (id, text)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    heavy = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(heavy), on="line", how="left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+
+
+# ------------------------------------------------ URL canonicalization
+
+_URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY = r"\?([^#]*)"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form — the key for URL-level dedup of web crawls
+    (the first dedup pass of CommonCrawl-derived corpora, before any
+    content hashing): lowercase scheme+host, strip the fragment, strip
+    the scheme-default port (:80 http / :443 https), default the empty
+    path to '/', drop utm_* tracking params, sort the rest. Pure
+    regexp/HOF column expression (Java∩RE2 subset) — shuffle-free,
+    and mirrored token-for-token by the DuckDB twin below."""
+    scheme = F.lower(F.regexp_extract(col, _URL_SCHEME, 1))
+    host = F.lower(F.regexp_extract(col, _URL_HOST, 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"), F.substring(host, 1, F.length(host) - 3)
+    ).when(
+        (scheme == "https") & host.endswith(":443"), F.substring(host, 1, F.length(host) - 4)
+    ).otherwise(host)
+    path = F.regexp_extract(col, _URL_PATH, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(col, _URL_QUERY, 1), "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    query = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def sql_canonicalize_url(expr: str) -> str:
+    """DuckDB spelling of canonicalize_url (identical regexes)."""
+    scheme = f"lower(regexp_extract({expr}, '{_URL_SCHEME}', 1))"
+    host0 = f"lower(regexp_extract({expr}, '{_URL_HOST}', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {host0} LIKE '%:80' THEN {host0}[1:-4] "
+        f"WHEN {scheme} = 'https' AND {host0} LIKE '%:443' THEN {host0}[1:-5] "
+        f"ELSE {host0} END"
+    )
+    path0 = f"regexp_extract({expr}, '{_URL_PATH}', 1)"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    params = (
+        f"list_sort(list_filter(string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'), "
+        f"p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\'))"
+    )
+    query = (
+        f"CASE WHEN len({params}) = 0 THEN '' "
+        f"ELSE '?' || array_to_string({params}, '&') END"
+    )
+    return f"{scheme} || '://' || {host} || {path} || {query}"
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group crawl records by canonical URL: (canon_url, n_variants,
+    keep_id) — keep_id is the lowest id, the survivor every URL-level
+    dedup keeps. One shuffle on the canonical string."""
+    return (
+        df.select(F.col(id_col), canonicalize_url(F.col(url_col)).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_variants"), F.min(id_col).alias("keep_id"))
+    )
+
+
 def stratified_mix(
     df: DataFrame,
     group_col: str,

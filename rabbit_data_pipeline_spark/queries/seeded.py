@@ -379,3 +379,125 @@ def ann_ivfpq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _spark_vec_df(spark, corpus)
     qs = df.filter(F.col("vec_id").isin(_IVFPQ_QUERY_IDS))
     return ann_ivfpq(df, qs, centroids, codebook, k=5, n_probe=2)
+
+
+# ------------------------------------------------- L28: line-level dedup
+
+
+@lru_cache(maxsize=1)
+def multiline_corpus() -> list[tuple[int, str]]:
+    """30 docs of 4-7 unique content lines (3-6 words from a 300-word
+    vocab — collision-free at this size, verified at build), with a
+    cookie-banner line planted into every doc ≡ 0 (mod 3) and a
+    newsletter line into every doc ≡ 0 (mod 5); doc 29 is boilerplate-
+    only (must vanish entirely from the output)."""
+    rng = random.Random(271828)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    banner = "accept all cookies to continue"
+    newsletter = "subscribe to our newsletter today"
+    rows = []
+    for i in range(29):
+        lines = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 6))) for _ in range(rng.randint(4, 7))]
+        if i % 3 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), banner)
+        if i % 5 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), newsletter)
+        rows.append((i, "\n".join(lines)))
+    rows.append((29, banner + "\n" + newsletter))
+    # content lines must be corpus-unique or they'd count as boilerplate
+    from collections import Counter
+
+    content = Counter(
+        ln for _, t in rows for ln in t.split("\n") if ln not in (banner, newsletter)
+    )
+    assert all(c == 1 for c in content.values())
+    return rows
+
+
+def _dedup_lines_oracle(rows: list[tuple[int, str]], min_docs: int = 2) -> str:
+    vals = ", ".join(f"({i}, '{t}')".replace("\n", "' || chr(10) || '") for i, t in rows)
+    return f"""
+    WITH d(doc_id, text) AS (VALUES {vals}),
+    l AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+      FROM d, UNNEST(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+                     i -> {{'pos': i, 'line': string_split(text, chr(10))[i]}})) AS u(s)
+      WHERE trim(u.s.line) <> ''
+    ),
+    heavy AS (
+      SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM l ANTI JOIN heavy USING (line)
+    GROUP BY doc_id
+    """
+
+
+@register("text_dedup_lines", oracle=_dedup_lines_oracle(multiline_corpus()))
+def text_dedup_lines_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 gate: corpus-level line dedup removes exactly the two
+    planted boilerplate lines from every document (order-preserving
+    reassembly value-hashed), and the boilerplate-only doc disappears."""
+    from rabbit_data_pipeline_spark.operators.text import dedup_lines
+
+    return dedup_lines(_spark_text_df(spark, multiline_corpus()))
+
+
+# --------------------------------------------- L29: URL canonical dedup
+
+
+@lru_cache(maxsize=1)
+def url_corpus() -> list[tuple[int, str]]:
+    """12 canonical targets × deterministic variants: uppercase host,
+    explicit default port, #fragment, utm_* tracking params, shuffled
+    query order — every transformation the canonicalizer must undo —
+    plus unique singleton urls."""
+    rng = random.Random(8080)
+    rows: list[tuple[int, str]] = []
+    nid = 0
+    for b in range(12):
+        scheme = "http" if b % 2 == 0 else "https"
+        host = f"site{b}.example.com"
+        path = "" if b % 4 == 0 else f"/p{b}/page"
+        params = [f"a={b}", f"b={b + 1}", f"c={b + 2}"][: b % 4]
+        variants = []
+        base_q = "?" + "&".join(params) if params else ""
+        variants.append(f"{scheme}://{host}{path}{base_q}")
+        v = list(params)
+        rng.shuffle(v)
+        v.insert(rng.randrange(len(v) + 1), "utm_source=feed")
+        variants.append(f"{scheme}://{host.upper()}{path}?" + "&".join(v))
+        port = ":80" if scheme == "http" else ":443"
+        variants.append(f"{scheme}://{host}{port}{path}{base_q}#section-{b}")
+        for u in variants:
+            rows.append((nid, u))
+            nid += 1
+    for i in range(8):
+        rows.append((nid, f"https://unique{i}.org/only?x={i}"))
+        nid += 1
+    return rows
+
+
+def _url_dedup_oracle(rows: list[tuple[int, str]]) -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_canonicalize_url
+
+    vals = ", ".join(f"({i}, '{u}')" for i, u in rows)
+    return f"""
+    WITH d(doc_id, url) AS (VALUES {vals})
+    SELECT {sql_canonicalize_url('url')} AS canon_url,
+           COUNT(*) AS n_variants, MIN(doc_id) AS keep_id
+    FROM d GROUP BY 1
+    """
+
+
+@register("text_url_dedup", oracle=_url_dedup_oracle(url_corpus()))
+def text_url_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 gate: canonicalization collapses every variant family (case,
+    default ports, fragments, utm params, query order) to one group of
+    3 while singletons stay groups of 1 — canonical strings, counts and
+    survivor ids all value-hashed."""
+    from rabbit_data_pipeline_spark.operators.text import url_dedup
+
+    rows = url_corpus()
+    schema = StructType([StructField("doc_id", LongType()), StructField("url", StringType())])
+    return url_dedup(spark.createDataFrame(rows, schema), url_col="url")

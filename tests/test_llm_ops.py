@@ -590,3 +590,33 @@ def test_gopher_filter_plugin_drops_spam(spark, tmp_path):
     )
     out = Scheduler(spark, {"gq": spec}).run("gq")["gf"]
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_canonicalize_url_families_and_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.text import canonicalize_url, url_dedup
+    from rabbit_data_pipeline_spark.queries.seeded import url_corpus
+
+    rows = url_corpus()
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    counts = sorted(r["n_variants"] for r in url_dedup(df).collect())
+    assert counts == [1] * 8 + [3] * 12  # 12 families of 3, 8 singletons
+    got = df.select(canonicalize_url(F.col("url")).alias("c")).where(
+        F.col("url") == "http://SITE2.EXAMPLE.COM?utm_source=feed&b=3&a=2"
+    )
+    one = spark.createDataFrame([(0, "http://site2.example.com:80/?a=2&b=3#x")], ["i", "url"]
+        ).select(canonicalize_url(F.col("url")).alias("c"))
+    vals = {r["c"] for r in got.union(one).collect()}
+    assert vals == {"http://site2.example.com/?a=2&b=3"}
+
+
+def test_dedup_lines_keeps_order_and_drops_empty_docs(spark):
+    from rabbit_data_pipeline_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "keep one\nBOILER\nkeep two"), (2, "BOILER\nother text"), (3, "BOILER")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert rows == {1: "keep one\nkeep two", 2: "other text"}  # doc 3 vanished
