@@ -436,6 +436,31 @@ def dedup_lines(
     )
 
 
+def sample_exact_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-group sampling (k or the whole group if smaller)
+    — the distributed replacement for per-group reservoir sampling:
+    rank rows inside each group by md5(id) and keep the first k. The
+    hash ranking is a uniform-ish draw that is deterministic across
+    runs, engines and partitionings (md5 hex compares identically
+    everywhere — unlike RNG sampling, which no oracle could check, or
+    xxhash64, which DuckDB can't compute). One shuffle on the group
+    key; at heavy group skew pre-filter with a sampleBy-style fraction
+    before the exact rank."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ------------------------------------------------ URL canonicalization
 
 _URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"

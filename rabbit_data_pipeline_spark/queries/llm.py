@@ -855,3 +855,25 @@ def ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     codes = pq_encode(e, _PQ_CB)
     return ann_pq(codes, e.filter(F.col("vec_id") < 5), _PQ_CB, k=5)
+
+
+@register(
+    "text_sample_exact_k",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 7
+    """,
+)
+def text_sample_exact_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30: exactly-7-per-source deterministic sample — md5-ranked
+    per-group draw, reproducible across engines/partitionings (the
+    oracle-checkable stand-in for reservoir sampling). One group-key
+    shuffle."""
+    from rabbit_data_pipeline_spark.operators.text import sample_exact_k
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "source")
+    return sample_exact_k(d, "source", k=7)

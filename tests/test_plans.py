@@ -286,3 +286,21 @@ def test_ann_ivfpq_single_map_pass_and_probe_join(plans):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) <= 1
+
+
+def test_dedup_lines_broadcast_anti_join(plans):
+    """Line dedup: the heavy-line side broadcasts into the anti-join
+    (boilerplate is rare among distinct lines); the only hash
+    exchanges are the line-count agg and the doc reassembly."""
+    p = plans("text_dedup_lines")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "EvalPython" not in p
+
+
+def test_url_canonicalizer_shuffles_once(plans):
+    """Canonicalization is a pure projection; the only exchange is the
+    canonical-key survivor agg (with its map-side partial)."""
+    p = plans("text_url_dedup")
+    hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) <= 1
+    assert "Join" not in p and "EvalPython" not in p
