@@ -233,3 +233,34 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     return _run_to_table(agg.drop("window_end"), "update")
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+    WITH cohorts AS (
+      SELECT user_id, user_id % 7 AS cohort FROM {EVENTS_US} GROUP BY user_id
+    )
+    SELECT c.cohort, events.event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM {EVENTS_US} JOIN cohorts c ON events.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6b: stream-static enrichment — the streaming feed joins a
+    static dimension (per-user cohort) then aggregates. The static
+    side needs no watermark/state: Spark re-plans it per micro-batch
+    (which is how slowly-changing dims refresh mid-stream), and the
+    dim broadcasts so the stream never shuffles for the join. Full
+    value-hash gate via the single-batch harness."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cohorts = ev.groupBy("user_id").agg((F.first("user_id") % 7).alias("cohort"))
+    stream = _events_queue(spark, sf_dir)
+    joined = stream.join(F.broadcast(cohorts), on="user_id")
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy("cohort", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+    return _run_to_table(agg, "update")

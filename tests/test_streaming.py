@@ -351,3 +351,47 @@ def test_sessionize_streaming_matches_batch_semantics(spark, tmp_path):
         if r.user_id != "zz"
     }
     assert got == batch_sessions()
+
+
+def test_chunked_replay_parity_with_single_batch(spark, tmp_path, sf_smoke):
+    """Batch-equivalence under chunked replay: the doubled events feed
+    processed one FILE per micro-batch (maxFilesPerTrigger=1 — many
+    batches, state carried across them) must emit exactly the same
+    deduped set as the batch DISTINCT. The watermark delay exceeds the
+    data's time span, so no row is ever late regardless of file order
+    — isolating the cross-batch state machinery itself."""
+    from rabbit_data_pipeline_spark.session import load_tables
+    from rabbit_data_pipeline_spark.streaming import stream_dedup
+
+    ev = load_tables(spark, sf_smoke, ("events",))["events"].select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
+    )
+    qdir = str(tmp_path / "queue")
+    ev.unionAll(ev).repartition(6).write.json(qdir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(qdir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    deduped = stream_dedup(stream, ["event_id"], watermark="876000 hours").select(
+        "event_id", "user_id", "event_type"
+    )
+    name = f"chunked_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3, "expected multiple micro-batches"
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in ev.select("event_id", "user_id", "event_type").distinct().collect()}
+    assert got == want
