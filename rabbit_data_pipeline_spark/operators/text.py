@@ -401,6 +401,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    broadcast_heavy: bool = True,
 ) -> DataFrame:
     """Corpus-level line deduplication (the CCNet/RefinedWeb
     boilerplate-removal step): a line appearing in ≥ `min_docs`
@@ -414,7 +415,12 @@ def dedup_lines(
     by the same line key (exchange reuse; the heavy-line side is tiny
     — boilerplate is rare among DISTINCT lines — and broadcasts), one
     doc-keyed reassembly agg. Order restoration is a struct sort
-    inside the agg, not a global sort. Returns (id, text)."""
+    inside the agg, not a global sort. Returns (id, text).
+
+    Set `broadcast_heavy=False` when min_docs is low AND the corpus is
+    adversarially templated (heavy-line set too big for a broadcast) —
+    the anti-join then shuffles both sides on the line key, which the
+    explode already partitioned."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -425,7 +431,9 @@ def dedup_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("line")
     )
-    kept = lines.join(F.broadcast(heavy), on="line", how="left_anti")
+    kept = lines.join(
+        F.broadcast(heavy) if broadcast_heavy else heavy, on="line", how="left_anti"
+    )
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
