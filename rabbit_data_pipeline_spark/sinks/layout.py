@@ -77,3 +77,73 @@ def compact(
 
     shutil.rmtree(bak)
     return n
+
+
+# ------------------------------------------------------ Z-order clustering
+
+
+def zorder_key(cols: list[str], mins: dict[str, float], maxs: dict[str, float], bits: int = 16):
+    """Column expr: Morton (Z-order) key interleaving `bits` bits of
+    each column, min-max normalized to [0, 2^bits). Rows close in the
+    key are close in EVERY listed dimension, so after a range-
+    repartition + sort on this key each output file's min/max span is
+    narrow on ALL dimensions at once — multi-dimensional data skipping,
+    where a plain sort only skips on its leading column.
+
+    min/max ship as plan literals (they come from one tiny agg pass);
+    the interleave is pure integer arithmetic — codegen'd, no Python,
+    no shuffle beyond the final range exchange the caller asks for."""
+    from pyspark.sql import functions as F
+
+    m = len(cols)
+    if bits * m > 63:
+        raise ValueError(f"bits*len(cols) must fit a signed long, got {bits * m}")
+    scaled = []
+    for c in cols:
+        lo, hi = float(mins[c]), float(maxs[c])
+        span = (hi - lo) or 1.0
+        s = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(1 << bits))).cast("long"),
+            ),
+        )
+        scaled.append(s)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * m + j)
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-repartition + sort by the Morton key of `cols` — the
+    write-side clustering pass (Delta OPTIMIZE ZORDER BY shape) that
+    makes parquet min/max stats selective on every listed column.
+    Cost: one tiny min/max agg (2m values to the driver), one range
+    exchange + local sort — paid once at write, amortized over every
+    later selective read. At 100 TB run it per ingest partition, not
+    globally: clustering within a day/hour partition is what keeps the
+    sort bounded."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    mins = {c: stats[f"min_{c}"] for c in cols}
+    maxs = {c: stats[f"max_{c}"] for c in cols}
+    key = zorder_key(cols, mins, maxs, bits)
+    return (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

@@ -135,3 +135,80 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "might_contain" in plan.lower()
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+
+# ------------------------------------------------------ Z-order clustering
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.sinks.layout import zorder_key
+
+    rows = [(0, 0), (255, 0), (0, 255), (255, 255), (100, 200), (37, 211)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    mins, maxs = {"x": 0, "y": 0}, {"x": 255, "y": 255}
+    got = [
+        r["k"]
+        for r in df.select(zorder_key(["x", "y"], mins, maxs, bits=8).alias("k"), "x", "y")
+        .orderBy("x", "y").collect()
+    ]
+
+    def interleave(x, y):
+        sx = min(255, x * 256 // 255)
+        sy = min(255, y * 256 // 255)
+        k = 0
+        for i in range(8):
+            k |= ((sx >> i) & 1) << (2 * i)
+            k |= ((sy >> i) & 1) << (2 * i + 1)
+        return k
+
+    want = [interleave(x, y) for x, y in sorted(rows)]
+    assert got == want
+
+
+def test_zorder_clusters_narrow_ranges_on_both_dims(spark, tmp_path):
+    """Effectiveness: a 64x64 uniform grid written in 16 z-ordered
+    files gives every file a narrow min/max span on BOTH dims (the
+    stats data skipping prunes with), while a plain sort on x leaves
+    the full y range in every file."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.sinks.layout import cluster_by_zorder
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    cluster_by_zorder(grid, ["x", "y"], n_files=16).write.parquet(zpath)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def avg_spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        n = len(per_file)
+        return sum(r["sx"] for r in per_file) / n, sum(r["sy"] for r in per_file) / n
+
+    zx, zy = avg_spans(zpath)
+    sx, sy = avg_spans(spath)
+    # z-order: both dims well under half the global span (63)
+    assert zx <= 32 and zy <= 32, (zx, zy)
+    # x-sort: x is narrow but y spans the whole range
+    assert sx <= 16 and sy >= 60, (sx, sy)
+
+
+def test_zorder_rejects_long_overflow(spark):
+    import pytest as _pytest
+
+    from rabbit_data_pipeline_spark.sinks.layout import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], {}, {}, bits=16)
