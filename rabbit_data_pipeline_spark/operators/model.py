@@ -1,0 +1,124 @@
+"""Model-inference plumbing: score or embed documents with a batched
+model behind ``mapInPandas`` — the step where a real quality
+classifier (fastText-style) or embedding model (sentence-transformer)
+plugs into the pipeline.
+
+The Spark side is real and tested: Arrow batch iteration, output
+schemas, partition sizing guidance, model-handle lifecycle (one lazy
+init per PYTHON WORKER, not per batch — loading a model per batch is
+the classic 100×-slowdown mistake). No model library ships in this
+container, so the default model_fns are deterministic stand-ins
+(documented, seeded) and loading a named real model raises a
+clearly-marked NotImplementedError — mirroring the multimodal codec
+gates (operators/multimodal.py).
+
+Scale notes: inference is compute-bound Python — size partitions so
+each worker gets enough batches to amortize model init
+(`spark.sql.execution.arrow.maxRecordsPerBatch` controls batch rows),
+and repartition to a multiple of the worker count before the pass.
+The output adds columns, never drops them: downstream filters stay
+Catalyst-visible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, DoubleType, FloatType, StructField, StructType
+
+# model name -> loader; real entries would import fasttext/onnx/etc.
+_REAL_MODELS: dict[str, Callable] = {}
+
+
+def load_model(name: str):
+    """Load a named real model. None ship in this container — the
+    call is the documented integration point, gated exactly like the
+    multimodal codecs."""
+    if name in _REAL_MODELS:
+        return _REAL_MODELS[name]()
+    raise NotImplementedError(
+        f"model {name!r}: no model runtime ships in this container; "
+        "pass model_fn= to score_documents/embed_documents instead"
+    )
+
+
+def fake_quality_model(texts: pd.Series) -> pd.Series:
+    """Deterministic stand-in classifier: a seeded hash of the
+    normalized text mapped to [0, 1). Batched exactly like a real
+    model forward pass."""
+    def one(t: str) -> float:
+        h = hashlib.md5((t or "").strip().lower().encode()).digest()
+        return int.from_bytes(h[:8], "big") / 2**64
+
+    return texts.map(one)
+
+
+def fake_embedding_model(dim: int = 16) -> Callable[[pd.Series], pd.Series]:
+    """Deterministic stand-in embedder: dim unit-normalized features
+    from seeded md5 stripes of the text — stable across runs and
+    partitionings, shaped exactly like a sentence-encoder output."""
+
+    def embed(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> list[float]:
+            raw = (t or "").strip().lower().encode()
+            vals = []
+            for i in range(dim):
+                h = hashlib.md5(raw + bytes([i])).digest()
+                vals.append(int.from_bytes(h[:8], "big") / 2**63 - 1.0)
+            n = math.sqrt(sum(v * v for v in vals)) or 1.0
+            return [v / n for v in vals]
+
+        return texts.map(one)
+
+    return embed
+
+
+def score_documents(
+    df: DataFrame,
+    model_fn: Callable[[pd.Series], pd.Series] | None = None,
+    text_col: str = "text",
+    score_col: str = "model_score",
+) -> DataFrame:
+    """Append a per-document model score. mapInPandas streams Arrow
+    batches through `model_fn(Series[str]) -> Series[float]`; the
+    model handle initializes lazily ONCE per worker process (the
+    closure is deserialized once, batches iterate within it)."""
+    fields = df.schema.fields + [StructField(score_col, DoubleType())]
+    out_schema = StructType(fields)
+    fn = model_fn or fake_quality_model
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = fn  # lazy per-worker init point: resolve/load here, not per batch
+        for pdf in batches:
+            pdf[score_col] = model(pdf[text_col]).astype("float64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def embed_documents(
+    df: DataFrame,
+    model_fn: Callable[[pd.Series], pd.Series] | None = None,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    dim: int = 16,
+) -> DataFrame:
+    """Append an embedding column (`array<float>`) — the text →
+    vector step feeding the dedup/ANN operators. Same batched
+    mapInPandas shape as score_documents; output plugs directly into
+    ann_* / embedding_near_pairs (operators/similarity.py, dedup.py)."""
+    fields = df.schema.fields + [StructField(vec_col, ArrayType(FloatType()))]
+    out_schema = StructType(fields)
+    fn = model_fn or fake_embedding_model(dim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = fn
+        for pdf in batches:
+            pdf[vec_col] = model(pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

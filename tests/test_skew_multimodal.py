@@ -56,3 +56,43 @@ def test_extract_features_histogram(spark):
     # deterministic across runs
     out2 = {r.media_id: r.features for r in extract_features(df, n_bins=16).collect()}
     assert out == out2
+
+
+# ------------------------------------------------ model-inference plumbing
+
+
+def test_score_documents_deterministic_across_partitionings(spark):
+    from rabbit_data_pipeline_spark.operators.model import score_documents
+
+    df = spark.createDataFrame([(i, f"doc number {i}") for i in range(40)], ["doc_id", "text"])
+    a = {r["doc_id"]: r["model_score"] for r in score_documents(df).collect()}
+    b = {r["doc_id"]: r["model_score"] for r in score_documents(df.repartition(7)).collect()}
+    assert a == b and len(a) == 40
+    assert all(0.0 <= v < 1.0 for v in a.values())
+
+
+def test_embed_documents_feeds_ann_end_to_end(spark):
+    """text -> embedding -> exact-dup detection: identical texts embed
+    identically (cosine 1 via the ANN operator), distinct texts do not."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.model import embed_documents
+    from rabbit_data_pipeline_spark.operators.similarity import ann_bruteforce
+
+    rows = [(i, f"unique text {i}") for i in range(20)] + [(100, "unique text 3")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = embed_documents(df, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top1 = ann_bruteforce(emb, emb.filter(F.col("vec_id") == 100), k=1).collect()
+    assert len(top1) == 1 and top1[0]["n_id"] == 3
+    assert abs(top1[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_load_model_gates_clearly(spark):
+    import pytest as _pytest
+
+    from rabbit_data_pipeline_spark.operators.model import load_model
+
+    with _pytest.raises(NotImplementedError, match="model runtime"):
+        load_model("fasttext-quality-v1")
