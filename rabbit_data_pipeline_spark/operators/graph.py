@@ -93,3 +93,65 @@ def dedup_transitive(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the adversarial-graph alternative to `connected_components`: label
+    propagation needs O(diameter) rounds before pointer jumping kicks
+    in and suffers on high-degree hubs, while the star operations
+    converge in O(log² n) rounds on ANY graph shape and each round
+    only shuffles the (shrinking) edge list on its endpoints.
+
+    large-star: every node points its larger neighbors at its
+    neighborhood minimum; small-star: every node folds its smaller
+    neighbors (and itself) onto the smallest. Fixpoint = a forest of
+    stars (u, root). Returns (id, component) for every node in
+    `pairs`, component = min reachable id — the same contract as
+    `connected_components`, verified equal in tests."""
+    E = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = E.select(F.col("u").alias("id")).unionAll(E.select("v")).distinct()
+    for _ in range(max_iter):
+        # large-star over the symmetrized graph
+        sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star over the (u > v)-directed edges
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            ls.join(mins2, on="u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .unionAll(mins2.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = ss.exceptAll(E).limit(1).count() + E.exceptAll(ss).limit(1).count()
+        E = ss
+        if changed == 0:
+            comp = E.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            return nodes.join(comp, on="id", how="left").select(
+                "id", F.coalesce("component", F.col("id")).alias("component")
+            )
+    raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")

@@ -175,3 +175,29 @@ def _pack(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataF
         budget=int(cfg.get("budget", 2048)),
         n_buckets=int(cfg.get("n_buckets", 64)),
     )
+
+
+@plugin("transform.score_model")
+def _score_model(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Batched model scoring; optional min_score filter applies the
+    classifier as a quality gate in the same pipeline step."""
+    from rabbit_data_pipeline_spark.operators.model import score_documents
+
+    (df,) = inputs
+    out = score_documents(df, text_col=cfg.get("text_col", "text"), score_col=cfg.get("score_col", "model_score"))
+    if "min_score" in cfg:
+        out = out.filter(F.col(cfg.get("score_col", "model_score")) >= float(cfg["min_score"]))
+    return out
+
+
+@plugin("transform.embed")
+def _embed(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.model import embed_documents
+
+    (df,) = inputs
+    return embed_documents(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        vec_col=cfg.get("vec_col", "embedding"),
+        dim=int(cfg.get("dim", 16)),
+    )

@@ -651,3 +651,44 @@ def test_ann_pq_recall_beats_random_on_unstructured_data(spark, sf_dir):
         got.setdefault(r["q_id"], set()).add(r["n_id"])
     recalls = [len(got[q] & truth[q]) / 10 for q in range(5)]
     assert min(recalls) >= 0.1 and sum(recalls) / 5 >= 0.15, recalls
+
+
+def test_cc_star_matches_union_find_and_label_propagation(spark):
+    """large-star/small-star vs a python union-find reference AND the
+    label-propagation operator, over a chain, a star, two islands and
+    a seeded random graph."""
+    import random as _random
+
+    from rabbit_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = _random.Random(99)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "star": [(0, i) for i in range(1, 40)],
+        "islands": [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "random": [(rng.randrange(50), rng.randrange(50)) for _ in range(70)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got_star = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+        got_lp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        assert got_star == want, name
+        assert got_lp == want, name
