@@ -86,11 +86,16 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def dedup_transitive(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_transitive(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", algorithm: str = "label"
+) -> DataFrame:
     """Keep exactly one survivor (the minimum id) per connected
     near-dup cluster — the transitive-closure upgrade of
-    `dedup_by_pairs`."""
-    comp = connected_components(pairs)
+    `dedup_by_pairs`. `algorithm`: "label" (propagation + pointer
+    jumping, best for the star-shaped graphs near-dup produces) or
+    "star" (large/small-star, O(log² n) on adversarial shapes)."""
+    cc = {"label": connected_components, "star": connected_components_star}[algorithm]
+    comp = cc(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 

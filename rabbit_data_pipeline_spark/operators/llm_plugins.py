@@ -201,3 +201,30 @@ def _embed(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> Data
         vec_col=cfg.get("vec_col", "embedding"),
         dim=int(cfg.get("dim", 16)),
     )
+
+
+@plugin("transform.dedup_lines")
+def _dedup_lines(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import dedup_lines
+
+    (df,) = inputs
+    return dedup_lines(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        min_docs=int(cfg.get("min_docs", 2)),
+        broadcast_heavy=bool(cfg.get("broadcast_heavy", True)),
+    )
+
+
+@plugin("transform.url_dedup")
+def _url_dedup(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Keep one row per canonical URL (the crawl-level first dedup):
+    canonicalize, then keep the lowest id of each group."""
+    from rabbit_data_pipeline_spark.operators.text import canonicalize_url
+    from pyspark.sql.window import Window
+
+    (df,) = inputs
+    url_col, id_col = cfg.get("url_col", "url"), cfg.get("id_col", "doc_id")
+    w = Window.partitionBy(canonicalize_url(F.col(url_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -692,3 +692,13 @@ def test_cc_star_matches_union_find_and_label_propagation(spark):
         got_lp = {r["id"]: r["component"] for r in connected_components(df).collect()}
         assert got_star == want, name
         assert got_lp == want, name
+
+
+def test_dedup_transitive_star_algorithm(spark):
+    from rabbit_data_pipeline_spark.operators.graph import dedup_transitive
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    for algo in ("label", "star"):
+        got = sorted(r["doc_id"] for r in dedup_transitive(df, pairs, algorithm=algo).collect())
+        assert got == [0, 3, 4], algo
