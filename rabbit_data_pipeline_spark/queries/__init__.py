@@ -52,12 +52,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (b) The 39 keys whose last green verdict is r1/r2 code — rotate them
     # through the driver's 50-key cap so every key gets a verdict on
     # current code.
-    # (11 of the stale batch wait for r5 to make room for the never-
+    # (12 of the stale batch wait for r5 to make room for the never-
     # verified new keys in (c): q_topn/q_distinct/q_union/q_date_parts/
     # q_null_funcs/q_string_funcs/q_having/q_regexp_extract — the
-    # simplest single-table plans — plus q_time_bucket, q_pivot and
-    # q_rollup, whose shapes are covered this round by the verified
-    # q_tumbling_window and q_cube.)
+    # simplest single-table plans — plus q_time_bucket, q_pivot,
+    # q_rollup and q_window_distribution, whose shapes are covered
+    # this round by the verified q_tumbling_window, q_cube and the
+    # window-frame trio.)
     "stream_windowed_agg", "stream_dedup", "stream_stream_join",
     "q_filter_project", "q_agg_pricing", "q_join_broadcast",
     "q_join_multiway", "q_join_left", "q_join_semi", "q_join_anti",
@@ -65,8 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_percentile", "q_ship_priority", "q_order_priority", "q_nation_volume",
     "q_returned_items", "q_count_distribution", "q_top_supplier",
     "q_big_orders", "q_or_predicates", "q_cube", "q_waiting_supplier",
-    "q_idle_customers", "q_argminmax", "q_set_ops",
-    "q_window_distribution", "q_join_full",
+    "q_idle_customers", "q_argminmax", "q_set_ops", "q_join_full",
     # (c) Keys whose code paths this round touches (line-range rewrite,
     # xlsx ADVICE fixes, IVF centroid sampling) or that are new this
     # round (repeated n-grams, Gopher filters, TF-IDF, range search,
@@ -75,7 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repeated_ngrams", "text_gopher_quality", "text_tfidf",
     "ann_range", "emb_pq_codes", "ann_pq", "ann_ivfpq",
     "stream_sliding_window", "text_dedup_lines", "text_url_dedup",
-    "text_sample_exact_k", "stream_static_join",
+    "text_sample_exact_k", "stream_static_join", "pipeline_web_prep",
 )
 
 

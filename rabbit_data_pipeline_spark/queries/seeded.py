@@ -501,3 +501,153 @@ def text_url_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = url_corpus()
     schema = StructType([StructField("doc_id", LongType()), StructField("url", StringType())])
     return url_dedup(spark.createDataFrame(rows, schema), url_col="url")
+
+
+# ------------------------------------- L32: web-corpus prep pipeline
+
+
+@lru_cache(maxsize=1)
+def web_corpus() -> list[tuple[int, str, str]]:
+    """20 crawl records (doc_id, url, text) engineered so EVERY prep
+    stage fires exactly once, verifiably:
+    - doc 1's url is a tracking/case variant of doc 0's, doc 8's a
+      port/fragment variant of doc 7's → URL dedup drops 1 and 8;
+    - a cookie banner is planted into docs ≡ 0 (mod 3) (7 docs ≥
+      min_docs 3) → line dedup strips it everywhere;
+    - doc 12 = doc 5's content lines + the banner → after line dedup
+      the two texts are identical → exact dedup drops 12 (its lines
+      live in only 2 docs, under the min_docs=3 bar, so line dedup
+      leaves them);
+    - doc 15 is keyword-stuffed spam → the Gopher filter drops it;
+    - doc 19 is banner-only → line dedup leaves nothing → vanishes.
+    Survivors: 0,2,3,4,5,6,7,9,10,11,13,14,16,17,18."""
+    rng = random.Random(5150)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    banner = "accept all cookies to continue"
+
+    def lines_for(n):
+        return [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 6))) for _ in range(n)]
+
+    rows = []
+    texts = {}
+    for i in range(19):
+        if i == 12:
+            content = texts[5][:]
+        elif i == 15:
+            content = ["buy now buy now buy now buy now buy now"]
+        else:
+            content = lines_for(rng.randint(4, 6))
+        texts[i] = content[:]
+        lines = content[:]
+        if i % 3 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), banner)
+        if i == 1:
+            url = "https://SITE0.ORG/page?utm_source=feed"
+        elif i == 8:
+            url = "https://site7.org:443/page#frag"
+        else:
+            url = f"https://site{i}.org/page"
+        rows.append((i, url, "\n".join(lines)))
+    rows.append((19, "https://site19.org/page", banner))
+    from collections import Counter
+
+    content_lines = Counter(
+        ln for i, t in texts.items() if i != 12 for ln in t if ln != banner
+    )
+    assert all(c == 1 for c in content_lines.values())
+    return rows
+
+
+def _web_prep_oracle(rows: list[tuple[int, str, str]]) -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_canonicalize_url
+
+    vals = ", ".join(
+        f"({i}, '{u}', '{t}')".replace("\n", "' || chr(10) || '") for i, u, t in rows
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = f"regexp_split_to_array({norm}, ' ')"
+    return f"""
+    WITH d(doc_id, url, text) AS (VALUES {vals}),
+    u AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY {sql_canonicalize_url('url')}
+                                ORDER BY doc_id) AS rn
+      FROM d
+    ),
+    us AS (SELECT doc_id, text FROM u WHERE rn = 1),
+    l AS (
+      SELECT doc_id, x.s.pos AS pos, x.s.line AS line
+      FROM us, UNNEST(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+                      i -> {{'pos': i, 'line': string_split(text, chr(10))[i]}})) AS x(s)
+      WHERE trim(x.s.line) <> ''
+    ),
+    heavy AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+    r AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM l ANTI JOIN heavy USING (line) GROUP BY doc_id
+    ),
+    t AS (SELECT doc_id, text, {toks} AS toks FROM r),
+    s AS (
+      SELECT doc_id, text, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    tb AS (SELECT doc_id, MAX(c) AS top_n FROM bc GROUP BY 1),
+    g AS (
+      SELECT s.doc_id, s.text
+      FROM s LEFT JOIN tb ON s.doc_id = tb.doc_id
+      WHERE CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1) <= 0.3
+        AND CAST(COALESCE(top_n, 0) AS DOUBLE) / GREATEST(n_words - 1, 1) <= 0.2
+    ),
+    e AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+      FROM g
+    )
+    SELECT doc_id, text FROM e WHERE rn = 1
+    """
+
+
+@register("pipeline_web_prep", oracle=_web_prep_oracle(web_corpus()))
+def pipeline_web_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32: the full web-corpus prep chain — URL dedup → corpus line
+    dedup → Gopher repetition filter → exact dedup — declared as a
+    YAML-style pipeline task and executed by the Scheduler as ONE
+    composed Catalyst plan, adjudicated end-to-end by a single
+    CTE-chain oracle. Every stage demonstrably fires (see web_corpus).
+    """
+    import os
+    import tempfile
+
+    from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+
+    rows = web_corpus()
+    path = os.path.join(tempfile.gettempdir(), "rdps_web_corpus_v1")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("url", StringType()),
+                StructField("text", StringType()),
+            ]
+        )
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    spec = PipelineSpec.from_dict(
+        "web_prep",
+        {
+            "src": {"type": "source.parquet", "start": True, "path": path, "output": ["urls"]},
+            "urls": {"type": "transform.url_dedup", "output": ["lines"]},
+            "lines": {"type": "transform.dedup_lines", "min_docs": 3, "output": ["quality"]},
+            "quality": {"type": "transform.gopher_filter", "output": ["exact"]},
+            "exact": {"type": "transform.dedup_exact", "output": ["out"]},
+            "out": {"type": "transform.select", "columns": ["doc_id", "text"]},
+        },
+    )
+    return Scheduler(spark, {"web_prep": spec}).run("web_prep")["out"]

@@ -702,3 +702,12 @@ def test_dedup_transitive_star_algorithm(spark):
     for algo in ("label", "star"):
         got = sorted(r["doc_id"] for r in dedup_transitive(df, pairs, algorithm=algo).collect())
         assert got == [0, 3, 4], algo
+
+
+def test_web_prep_pipeline_survivors(spark):
+    """Each engineered drop fires: 1,8 (url variants), 12 (exact dup
+    after banner strip), 15 (gopher spam), 19 (boilerplate-only)."""
+    from rabbit_data_pipeline_spark.queries.seeded import pipeline_web_prep
+
+    out = {r["doc_id"] for r in pipeline_web_prep(spark, "").collect()}
+    assert out == set(range(19)) - {1, 8, 12, 15}
