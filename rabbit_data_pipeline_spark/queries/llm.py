@@ -877,3 +877,22 @@ def text_sample_exact_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "source")
     return sample_exact_k(d, "source", k=7)
+
+
+def ann_ivfpq_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27c at sf scale: IVF-PQ over the embeddings table — sampled
+    coarse centroids + sampled codebook, probe 4/16 cells. Correctness
+    gate: the lossless seeded corpus (queries/seeded.py ann_ivfpq);
+    this is the real-data probe for recall/bench experiments."""
+    from rabbit_data_pipeline_spark.operators.similarity import (
+        ann_ivfpq,
+        sample_pq_codebook,
+    )
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select("vec_id", "embedding")
+    sampled = (
+        e.orderBy(F.xxhash64(F.col("vec_id"), F.lit(1)), F.col("vec_id")).limit(16).collect()
+    )
+    centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(sampled)]
+    cb = sample_pq_codebook(e, m=4, ks=16, dim=64)
+    return ann_ivfpq(e, e.filter(F.col("vec_id") < 5), centroids, cb, k=10, n_probe=4)

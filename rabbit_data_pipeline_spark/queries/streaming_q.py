@@ -264,3 +264,41 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
     )
     return _run_to_table(agg, "update")
+
+
+@register(
+    "stream_text_prep",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    WHERE length(text) >= 50
+    """,
+)
+def stream_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: the stateless text-prep ops (length filter, token count,
+    fingerprint) applied INSIDE a streaming query — the same column
+    expressions run unchanged under readStream because they are pure
+    projections (no state, no watermark). Gates that the text
+    operators compose with the streaming runtime, value-hashed against
+    the batch answer."""
+    from rabbit_data_pipeline_spark.operators.text import fingerprint, ws_token_count
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "text")
+    qdir = os.path.join(tempfile.gettempdir(), f"rdps_stream_{uuid.uuid4().hex[:12]}")
+    d.write.mode("overwrite").json(qdir)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(qdir)
+    out = (
+        stream.filter(F.length("text") >= 50)
+        .select(
+            "doc_id",
+            ws_token_count(F.col("text")).alias("ws_tokens"),
+            fingerprint(F.col("text")).alias("fingerprint"),
+        )
+    )
+    return _run_to_table(out, "append")
