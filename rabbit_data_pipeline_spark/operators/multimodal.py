@@ -66,6 +66,15 @@ def encode_video(n_frames: int, frame_len: int, seed: int = 0) -> bytes:
     return b"VID1" + struct.pack("<ii", n_frames, frame_len) + frames
 
 
+def encode_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    """AUD1 | sample_rate:int32 LE | n_samples:int32 LE | int16 LE pcm
+    (deterministic seeded sawtooth-ish signal)."""
+    pcm = b"".join(
+        struct.pack("<h", ((i * 37 + seed * 101) % 2048) - 1024) for i in range(n_samples)
+    )
+    return b"AUD1" + struct.pack("<ii", sample_rate, n_samples) + pcm
+
+
 def _decode_one(payload: bytes) -> dict:
     magic = payload[:4]
     if magic == b"IMG1":
@@ -74,6 +83,11 @@ def _decode_one(payload: bytes) -> dict:
     if magic == b"VID1":
         n, fl = struct.unpack("<ii", payload[4:12])
         return {"format": "VID1", "width": None, "height": None, "n_frames": n, "n_bytes": len(payload)}
+    if magic == b"AUD1":
+        sr, n = struct.unpack("<ii", payload[4:12])
+        # n_frames carries the sample count; width carries the rate —
+        # the schema stays fixed across modalities (nullable ints).
+        return {"format": "AUD1", "width": sr, "height": None, "n_frames": n, "n_bytes": len(payload)}
     # STUB: real codecs (JPEG/PNG/WAV/MP4) require PIL/ffmpeg — not in
     # this container. The distributed plumbing around this call is the
     # tested deliverable.
@@ -183,6 +197,42 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
                 body = np.frombuffer(payload, dtype=np.uint8, offset=12)
                 hist = np.bincount(body >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[:n_bins]
                 rows.append((mid, (hist / max(body.size, 1)).astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_energy_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
+    """Audio feature extraction: AUD1 pcm → per-window RMS energy
+    vector (array<float>, length n_windows) — the audio twin of
+    extract_features' image histogram. A real deployment swaps the RMS
+    for a wav2vec-style forward pass over the same Arrow batch; the
+    output feeds the ANN/similarity operators directly."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"AUD1":
+                    raise NotImplementedError("audio_energy_features: only AUD1 synthetic pcm in this container")
+                pcm = np.frombuffer(payload, dtype="<i2", offset=12).astype(np.float64)
+                win = max(1, pcm.size // n_windows)
+                feats = [
+                    float(np.sqrt(np.mean(np.square(pcm[i * win : (i + 1) * win])) or 0.0))
+                    for i in range(n_windows)
+                ]
+                rows.append((mid, np.asarray(feats, dtype=np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
 
     return df.mapInPandas(run, schema=out_schema)

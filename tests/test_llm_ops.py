@@ -711,3 +711,18 @@ def test_web_prep_pipeline_survivors(spark):
 
     out = {r["doc_id"] for r in pipeline_web_prep(spark, "").collect()}
     assert out == set(range(19)) - {1, 8, 12, 15}
+
+
+def test_ann_ivfpq_scale_probe_runs_and_ranks(spark, sf_smoke):
+    from rabbit_data_pipeline_spark.queries.llm import ann_ivfpq_scale
+
+    rows = ann_ivfpq_scale(spark, sf_smoke).collect()
+    assert rows, "probe produced no candidates"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), q
+        adcs = [x["adc"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert adcs == sorted(adcs), q

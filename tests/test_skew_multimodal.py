@@ -96,3 +96,21 @@ def test_load_model_gates_clearly(spark):
 
     with _pytest.raises(NotImplementedError, match="model runtime"):
         load_model("fasttext-quality-v1")
+
+
+def test_audio_decode_and_energy_features(spark):
+    from rabbit_data_pipeline_spark.operators.multimodal import (
+        audio_energy_features,
+        decode_metadata,
+        encode_audio,
+    )
+
+    rows = [(str(i), "audio", encode_audio(16000, 1024, seed=i)) for i in range(6)]
+    rows += [("100", "audio", encode_audio(16000, 1024, seed=0))]  # exact twin of 0
+    df = spark.createDataFrame(rows, ["media_id", "media_type", "payload"]).repartition(3)
+    meta = {r["media_id"]: r for r in decode_metadata(df).collect()}
+    assert meta["0"]["format"] == "AUD1" and meta["0"]["width"] == 16000
+    assert meta["0"]["n_frames"] == 1024
+    feats = {r["media_id"]: r["features"] for r in audio_energy_features(df).collect()}
+    assert len(feats["0"]) == 8 and feats["0"] == feats["100"]
+    assert feats["0"] != feats["1"]  # different seed -> different signal
