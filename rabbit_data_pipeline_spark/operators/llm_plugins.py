@@ -228,3 +228,13 @@ def _url_dedup(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> 
     url_col, id_col = cfg.get("url_col", "url"), cfg.get("id_col", "doc_id")
     w = Window.partitionBy(canonicalize_url(F.col(url_col))).orderBy(F.col(id_col))
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+@plugin("transform.sample_exact_k")
+def _sample_exact_k(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    from rabbit_data_pipeline_spark.operators.text import sample_exact_k
+
+    (df,) = inputs
+    return sample_exact_k(
+        df, group_col=cfg["group_col"], k=int(cfg["k"]), id_col=cfg.get("id_col", "doc_id")
+    )

@@ -238,6 +238,45 @@ def audio_energy_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def video_frame_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-frame feature vectors for VID1 payloads: explode each video
+    into (media_id, frame_id, features) rows, features = the frame's
+    gray histogram — the video twin of extract_features. Real
+    deployments swap the histogram for a per-frame vision encoder; the
+    fan-out shape (one binary row → n_frames vector rows) is the
+    tested contract, and the output joins the ANN operators on the
+    frame level (clip/frame retrieval)."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_id", IntegerType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+    shift = 8 - n_bins.bit_length() + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"VID1":
+                    raise NotImplementedError("video_frame_features: only VID1 synthetic format in this container")
+                n, fl = struct.unpack("<ii", payload[4:12])
+                body = np.frombuffer(payload, dtype=np.uint8, offset=12)
+                for f in range(n):
+                    frame = body[f * fl : (f + 1) * fl]
+                    hist = np.bincount(frame >> shift, minlength=n_bins)[:n_bins]
+                    rows.append((mid, f, (hist / max(frame.size, 1)).astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_id", "features"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def repartition_for_decode(df: DataFrame, total_bytes: int, target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Size partitions by payload bytes, not row count — a 4K frame and
     a thumbnail are not the same row."""

@@ -726,3 +726,37 @@ def test_ann_ivfpq_scale_probe_runs_and_ranks(spark, sf_smoke):
         assert ranks == list(range(1, len(ranks) + 1)), q
         adcs = [x["adc"] for x in sorted(rs, key=lambda x: x["rank"])]
         assert adcs == sorted(adcs), q
+
+
+def test_rag_prep_end_to_end_chunk_embed_pq(spark):
+    """The retrieval-prep composition: documents → overlapping chunks →
+    (stub) embeddings → PQ codes → ADC query. The query text equals one
+    chunk verbatim, so with the deterministic embedder its vector is
+    identical and its ADC distance is the global minimum — the whole
+    chain (chunking offsets, batched embed, encode, lut, ranking) must
+    line up for this to hold."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.model import embed_documents
+    from rabbit_data_pipeline_spark.operators.similarity import ann_pq, pq_encode, sample_pq_codebook
+    from rabbit_data_pipeline_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(120))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_text(docs, chunk_chars=256, overlap=32).withColumn(
+        "vec_id",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("long"),
+    )
+    emb = embed_documents(chunks, text_col="chunk_text", dim=16).select("vec_id", "embedding", "chunk_text")
+    target = emb.filter(F.col("vec_id") == 3001).first()
+    query = spark.createDataFrame(
+        [(999999, target["chunk_text"])], ["vec_id", "text"]
+    )
+    q_emb = embed_documents(query, dim=16).select("vec_id", "embedding")
+    cb = sample_pq_codebook(emb, m=4, ks=8, dim=16)
+    out = ann_pq(pq_encode(emb, cb), q_emb, cb, k=len(emb.collect())).collect()
+    best_adc = min(r["adc"] for r in out)
+    hit = next(r for r in out if r["n_id"] == 3001)
+    assert hit["adc"] == best_adc

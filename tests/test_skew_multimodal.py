@@ -114,3 +114,18 @@ def test_audio_decode_and_energy_features(spark):
     feats = {r["media_id"]: r["features"] for r in audio_energy_features(df).collect()}
     assert len(feats["0"]) == 8 and feats["0"] == feats["100"]
     assert feats["0"] != feats["1"]  # different seed -> different signal
+
+
+def test_video_frame_features_fan_out_and_determinism(spark):
+    from rabbit_data_pipeline_spark.operators.multimodal import encode_video, video_frame_features
+
+    rows = [(str(i), "video", encode_video(4, 256, seed=i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["media_id", "media_type", "payload"]).repartition(2)
+    out = video_frame_features(df).collect()
+    assert len(out) == 12  # 3 videos x 4 frames
+    by_key = {(r["media_id"], r["frame_id"]): r["features"] for r in out}
+    assert len(by_key) == 12 and all(len(v) == 16 for v in by_key.values())
+    # deterministic across partitionings
+    out2 = {(r["media_id"], r["frame_id"]): r["features"]
+            for r in video_frame_features(df.repartition(5)).collect()}
+    assert by_key == out2
