@@ -199,6 +199,13 @@ def _read_text_indexed(
         for pdf in batches:
             for content in pdf["content"]:
                 raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    # transparent gzip, matching the native csv fast
+                    # path (Spark decompresses .gz at scan time); the
+                    # size cap applies to the DECOMPRESSED text
+                    import gzip as _gzip
+
+                    raw = _gzip.decompress(raw)
                 if len(raw) > max_bytes:
                     raise ValueError(
                         f"line-range parsing loads whole files per task; this file is "

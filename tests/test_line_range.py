@@ -125,3 +125,20 @@ def test_line_range_no_header_width_inference(spark, tmp_path):
     df = parse_lines(spark, f, file_type="txt", head_line=None, data_line=2)
     assert df.columns == ["_c0", "_c1", "_c2"]
     assert {tuple(r) for r in df.collect()} == {("y", "2", "r"), ("z", "3", "s")}
+
+
+def test_line_range_reads_gzip_like_fast_path(spark, tmp_path):
+    """The line-range path must decompress .gz transparently, exactly
+    like the native csv reader does at scan time."""
+    import gzip
+
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    text = "h1,h2\n" + "\n".join(f"a{i},b{i}" for i in range(10)) + "\n"
+    p = tmp_path / "data.csv.gz"
+    p.write_bytes(gzip.compress(text.encode()))
+    out = parse_lines(
+        spark, str(p), file_type="csv", head_line=1, data_line=3, end_line=5
+    ).collect()
+    # end_line is exclusive (reference semantics, as in the tests above)
+    assert [tuple(r) for r in out] == [("a1", "b1"), ("a2", "b2")]
