@@ -760,3 +760,13 @@ def test_rag_prep_end_to_end_chunk_embed_pq(spark):
     best_adc = min(r["adc"] for r in out)
     hit = next(r for r in out if r["n_id"] == 3001)
     assert hit["adc"] == best_adc
+
+
+def test_minhash_scale_probe_full_recall_on_planted(spark, sf_dir):
+    """The bench probe's banding-matched parameters (b=8, r=6 for the
+    0.7 bar) must keep exactly-full recall on the planted near-dups
+    (jaccard ≈ 0.95 ≫ the 0.71 S-curve midpoint)."""
+    from rabbit_data_pipeline_spark.queries.llm import dedup_minhash_scale
+
+    row = dedup_minhash_scale(spark, sf_dir).first()
+    assert row["copies_left"] == 0
