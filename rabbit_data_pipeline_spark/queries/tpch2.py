@@ -802,3 +802,65 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("bal_missing"),
         )
     )
+
+
+# --- Q45: order-independent statistical moments ------------------------------
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1))) AS std_qty,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q45: mean/stddev/correlation per group, ORDER-INDEPENDENTLY.
+    Built-in corr()/stddev() accumulate doubles in partition order —
+    nondeterministic across partitionings and engines, so no value
+    hash could gate them. Instead the five moments (Σx, Σy, Σx², Σy²,
+    Σxy) accumulate in EXACT decimal (map-side combinable — this is
+    one partial-aggregated shuffle, the same cost as any sum), and the
+    statistics derive in double arithmetic with the identical
+    expression shape in both engines. Same trick scales to any
+    moment-expressible statistic (skewness, regression slopes)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # data is exact at 2 dp (checked); 12,2 keeps DuckDB's decimal
+    # multiply inside int64/int128 bounds where 18,6 overflowed
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    var_num_x = n * sxx - sx * sx
+    var_num_y = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt(var_num_x / (n.cast("double") * (n - 1))).alias("std_qty"),
+        ((n * sxy - sx * sy) / F.sqrt(var_num_x * var_num_y)).alias("corr_qty_price"),
+    )
