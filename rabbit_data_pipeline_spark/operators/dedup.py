@@ -43,6 +43,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def dedup_exact_binary(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Exact dedup over a binary column (media payloads): keep the
+    lowest id per md5(payload) — the first-pass image/audio dedup of
+    any multimodal corpus, same one-shuffle/no-join plan as the text
+    variant (only the 16-byte digest and the row ship through the
+    exchange; the payload bytes hash map-side)."""
+    h = F.md5(F.col(payload_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
 # ------------------------------------------------------------- shingles
 
 

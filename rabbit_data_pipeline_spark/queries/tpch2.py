@@ -864,3 +864,27 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var_num_x / (n.cast("double") * (n - 1))).alias("std_qty"),
         ((n * sxy - sx * sy) / F.sqrt(var_num_x * var_num_y)).alias("corr_qty_price"),
     )
+
+
+# --- Q46: numeric histogram ---------------------------------------------------
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(LEAST(FLOOR(l_extendedprice / 11000.0), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q46: fixed-width histogram (10 buckets over [0, 110k), top
+    bucket clamps the tail) per return flag — the distribution probe
+    behind every data-profiling pass. Bucket id is pure integer/double
+    arithmetic with the identical spelling in both engines (built-in
+    width_bucket exists in both but with different edge semantics —
+    the explicit floor is the portable form). Map-side combinable:
+    one shuffle carrying (flag, bucket) pairs."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 11000.0), F.lit(9)).cast("long")
+    return li.groupBy("l_returnflag", bucket.alias("bucket")).agg(F.count("*").alias("n"))

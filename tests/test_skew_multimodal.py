@@ -129,3 +129,13 @@ def test_video_frame_features_fan_out_and_determinism(spark):
     out2 = {(r["media_id"], r["frame_id"]): r["features"]
             for r in video_frame_features(df.repartition(5)).collect()}
     assert by_key == out2
+
+
+def test_dedup_exact_binary_media(spark):
+    from rabbit_data_pipeline_spark.operators.dedup import dedup_exact_binary
+    from rabbit_data_pipeline_spark.operators.multimodal import encode_image
+
+    rows = [(str(i), "image", encode_image(8, 8, seed=i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, ["media_id", "media_type", "payload"]).repartition(4)
+    kept = sorted(r["media_id"] for r in dedup_exact_binary(df).collect())
+    assert kept == ["0", "1", "2"]  # one survivor per distinct payload, lowest id
