@@ -77,6 +77,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sliding_window", "text_dedup_lines", "text_url_dedup",
     "text_sample_exact_k", "stream_static_join", "pipeline_web_prep",
 )
+# Round-5 rotation queue (keys without a current-code driver verdict,
+# in must-verify order): the 12 deferred stale keys listed above, plus
+# the late-round-4 additions that no longer fit the 50-key cap —
+# stream_text_prep, q_stats_moments, q_histogram.
 
 
 def registry() -> dict[str, Query]:
