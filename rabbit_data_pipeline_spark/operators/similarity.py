@@ -117,6 +117,45 @@ def ann_range(
     )
 
 
+def rp_project(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: out[j] = <vec,
+    planes[j]> — the Johnson-Lindenstrauss step that turns 768-dim
+    embeddings into the 8-32 dims the LSH/IVF index layers actually
+    bucket on (hyperplane_bits is the 1-bit special case of this; here
+    the full projections are kept so downstream cosine ordering is
+    approximately preserved, not just the sign). The plane matrix
+    ships as plan literals — one codegen'd map pass, no shuffle, no
+    Python; at 100 TB this runs at scan speed in the same stage as the
+    parquet read."""
+    from rabbit_data_pipeline_spark.functions.vector import as_double, dot
+
+    outs = F.array(
+        *[dot(as_double(F.col(vec_col)), F.array(*[F.lit(float(p)) for p in plane])) for plane in planes]
+    )
+    return corpus.select(F.col(id_col), outs.alias(out_col))
+
+
+def make_rp_planes(out_dim: int, in_dim: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic JL plane matrix (seeded gaussian, 6-dp literals so
+    both engines parse identical doubles), scaled by 1/sqrt(out_dim)
+    so expected squared norms are preserved."""
+    import math
+    import random as _random
+
+    rng = _random.Random(seed)
+    s = 1.0 / math.sqrt(out_dim)
+    return [
+        [round(rng.gauss(0.0, 1.0) * s, 6) for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
 # --------------------------------------------------- product quantization
 
 

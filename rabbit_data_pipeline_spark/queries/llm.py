@@ -905,3 +905,28 @@ def ann_ivfpq_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(sampled)]
     cb = sample_pq_codebook(e, m=4, ks=16, dim=64)
     return ann_ivfpq(e, e.filter(F.col("vec_id") < 5), centroids, cb, k=10, n_probe=4)
+
+
+def _rp_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.similarity import make_rp_planes
+
+    planes = make_rp_planes(out_dim=8, in_dim=64)
+    dots = ", ".join(
+        "(" + " + ".join(f"emb[{i + 1}] * ({p!r})" for i, p in enumerate(plane)) + ")"
+        for plane in planes
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT vec_id, list_value({dots}) AS rp FROM e
+    """
+
+
+@register("emb_rp_project", oracle=_rp_oracle())
+def emb_rp_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: Johnson-Lindenstrauss random projection 64 → 8 dims —
+    literal plane matrix, one shuffle-free map pass; the left-assoc
+    dot fold matches the oracle's chained `+` bit-for-bit."""
+    from rabbit_data_pipeline_spark.operators.similarity import make_rp_planes, rp_project
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return rp_project(e, make_rp_planes(out_dim=8, in_dim=64))
