@@ -770,3 +770,51 @@ def test_minhash_scale_probe_full_recall_on_planted(spark, sf_dir):
 
     row = dedup_minhash_scale(spark, sf_dir).first()
     assert row["copies_left"] == 0
+
+
+def test_train_pq_codebook_reduces_quantization_error(spark, sf_dir):
+    """Lloyd training must strictly improve mean reconstruction error
+    over the sampled init on the real embeddings (deterministic:
+    fixed seeds, exact decimal-free double math on fixed data)."""
+    from rabbit_data_pipeline_spark.operators.similarity import (
+        pq_quantization_error,
+        sample_pq_codebook,
+        train_pq_codebook,
+    )
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select("vec_id", "embedding")
+    init = sample_pq_codebook(e, m=4, ks=8, dim=64)
+    trained = train_pq_codebook(e, m=4, ks=8, dim=64, n_iters=3)
+    e0 = pq_quantization_error(e, init)
+    e1 = pq_quantization_error(e, trained)
+    assert e1 < e0 * 0.8, (e0, e1)
+
+
+def test_train_pq_codebook_recovers_planted_prototypes(spark):
+    """Subspace clusters: every vector's subspace-j slice is one of 4
+    prototypes + small noise — training must place a centroid near
+    each prototype (error collapses vs sampled init on clustered
+    data)."""
+    import random as _random
+
+    from rabbit_data_pipeline_spark.operators.similarity import (
+        pq_quantization_error,
+        train_pq_codebook,
+    )
+
+    rng = _random.Random(7)
+    m, dsub = 2, 4
+    protos = [[[rng.gauss(0, 3) for _ in range(dsub)] for _ in range(4)] for _ in range(m)]
+    rows = []
+    for i in range(200):
+        vec = []
+        for j in range(m):
+            p = protos[j][rng.randrange(4)]
+            vec.extend(x + rng.gauss(0, 0.05) for x in p)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    trained = train_pq_codebook(df, m=m, ks=4, dim=m * dsub, n_iters=5)
+    err = pq_quantization_error(df, trained)
+    # noise floor: E[Σ (x-proto)²] = dim * 0.05² = 8 * 0.0025 = 0.02
+    assert err < 0.1, err
