@@ -80,7 +80,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Round-5 rotation queue (keys without a current-code driver verdict,
 # in must-verify order): the 12 deferred stale keys listed above, plus
 # the late-round-4 additions that no longer fit the 50-key cap —
-# stream_text_prep, q_stats_moments, q_histogram, emb_rp_project.
+# stream_text_prep, q_stats_moments, q_histogram, emb_rp_project,
+# q_regression.
 
 
 def registry() -> dict[str, Query]:

@@ -888,3 +888,53 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     bucket = F.least(F.floor(F.col("l_extendedprice") / 11000.0), F.lit(9)).cast("long")
     return li.groupBy("l_returnflag", bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+# --- Q47: least-squares regression via moments --------------------------------
+@register(
+    "q_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n
+             AS intercept
+    FROM m
+    """,
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q47: per-group least-squares fit (price ~ quantity) — the same
+    exact-decimal-moments trick as q_stats_moments makes regr_slope /
+    regr_intercept order-independent and therefore value-hashable
+    (the built-ins accumulate doubles in partition order). One
+    map-side-combined shuffle."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
