@@ -818,3 +818,22 @@ def test_train_pq_codebook_recovers_planted_prototypes(spark):
     err = pq_quantization_error(df, trained)
     # noise floor: E[Σ (x-proto)²] = dim * 0.05² = 8 * 0.0025 = 0.02
     assert err < 0.1, err
+
+
+def test_sample_exact_k_matches_python_md5_ranking(spark):
+    """The md5 ranking is reproducible OUTSIDE Spark too — the same
+    selection falls out of python's hashlib, which is what makes the
+    draw auditable."""
+    import hashlib
+
+    from rabbit_data_pipeline_spark.operators.text import sample_exact_k
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {(r["source"], r["doc_id"]) for r in sample_exact_k(df, "source", k=4).collect()}
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        ids = [i for i, gg in rows if gg == g]
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want.update((g, i) for i in ranked[:4])
+    assert got == want

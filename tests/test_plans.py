@@ -304,3 +304,23 @@ def test_url_canonicalizer_shuffles_once(plans):
     hash_ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) <= 1
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_moment_queries_combine_map_side(plans):
+    """The exact-decimal moment aggregates must partial-aggregate
+    before their one exchange (that is the whole point — five sums
+    travel, not the rows)."""
+    for q in ("q_stats_moments", "q_regression", "q_histogram"):
+        p = plans(q)
+        tree = [l for l in p.splitlines() if "+-" in l or l.strip().startswith("* ")]
+        agg_idx = [i for i, l in enumerate(tree) if "HashAggregate" in l]
+        ex_idx = [i for i, l in enumerate(tree) if "Exchange" in l and "Broadcast" not in l]
+        assert len(agg_idx) >= 2 and len(ex_idx) == 1, (q, tree)
+        # tree is printed top-down: final agg ABOVE the exchange, the
+        # map-side partial BELOW it
+        assert min(agg_idx) < ex_idx[0] < max(agg_idx), f"{q}: no partial aggregate below the exchange"
+
+
+def test_rp_projection_is_shuffle_free(plans):
+    p = plans("emb_rp_project")
+    assert "Exchange" not in p and "Join" not in p and "EvalPython" not in p
