@@ -395,3 +395,113 @@ def embedding_near_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+# --------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    embedding space is partitioned into k-means cells, and within each
+    cell any vector whose cosine to a LOWER-ID cell-mate reaches the
+    threshold is a semantic duplicate and drops; the lowest id of each
+    near-dup set survives. Unlike the LSH near-dup path (L5, recall
+    < 1 by design) the cluster prune is the *semantic diversity* pass
+    — it removes "same meaning, different words" items that share no
+    n-grams, at the cost of only comparing within a cell.
+
+    Scale shape: cell assignment is a literal-folded argmin (the
+    centroid list folds into the plan — ONE codegen'd map pass, no
+    join, no shuffle; same shape as IVF's coarse quantizer); the
+    in-cell self-join shuffles on the cell key only, and the quadratic
+    verify is bounded per cell (k-means cells are balanced by
+    construction — for skewed corpora cap cells like lsh_candidate_
+    pairs' salt_cap). Centroids come from `train_ivf_centroids` (or
+    any k-means); ~4096 cells at 100 TB keeps cells ~25k vectors.
+    Returns surviving (id, cell)."""
+    from rabbit_data_pipeline_spark.functions.vector import cosine
+    from rabbit_data_pipeline_spark.operators.similarity import nearest_cells_l2
+
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells_l2(F.col(vec_col), centroids, 1), 1).alias("cell"),
+    )
+    left = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cell")
+    right = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "cell")
+    dup_ids = (
+        left.join(right, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_ids, on=id_col, how="left_anti").select(id_col, "cell")
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def _banded(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, sig, band, bh) — the LSH band keys of each signature (same
+    banding expression as lsh_candidate_pairs)."""
+    rows_per_band = F.floor(F.size("sig") / bands)
+    return sig_df.select(
+        F.col(id_col), "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)), b).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def lsh_incremental_pairs(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    sim_threshold: float = 0.7,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Dedup an incoming batch against an ALREADY-INDEXED corpus —
+    the production shape for a growing corpus: when B new docs arrive
+    against N indexed ones, re-running the self-join pays O((N+B)²/
+    buckets); banding only the batch and equi-joining the stored
+    index signatures pays O(N·B/buckets) and touches the index
+    read-only. The batch side broadcasts by default (daily batches
+    are MBs of signatures) so the index NEVER shuffles — the join
+    happens where the index partitions already live; set
+    broadcast_new=False for backfill-sized batches, where both sides
+    hash-shuffle on the band key. Returns (new_id, index_id,
+    est_jaccard) — candidates that verify at the threshold; feed into
+    a filter (drop new near-dups) or dedup_by_pairs on the union.
+
+    Unlike the self-join there is no id_a < id_b guard (the sides are
+    distinct sets); a doc resubmitted with its own index id still
+    pairs (est 1.0) and filters upstream."""
+    nb = _banded(new_sigs, id_col, bands).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    ib = _banded(index_sigs, id_col, bands).select(
+        F.col(id_col).alias("index_id"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")), F.lit(0), lambda acc, x: acc + x
+    ).cast("double") / F.size("sig_a")
+    return (
+        ib.join(F.broadcast(nb) if broadcast_new else nb, on=["band", "bh"])
+        .select("new_id", "index_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= sim_threshold)
+        .distinct()
+    )

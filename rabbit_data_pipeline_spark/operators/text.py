@@ -540,6 +540,105 @@ def url_dedup(
     )
 
 
+# --------------------------------------------------- C4 cleaning rules
+
+# Stand-in for the external "List of Dirty, Naughty, Obscene..." list
+# C4 filters against — the rule shape (any hit drops the whole page) is
+# what matters; swap the real list in via the bad_words parameter.
+C4_BAD_WORDS: tuple[str, ...] = ("badword1", "badword2")
+
+
+def _c4_line_keep(line: Column, min_words: int) -> Column:
+    """Line survives C4's line rules: ends in terminal punctuation,
+    has >= min_words whitespace words, and doesn't mention javascript
+    (Raffel et al. 2020 §2.2, the C4 heuristics)."""
+    t = F.trim(line)
+    words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+    return (
+        F.substring(t, -1, 1).isin(".", "!", "?", '"')
+        & (words >= min_words)
+        & ~F.contains(F.lower(t), F.lit("javascript"))
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """C4-style corpus cleaning (Raffel et al. 2020 §2.2 — the rules
+    that turned Common Crawl into C4): per LINE keep only lines that
+    end in a terminal punctuation mark, contain >= `min_words` words,
+    and don't mention "javascript"; then drop the whole PAGE if it has
+    fewer than `min_lines` surviving lines, contains "lorem ipsum" or
+    a curly brace, or hits the bad-word list. (C4's three-sentence-
+    span dedup is the separate corpus-level `dedup_lines` /
+    `repeated_ngrams` step.)
+
+    Scale shape: pure filter/transform higher-order functions on the
+    text column — zero shuffles, zero UDFs, runs at parquet-scan speed
+    inside whole-stage codegen; the doc-level filter pushes to the
+    scan. Mirrored token-for-token by the DuckDB twin
+    (queries/seeded.py), so the gate proves rule-for-rule parity.
+    Returns (id, cleaned text, n_lines_kept) for surviving docs."""
+    lower = F.lower(F.col(text_col))
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: _c4_line_keep(l, min_words)
+    )
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | F.contains(lower, F.lit(w))
+    return (
+        df.withColumn("__kept", kept)
+        .filter(
+            (F.size(F.col("__kept")) >= min_lines)
+            & ~F.contains(lower, F.lit("lorem ipsum"))
+            & ~F.contains(lower, F.lit("{"))
+            & ~bad
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(F.col("__kept"), F.trim), "\n").alias(text_col),
+            F.size(F.col("__kept")).alias("n_lines_kept"),
+        )
+    )
+
+
+def sql_c4_clean(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> str:
+    """DuckDB spelling of c4_clean (identical rule set, list_filter/
+    list_transform mirror Spark's filter/transform HOFs)."""
+    keep = (
+        "right(trim(l), 1) IN ('.', '!', '?', '\"') "
+        f"AND len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= {min_words} "
+        "AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    bad = " OR ".join(f"contains(lower({text_col}), '{w}')" for w in bad_words)
+    return f"""
+    WITH kept AS (
+      SELECT {id_col},
+             list_filter(string_split({text_col}, chr(10)), l -> {keep}) AS klines
+      FROM {table}
+      WHERE NOT contains(lower({text_col}), 'lorem ipsum')
+        AND NOT contains(lower({text_col}), '{{')
+        AND NOT ({bad})
+    )
+    SELECT {id_col},
+           array_to_string(list_transform(klines, l -> trim(l)), chr(10)) AS {text_col},
+           len(klines) AS n_lines_kept
+    FROM kept WHERE len(klines) >= {min_lines}
+    """
+
+
 def stratified_mix(
     df: DataFrame,
     group_col: str,
@@ -592,3 +691,132 @@ def pack_sequences(
     return b.withColumn(
         "bin", F.concat_ws("_", F.col("__bucket"), F.floor(cum_before / budget))
     ).drop("__bucket")
+
+
+# ------------------------------------- deterministic dataset splitting
+
+
+def _split_boundaries(splits: list[tuple[str, float]]) -> list[tuple[str, str]]:
+    """(name, upper-bound) pairs: cumulative fractions of the 32-bit
+    hash space rendered as fixed-width lowercase hex — an 8-char hex
+    string compares lexicographically exactly as its integer value, in
+    any engine."""
+    out, cum = [], 0.0
+    for name, frac in splits:
+        cum += frac
+        out.append((name, format(min(int(cum * 2**32), 2**32 - 1), "08x")))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible
+    replacement for randomSplit (whose output depends on partitioning
+    and Spark version, so no holdout built with it can ever be
+    reproduced or checked): the first 8 hex chars of md5(id) are a
+    uniform draw in [0, 2^32) that every engine computes identically,
+    and CASE thresholds on the hex string slice the space into the
+    requested fractions. A document's split NEVER changes as the
+    corpus grows (assignment depends only on its own id) — the
+    property that keeps eval sets stable across corpus versions.
+    Pure map expression: no shuffle, no RNG, codegen'd.
+    Adds a `split` column."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    bounds = _split_boundaries(splits)
+    expr = None
+    for name, ub in bounds[:-1]:
+        cond = h < F.lit(ub)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    expr = expr.otherwise(last) if expr is not None else last
+    return df.withColumn("split", expr)
+
+
+def sql_split_assign(
+    id_expr: str, splits: list[tuple[str, float]] | None = None
+) -> str:
+    """DuckDB spelling of split_assign's CASE (identical md5 slice +
+    hex thresholds)."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    bounds = _split_boundaries(splits)
+    h = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+    whens = " ".join(f"WHEN {h} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1])
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+# ------------------------------------------- domain blocklist filtering
+
+
+def host_of_url(col: Column) -> Column:
+    """Lowercased host of a URL, port stripped — the key for
+    domain-level crawl policy (blocklists, per-site quotas)."""
+    host = F.lower(F.regexp_extract(col, _URL_HOST, 1))
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def sql_host_of_url(expr: str) -> str:
+    return f"regexp_replace(lower(regexp_extract({expr}, '{_URL_HOST}', 1)), ':[0-9]+$', '')"
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows whose URL host is a blocked domain OR any subdomain
+    of one (the crawl-pipeline blocklist pass: ads/tracker/spam
+    domains). Subdomain matching is turned into an EQUI-join by
+    exploding each host into its dot-suffix chain (a.b.c.com →
+    [a.b.c.com, b.c.com, c.com, com]) and anti-joining the blocklist
+    on the suffix — no LIKE-per-pattern scan, so a million-entry
+    blocklist costs one broadcast hash join, not a million regex
+    evaluations per row. `blocklist` is a 1-column (domain) DataFrame;
+    suffix depth is bounded by label count (~4-6), so the explode is a
+    constant-factor map."""
+    parts = F.split(host_of_url(F.col(url_col)), r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(parts, i, n), ".")
+    )
+    cand = df.select(F.col(id_col), F.explode(suffixes).alias("__sfx"))
+    blocked = cand.join(
+        F.broadcast(blocklist.select(F.col("domain").alias("__sfx"))), on="__sfx"
+    ).select(id_col).distinct()
+    return df.join(blocked, on=id_col, how="left_anti")
+
+
+# ----------------------------------------------- corpus snapshot diff
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots — the versioning step of a managed
+    training corpus (what changed between crawl v1 and v2, what must
+    be re-embedded / re-deduped): full-outer merge on the id, content
+    compared by md5 so the join carries a 32-char digest instead of
+    the document body. Returns (id, status) with status ∈ added /
+    removed / changed / unchanged.
+
+    Scale shape: each side reduces to (id, md5) at scan time — the
+    shuffle moves ~40 bytes/doc regardless of document size; one
+    equi-join on the id (both sides hash-partition; incremental snap-
+    shots with few changes broadcast the delta side instead)."""
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"))
+    j = o.join(n, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

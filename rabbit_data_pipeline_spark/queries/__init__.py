@@ -81,7 +81,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # in must-verify order): the 12 deferred stale keys listed above, plus
 # the late-round-4 additions that no longer fit the 50-key cap —
 # stream_text_prep, q_stats_moments, q_histogram, emb_rp_project,
-# q_regression.
+# q_regression, text_c4_clean, dedup_semantic, text_split,
+# text_domain_filter, source_jsonl, text_data_card, corpus_diff,
+# dedup_incremental.
 
 
 def registry() -> dict[str, Query]:

@@ -930,3 +930,117 @@ def emb_rp_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return rp_project(e, make_rp_planes(out_dim=8, in_dim=64))
+
+
+def _split_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_split_assign
+
+    return f"""
+    SELECT doc_id, source, {sql_split_assign('doc_id')} AS split
+    FROM documents
+    """
+
+
+@register("text_split", oracle=_split_oracle())
+def text_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36: deterministic md5-threshold train/val/test assignment over
+    the documents table — reproducible where randomSplit is not; a
+    doc's split depends only on its own id, so holdouts stay stable as
+    the corpus grows. Pure map expression, zero shuffle."""
+    from rabbit_data_pipeline_spark.operators.text import split_assign
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return split_assign(d).select("doc_id", "source", "split")
+
+
+def _data_card_oracle() -> str:
+    from rabbit_data_pipeline_spark.functions.exact import sql_davg
+
+    return f"""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '{_WS}')) END AS ws_tokens
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           {sql_davg('n_chars')} AS avg_chars,
+           SUM(ws_tokens) AS total_tokens,
+           {sql_davg('ws_tokens')} AS avg_tokens
+    FROM t GROUP BY source
+    """
+
+
+@register("text_data_card", oracle=_data_card_oracle())
+def text_data_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38: per-source corpus profiling — the "data card" numbers every
+    corpus release publishes (docs, languages, size, token budget per
+    source). Integer sums are exact; means go through the decimal
+    accumulate (functions/exact.py) so they hash cross-engine. One
+    map-side-combining aggregation, shuffle carries one row per
+    source."""
+    from rabbit_data_pipeline_spark.functions.exact import davg
+    from rabbit_data_pipeline_spark.operators.text import ws_token_count
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = d.select("source", "lang", "n_chars", ws_token_count(F.col("text")).alias("ws_tokens"))
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg("n_chars").alias("avg_chars"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        davg("ws_tokens").alias("avg_tokens"),
+    )
+
+
+@register(
+    "corpus_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'added'
+                WHEN new.h IS NULL THEN 'removed'
+                WHEN old.h = new.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39: snapshot diff between corpus v1 and a deterministically
+    perturbed v2 (every 11th doc removed, every 7th edited, a new doc
+    per 13th) — added/removed/changed/unchanged statuses all fire and
+    value-hash. The join carries md5 digests, not document bodies."""
+    from rabbit_data_pipeline_spark.operators.text import corpus_diff
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v2 = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+                *[F.col(c) for c in d.columns if c not in ("doc_id", "text")],
+            )
+        )
+    )
+    return corpus_diff(d, v2)

@@ -476,3 +476,60 @@ def sync_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, upd_even.unionByName(upd_new),
         keys=["c_custkey"], compare_cols=["c_name", "c_acctbal"], effective_col="eff",
     )
+
+
+# --- S7+: JSONL source (the LLM-corpus interchange format) -------------------
+def _fixture_jsonl(sf_dir: str, name: str, sql: str) -> str:
+    """Deterministic newline-delimited-JSON fixture exported from the
+    sf_dir parquet (DuckDB COPY FORMAT JSON writes one object per
+    line — exactly the JSONL shape LLM corpora ship in)."""
+    import duckdb
+
+    os.makedirs(FIXTURES, exist_ok=True)
+    out = os.path.join(FIXTURES, f"{name}.jsonl")
+    con = duckdb.connect()
+    con.execute(f"COPY ({sql.format(sf=sf_dir)}) TO '{out}' (FORMAT JSON)")
+    con.close()
+    return out
+
+
+@register(
+    "source_jsonl",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars, text
+    FROM read_json('{FIXTURES}/docs.jsonl', format='newline_delimited',
+                   columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR',
+                             'source': 'VARCHAR', 'n_chars': 'BIGINT'}})
+    WHERE n_chars >= 200
+    """,
+)
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: JSONL ingestion through the pipeline's source.json plugin
+    with an explicit schema (inference would scan the data twice and
+    can drift between files — at 100 TB the schema is a contract, not
+    a guess). Both engines parse the SAME file written by a third
+    party (DuckDB's JSON writer), so escaping, unicode and number
+    parsing are all adjudicated; the n_chars filter proves predicate
+    pushdown composes with the JSON scan."""
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    path = _fixture_jsonl(
+        sf_dir, "docs",
+        "SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id",
+    )
+    spec = PipelineSpec.from_dict(
+        "jsonl_pull",
+        {
+            "pull": {
+                "type": "source.json",
+                "start": True,
+                "path": path,
+                "options": {
+                    "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+                },
+            }
+        },
+    )
+    out = Scheduler(spark, {"jsonl_pull": spec}).run("jsonl_pull")["pull"]
+    return out.filter(F.col("n_chars") >= 200).select("doc_id", "lang", "source", "n_chars", "text")

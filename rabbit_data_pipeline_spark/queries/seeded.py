@@ -651,3 +651,240 @@ def pipeline_web_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return Scheduler(spark, {"web_prep": spec}).run("web_prep")["out"]
+
+
+# ------------------------------------------ L34: C4-style cleaning rules
+
+
+@lru_cache(maxsize=1)
+def c4_corpus() -> list[tuple[int, str]]:
+    """36 multi-line pages engineered so every C4 rule fires on a known
+    subset: docs ≡ 0 (mod 3) get a no-terminal-punctuation line, ≡ 0
+    (mod 4) a short (<5 words) line, ≡ 0 (mod 5) a javascript line
+    (mixed case — the rule is case-insensitive) — all three must be
+    stripped line-level; doc 30 contains 'Lorem Ipsum', doc 31 a curly
+    brace, doc 32 the bad word, doc 33 keeps only 2 lines — all four
+    pages must drop whole; 34/35 are all-clean controls."""
+    rng = random.Random(20200410)  # C4 paper v1 date
+    vocab = [f"w{i:03d}" for i in range(300)]
+
+    def good_line() -> str:
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 9))) + rng.choice(".!?")
+
+    rows = []
+    for i in range(30):
+        lines = [good_line() for _ in range(rng.randint(3, 6))]
+        if i % 3 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), "no terminal punctuation on this line here")
+        if i % 4 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), "too short line.")
+        if i % 5 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), "please enable JavaScript to view comments.")
+        rows.append((i, "\n".join(lines)))
+    rows.append((30, "\n".join([good_line() for _ in range(4)] + ["contains Lorem Ipsum filler text."])))
+    rows.append((31, "\n".join([good_line() for _ in range(4)] + ["function() { return 1; }"])))
+    rows.append((32, "\n".join([good_line() for _ in range(4)] + ["this page mentions badword1 once."])))
+    rows.append((33, "\n".join([good_line(), good_line(), "nope", "also nope"])))
+    rows.append((34, "\n".join(good_line() for _ in range(5))))
+    rows.append((35, "\n".join(good_line() for _ in range(3))))
+    return rows
+
+
+def _c4_oracle(rows: list[tuple[int, str]]) -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_c4_clean
+
+    vals = ", ".join(f"({i}, '{t}')".replace("\n", "' || chr(10) || '") for i, t in rows)
+    return sql_c4_clean(f"(VALUES {vals}) AS d(doc_id, text)")
+
+
+@register("text_c4_clean", oracle=_c4_oracle(c4_corpus()))
+def text_c4_clean_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34 gate: the C4 rule set (Raffel et al. 2020 §2.2) strips
+    exactly the planted rule-violating lines and drops exactly the
+    four bad pages — cleaned texts, ids and kept-line counts all
+    value-hashed against the token-for-token DuckDB twin."""
+    from rabbit_data_pipeline_spark.operators.text import c4_clean
+
+    return c4_clean(_spark_text_df(spark, c4_corpus()))
+
+
+# -------------------------------------------- L35: semantic dedup (SemDeDup)
+
+
+def _semantic_oracle(threshold: float = 0.95) -> str:
+    """Brute-force truth: literal-folded L2² argmin assignment (chained
+    left-assoc sums — bit-identical to Spark's fold, same d-then-cid
+    tie-break), then exact in-cell all-pairs cosine. The corpus has no
+    pair within 0.02 of the threshold (checked at corpus build), so the
+    cosine decision can't flip between engines."""
+    corpus, centroids = vec_corpus()
+
+    def l2chain(cv: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(emb[{i + 1}] - ({x!r})) * (emb[{i + 1}] - ({x!r}))" for i, x in enumerate(cv)
+        ) + ")"
+
+    cands = ", ".join(
+        f"struct_pack(d := {l2chain(cv)}, cid := {cid})" for cid, cv in centroids
+    )
+    return f"""
+    WITH e(vec_id, emb) AS (VALUES {_vec_values(corpus)}),
+    c AS (SELECT vec_id, emb, list_value({cands}) AS cands FROM e),
+    a AS (
+      SELECT vec_id, emb, u.s.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY u.s.d, u.s.cid) AS rn
+      FROM c, UNNEST(cands) AS u(s)
+    ),
+    assign AS (SELECT vec_id, emb, cell FROM a WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT y.vec_id
+      FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.emb, y.emb) >= {threshold}
+    )
+    SELECT vec_id, cell FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+@register("dedup_semantic", oracle=_semantic_oracle())
+def dedup_semantic_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35 gate: SemDeDup cluster-local semantic prune over the
+    clustered vec corpus vs DuckDB's brute-force in-cell cosine — each
+    planted cluster collapses to its lowest-id member (the center, ids
+    0-4) while all background vectors survive; survivor ids AND their
+    cell assignments value-hash, so the coarse quantizer and the prune
+    both prove parity."""
+    from rabbit_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    corpus, centroids = vec_corpus()
+    return semantic_dedup(_spark_vec_df(spark, corpus), centroids, threshold=0.95)
+
+
+# ---------------------------------------- L37: domain blocklist filter
+
+
+DOMAIN_BLOCKLIST = ("tracker.net", "spam.io", "ads.example.com")
+
+
+@lru_cache(maxsize=1)
+def domain_corpus() -> list[tuple[int, str]]:
+    """24 crawl URLs over hosts chosen to exercise every match mode:
+    exact blocked host (tracker.net), subdomains at depth 1 and 2
+    (ads.tracker.net, cdn.ads.tracker.net), a blocked SUBDOMAIN of an
+    allowed domain (ads.example.com blocked, www.example.com kept),
+    near-miss hosts that merely CONTAIN a blocked name
+    (nottracker.net, tracker.net.evil.org — suffix matching must keep
+    the first and drop the second only if its true suffix chain hits),
+    ports and uppercase."""
+    hosts = [
+        "news.example.com",        # kept
+        "www.example.com",         # kept
+        "ads.example.com",         # blocked exact
+        "video.ads.example.com",   # blocked: subdomain of ads.example.com
+        "tracker.net",             # blocked exact
+        "ads.tracker.net",         # blocked: subdomain
+        "cdn.ads.tracker.net",     # blocked: depth-2 subdomain
+        "nottracker.net",          # kept: contains but not a suffix label
+        "tracker.net.evil.org",    # kept: tracker.net is a PREFIX, not suffix
+        "Spam.IO",                 # blocked: case-insensitive
+        "safe.org",                # kept
+        "blog.safe.org",           # kept
+    ]
+    rows = []
+    for i, h in enumerate(hosts):
+        rows.append((2 * i, f"https://{h}/page{i}"))
+        rows.append((2 * i + 1, f"http://{h}:80/other?x={i}"))
+    return rows
+
+
+def _domain_filter_oracle(rows: list[tuple[int, str]]) -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_host_of_url
+
+    vals = ", ".join(f"({i}, '{u}')" for i, u in rows)
+    bl = ", ".join(f"('{d}')" for d in DOMAIN_BLOCKLIST)
+    return f"""
+    WITH d(doc_id, url) AS (VALUES {vals}),
+    b(domain) AS (VALUES {bl}),
+    h AS (
+      SELECT doc_id, url, string_split({sql_host_of_url('url')}, '.') AS parts
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, url,
+             list_transform(range(1, len(parts) + 1),
+                            i -> array_to_string(parts[i:], '.')) AS suffixes
+      FROM h
+    )
+    SELECT doc_id, url FROM s
+    WHERE NOT EXISTS (SELECT 1 FROM b WHERE list_contains(s.suffixes, b.domain))
+    """
+
+
+@register("text_domain_filter", oracle=_domain_filter_oracle(domain_corpus()))
+def text_domain_filter_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37 gate: suffix-chain blocklist filtering keeps exactly the
+    allowed hosts — exact hits, subdomains at any depth and uppercase
+    hosts drop; hosts that merely CONTAIN a blocked name (nottracker.
+    net) or carry it as a prefix (tracker.net.evil.org) survive."""
+    from rabbit_data_pipeline_spark.operators.text import domain_filter
+
+    rows = domain_corpus()
+    schema = StructType([StructField("doc_id", LongType()), StructField("url", StringType())])
+    df = spark.createDataFrame(rows, schema)
+    bl = spark.createDataFrame([(d,) for d in DOMAIN_BLOCKLIST], StructType([StructField("domain", StringType())]))
+    return domain_filter(df, bl)
+
+
+# ------------------------------------------- L40: incremental dedup
+
+
+@lru_cache(maxsize=1)
+def incremental_batch() -> list[tuple[int, str]]:
+    """The incoming batch for the incremental-dedup gate: the 10
+    near-copies from minhash_corpus (each must pair with its indexed
+    base) + 5 fresh docs from the same vocab (must pair with
+    nothing)."""
+    base, copy_ids = text_corpus()
+    texts = dict(base)
+    rng = random.Random(31337)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    fresh = [(2000 + i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(5)]
+    return [(i + 1000, texts[i] + " zz yy") for i in copy_ids] + fresh
+
+
+def _incremental_oracle() -> str:
+    base, _ = text_corpus()
+    return f"""
+    WITH idx(doc_id, text) AS (VALUES {_text_values(base)}),
+    new(doc_id, text) AS (VALUES {_text_values(incremental_batch())}),
+    gi AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5))) AS grams FROM idx
+    ),
+    gn AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5))) AS grams FROM new
+    )
+    SELECT n.doc_id AS new_id, i.doc_id AS index_id
+    FROM gn n JOIN gi i
+      ON CAST(len(list_intersect(n.grams, i.grams)) AS DOUBLE)
+           / (len(n.grams) + len(i.grams) - len(list_intersect(n.grams, i.grams))) >= 0.6
+    """
+
+
+@register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40 gate: batch-vs-index LSH dedup (index never shuffles, batch
+    broadcasts) must find exactly the 10 planted (copy, base) pairs vs
+    DuckDB's brute-force new×index jaccard — and none of the 5 fresh
+    docs may pair with anything."""
+    from rabbit_data_pipeline_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signature_arrow,
+    )
+
+    base, _ = text_corpus()
+    idx = minhash_signature_arrow(_spark_text_df(spark, base), num_hashes=48, k=5)
+    new = minhash_signature_arrow(_spark_text_df(spark, incremental_batch()), num_hashes=48, k=5)
+    return lsh_incremental_pairs(new, idx, bands=12, sim_threshold=0.6).select("new_id", "index_id")

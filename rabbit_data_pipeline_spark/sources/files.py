@@ -99,7 +99,12 @@ def _csv(sch: Scheduler, cfg: dict, inputs: list[DataFrame]) -> DataFrame:
 
 @plugin("source.json")
 def _json(sch: Scheduler, cfg: dict, inputs: list[DataFrame]) -> DataFrame:
-    return read_table(sch.spark, "json", cfg["path"], cfg.get("options"))
+    # `schema` (DDL string) is a reader contract, not an option:
+    # explicit schemas skip the inference pre-scan — at scale JSON
+    # inference reads the whole dataset once BEFORE the real read.
+    opts = dict(cfg.get("options", {}))
+    schema = cfg.get("schema") or opts.pop("schema", None)
+    return read_table(sch.spark, "json", cfg["path"], opts, schema=schema)
 
 
 @plugin("source.text")

@@ -324,3 +324,48 @@ def test_moment_queries_combine_map_side(plans):
 def test_rp_projection_is_shuffle_free(plans):
     p = plans("emb_rp_project")
     assert "Exchange" not in p and "Join" not in p and "EvalPython" not in p
+
+
+def test_c4_clean_is_shuffle_free_filter(plans):
+    """C4 cleaning is pure filter/transform HOFs — no shuffle, no
+    Python, no join; the page-level drop is a scan-side Filter."""
+    p = plans("text_c4_clean")
+    assert "Exchange" not in p and "Join" not in p and "EvalPython" not in p
+    assert "Filter" in p
+
+
+def test_semantic_dedup_literal_assignment_no_cartesian(plans):
+    """SemDeDup's cell assignment is literal-folded (no join, no
+    Python); the only joins are the cell-keyed self-join and the
+    survivor anti-join — never a cartesian product."""
+    p = plans("dedup_semantic")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_split_assign_is_shuffle_free(plans):
+    """Split assignment is a pure md5-threshold map — no shuffle, no
+    Python, no join."""
+    p = plans("text_split")
+    assert "Exchange" not in p and "Join" not in p and "EvalPython" not in p
+
+
+def test_domain_filter_broadcasts_blocklist(plans):
+    """The blocklist joins as a BROADCAST on the exploded suffix key —
+    one hash join, never a per-pattern regex scan or cartesian. (The
+    final survivor anti-join on doc_id plans as SMJ pre-AQE and
+    converts to broadcast at runtime when the blocked set is small —
+    that one is allowed.)"""
+    p = plans("text_domain_filter")
+    lines = p.splitlines()
+    bhj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l and "Inner" in l]
+    assert bhj, "blocklist suffix join must be a broadcast hash join"
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_broadcasts_batch_not_index(plans):
+    """Batch-vs-index dedup: the NEW batch broadcasts, so the index
+    side joins with no shuffle of its own rows (no SortMergeJoin of
+    the band keys)."""
+    p = plans("dedup_incremental")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
