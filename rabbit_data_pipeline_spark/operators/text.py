@@ -820,3 +820,78 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+# --------------------------------------- DSIR importance weighting
+
+
+def _gram_bucket(g: Column, n_buckets: int) -> Column:
+    """Hash bucket of an n-gram: integer value of md5's first 4 hex
+    chars mod n_buckets. md5-prefix instead of xxhash64 so Python
+    (hashlib), DuckDB (nibble arithmetic) and Spark all agree — the
+    model arrays built offline index the same buckets the scoring
+    pass computes. Swap xxhash64 in for max throughput where
+    cross-engine checkability doesn't matter (same plan shape)."""
+    return F.pmod(F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("long"), F.lit(n_buckets))
+
+
+def _doc_grams(text_col: str) -> Column:
+    """Word uni+bigram list of a document (normalized, order
+    preserved): words, then the len-1 bigrams (zip_with pads the tail
+    with a space-free token the filter drops)."""
+    words = F.split(norm_text(F.col(text_col)), " ")
+    bigrams = F.zip_with(words, F.slice(words, 2, F.size(words)), lambda a, b: F.concat_ws(" ", a, b))
+    return F.concat(words, F.filter(bigrams, lambda g: F.instr(g, " ") > 0))
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-bucket corpus counts of hashed word uni+bigrams — the
+    bag-of-hashed-ngrams featurization DSIR (Xie et al. 2023) builds
+    its source/target unigram models from. One explode + one bucket-
+    keyed agg (map-side combining over ≤ n_buckets keys, so the
+    shuffle carries n_buckets rows per task no matter the corpus
+    size). Returns (bucket, n)."""
+    return (
+        df.select(F.explode(_doc_grams(text_col)).alias("g"))
+        .filter(F.col("g") != "")
+        .select(_gram_bucket(F.col("g"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_logprobs: list[float],
+    source_logprobs: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance log-weight per document: log w(x) = Σ_g
+    [log p_target(bucket(g)) - log p_source(bucket(g))] over the doc's
+    hashed uni+bigrams — documents that look like the TARGET domain
+    under the hashed-ngram model get high weight, and resampling by w
+    shifts the training mixture toward the target (Xie et al. 2023).
+
+    Scale shape: both models fold into the plan as LITERAL log-prob
+    arrays (n_buckets doubles each — the whole point of hashing is
+    that the model is tiny), so scoring is element_at lookups inside
+    one aggregate HOF: zero joins, zero shuffles, scan-speed. The
+    per-doc sum is a left-assoc fold — deterministic for the seeded
+    gate. Smooth the models BEFORE taking logs (no zero buckets).
+    Adds `log_weight`."""
+    n_buckets = len(target_logprobs)
+    assert len(source_logprobs) == n_buckets
+    t_arr = F.array(*[F.lit(float(x)) for x in target_logprobs])
+    s_arr = F.array(*[F.lit(float(x)) for x in source_logprobs])
+    bucket = lambda g: (_gram_bucket(g, n_buckets) + 1).cast("int")  # noqa: E731
+    lw = F.aggregate(
+        F.filter(_doc_grams(text_col), lambda g: g != ""),
+        F.lit(0.0),
+        lambda acc, g: acc + (F.element_at(t_arr, bucket(g)) - F.element_at(s_arr, bucket(g))),
+    )
+    return df.withColumn("log_weight", lw)

@@ -83,7 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # stream_text_prep, q_stats_moments, q_histogram, emb_rp_project,
 # q_regression, text_c4_clean, dedup_semantic, text_split,
 # text_domain_filter, source_jsonl, text_data_card, corpus_diff,
-# dedup_incremental.
+# dedup_incremental, q_funnel, q_retention, text_dsir.
 
 
 def registry() -> dict[str, Query]:

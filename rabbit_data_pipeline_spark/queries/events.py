@@ -331,3 +331,96 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("hour_value"),
         )
     )
+
+
+# --- Q48: ordered funnel analysis -------------------------------------------
+@register(
+    "q_funnel",
+    oracle="""
+    WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    t1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM e
+    ),
+    t2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM t1
+    ),
+    t3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM t2
+    )
+    SELECT user_id,
+           CASE WHEN MAX(t_purchase) IS NOT NULL THEN 3
+                WHEN MAX(t_click) IS NOT NULL THEN 2
+                WHEN MAX(t_view) IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM t3 GROUP BY user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q48: ordered conversion funnel (view → click → purchase, each
+    step strictly AFTER the previous — the product-analytics staple).
+    Three chained min-over-user windows resolve the step timestamps;
+    windows and the final per-user aggregate all partition by user_id,
+    so ONE exchange serves the whole query (exchange reuse, same idiom
+    as q_sessionize). No self-joins — the naive 3-way event self-join
+    would shuffle the fact table three times."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id")
+    d = (
+        e.withColumn("t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))).over(w),
+        )
+    )
+    stage = (
+        F.when(F.max("t_purchase").isNotNull(), 3)
+        .when(F.max("t_click").isNotNull(), 2)
+        .when(F.max("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return d.groupBy("user_id").agg(stage.alias("funnel_stage"))
+
+
+# --- Q49: cohort retention ---------------------------------------------------
+@register(
+    "q_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events
+    ),
+    c AS (
+      SELECT *, MIN(wk) OVER (PARTITION BY user_id) AS cohort_week FROM e
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(wk AS DATE)) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q49: weekly cohort retention (users active k weeks after their
+    first-seen week — the growth-analytics staple). Cohort assignment
+    is a min-over-user window (one user_id exchange), the retention
+    cell count is one (cohort, offset) aggregate with map-side
+    partial distinct. Week arithmetic stays in exact integer days /
+    7 — identical in both engines (ISO Monday truncation) — never
+    float date math."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id")
+    d = e.select("user_id", wk.alias("wk")).withColumn("cohort_week", F.min("wk").over(w))
+    return d.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))

@@ -888,3 +888,106 @@ def dedup_incremental_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = minhash_signature_arrow(_spark_text_df(spark, base), num_hashes=48, k=5)
     new = minhash_signature_arrow(_spark_text_df(spark, incremental_batch()), num_hashes=48, k=5)
     return lsh_incremental_pairs(new, idx, bands=12, sim_threshold=0.6).select("new_id", "index_id")
+
+
+# --------------------------------------------- L41: DSIR importance weights
+
+
+_DSIR_BUCKETS = 64
+
+
+@lru_cache(maxsize=1)
+def dsir_corpora() -> tuple[list[tuple[int, str]], list[tuple[int, str]]]:
+    """(source, target) corpora: 40 source docs over a 200-word vocab —
+    the last 8 drawn ONLY from the target's 40-word subvocab, so their
+    importance weights must come out clearly higher — and 15 target
+    docs over that subvocab."""
+    rng = random.Random(2302)  # DSIR arXiv number
+    vocab = [f"t{i:03d}" for i in range(200)]
+    sub = vocab[:40]
+    source = [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(32)]
+    source += [(32 + i, " ".join(rng.choice(sub) for _ in range(30))) for i in range(8)]
+    target = [(500 + i, " ".join(rng.choice(sub) for _ in range(30))) for i in range(15)]
+    return source, target
+
+
+def _py_grams(text: str) -> list[str]:
+    words = text.split(" ")
+    return words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+
+
+def _py_bucket(g: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % _DSIR_BUCKETS
+
+
+@lru_cache(maxsize=1)
+def dsir_models() -> tuple[list[float], list[float]]:
+    """Laplace-smoothed per-bucket log-probs (target, source), built
+    offline in pure Python with the SAME md5-prefix bucket both
+    engines compute — the model arrays are literals injected into
+    both plans."""
+    import math
+
+    source, target = dsir_corpora()
+
+    def model(rows):
+        counts = [0] * _DSIR_BUCKETS
+        for _, t in rows:
+            for g in _py_grams(t):
+                counts[_py_bucket(g)] += 1
+        total = sum(counts)
+        return [math.log((c + 1) / (total + _DSIR_BUCKETS)) for c in counts]
+
+    return model(target), model(source)
+
+
+def _dsir_oracle() -> str:
+    source, _ = dsir_corpora()
+    t_lp, s_lp = dsir_models()
+    t_arr = "[" + ", ".join(repr(x) for x in t_lp) + "]"
+    s_arr = "[" + ", ".join(repr(x) for x in s_lp) + "]"
+    n = "(strpos('0123456789abcdef', substr(md5(gr), {i}, 1)) - 1)"
+    val = f"((({n.format(i=1)} * 16 + {n.format(i=2)}) * 16 + {n.format(i=3)}) * 16 + {n.format(i=4)})"
+    return f"""
+    WITH d(doc_id, text) AS (VALUES {_text_values(source)}),
+    w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id,
+             list_filter(
+               list_concat(words,
+                 list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])),
+               x -> x <> '') AS grams
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(grams, gr -> {val} % {_DSIR_BUCKETS}) AS buckets
+      FROM g
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(buckets, bk -> {t_arr}[bk + 1] - {s_arr}[bk + 1])),
+             (acc, x) -> acc + x) AS log_weight
+    FROM b
+    """
+
+
+@register("text_dsir", oracle=_dsir_oracle())
+def text_dsir_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41 gate: DSIR hashed-ngram importance log-weights over the
+    seeded source corpus — literal model arrays, md5-prefix buckets
+    and the left-assoc fold must all agree bit-for-bit with the DuckDB
+    twin; the 8 target-vocab source docs must surface with the highest
+    weights (asserted in tests/test_llm_ops.py)."""
+    from rabbit_data_pipeline_spark.operators.text import dsir_log_weights
+
+    source, _ = dsir_corpora()
+    t_lp, s_lp = dsir_models()
+    return dsir_log_weights(_spark_text_df(spark, source), t_lp, s_lp).select("doc_id", "log_weight")

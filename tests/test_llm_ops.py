@@ -837,3 +837,31 @@ def test_sample_exact_k_matches_python_md5_ranking(spark):
         ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         want.update((g, i) for i in ranked[:4])
     assert got == want
+
+
+def test_dsir_ranks_target_like_docs_highest(spark):
+    """DSIR importance weights must surface exactly the 8 source docs
+    drawn from the target subvocab as the top-8, with a clear margin,
+    and agree with the pure-Python replica of the same model."""
+    from rabbit_data_pipeline_spark.operators.text import dsir_log_weights
+    from rabbit_data_pipeline_spark.queries.seeded import (
+        _py_bucket,
+        _py_grams,
+        dsir_corpora,
+        dsir_models,
+    )
+
+    source, _ = dsir_corpora()
+    t_lp, s_lp = dsir_models()
+    df = spark.createDataFrame(source, ["doc_id", "text"])
+    got = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(df, t_lp, s_lp).collect()}
+    top8 = sorted(got, key=lambda i: -got[i])[:8]
+    assert sorted(top8) == list(range(32, 40))
+    # margin: every target-vocab doc beats every generic doc
+    assert min(got[i] for i in range(32, 40)) > max(got[i] for i in range(32))
+    # python replica agreement (same fold order → tight bound)
+    for i, t in source:
+        py = 0.0
+        for g in _py_grams(t):
+            py += t_lp[_py_bucket(g)] - s_lp[_py_bucket(g)]
+        assert abs(py - got[i]) < 1e-9

@@ -369,3 +369,20 @@ def test_incremental_dedup_broadcasts_batch_not_index(plans):
     p = plans("dedup_incremental")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_funnel_single_exchange_no_self_join(plans):
+    """The 3-step funnel must resolve via chained windows over ONE
+    user_id exchange — never the naive 3-way event self-join (which
+    would shuffle the fact table three times)."""
+    p = plans("q_funnel")
+    assert "Join" not in p
+    assert p.count("Exchange (") == 1
+
+
+def test_retention_two_exchanges_no_join(plans):
+    """Cohort retention: the cohort window's user_id exchange plus the
+    (cohort, offset) aggregate exchange — and nothing else."""
+    p = plans("q_retention")
+    assert "Join" not in p
+    assert p.count("Exchange (") == 2
