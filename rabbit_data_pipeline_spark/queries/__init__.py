@@ -83,7 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # stream_text_prep, q_stats_moments, q_histogram, emb_rp_project,
 # q_regression, text_c4_clean, dedup_semantic, text_split,
 # text_domain_filter, source_jsonl, text_data_card, corpus_diff,
-# dedup_incremental, q_funnel, q_retention, text_dsir.
+# dedup_incremental, q_funnel, q_retention, text_dsir,
+# stream_dedup_incremental.
 
 
 def registry() -> dict[str, Query]:

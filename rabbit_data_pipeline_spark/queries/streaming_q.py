@@ -302,3 +302,48 @@ def stream_text_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(out, "append")
+
+
+@register(
+    "stream_dedup_incremental",
+    oracle=None,  # replaced below — reuses the batch twin's brute-force oracle
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: incremental dedup ON THE STREAM — new documents arrive as
+    a stream, get MinHash-signed (Arrow pandas UDF inside the
+    streaming query), banded, and joined against the STATIC indexed
+    corpus signatures (stream-static equi-join on the band key; the
+    static side is re-planned per micro-batch, exactly how a nightly-
+    refreshed index serves an ingest stream). Single availableNow
+    batch ⇒ the emitted pairs must equal the batch operator's answer,
+    which the brute-force jaccard oracle adjudicates — so the
+    streaming path, the Arrow UDF under readStream and the
+    stream-static join are all value-hash-gated at once."""
+    from rabbit_data_pipeline_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signature_arrow,
+    )
+    from rabbit_data_pipeline_spark.queries.seeded import incremental_batch, text_corpus
+
+    base, _ = text_corpus()
+    idx_rows = spark.createDataFrame(base, ["doc_id", "text"])
+    idx = minhash_signature_arrow(idx_rows, num_hashes=48, k=5)
+
+    qdir = os.path.join(tempfile.gettempdir(), f"rdps_stream_{uuid.uuid4().hex[:12]}")
+    spark.createDataFrame(incremental_batch(), ["doc_id", "text"]).write.mode("overwrite").json(qdir)
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    stream = spark.readStream.schema(schema).json(qdir)
+    new_sigs = minhash_signature_arrow(stream, num_hashes=48, k=5)
+    pairs = lsh_incremental_pairs(new_sigs, idx, bands=12, sim_threshold=0.6, broadcast_new=False)
+    return _run_to_table(pairs.select("new_id", "index_id"), "append")
+
+
+def _wire_incremental_oracle():
+    from rabbit_data_pipeline_spark.queries import _REGISTRY, Query
+    from rabbit_data_pipeline_spark.queries.seeded import _incremental_oracle
+
+    q = _REGISTRY["stream_dedup_incremental"]
+    _REGISTRY["stream_dedup_incremental"] = Query(q.name, q.builder, _incremental_oracle())
+
+
+_wire_incremental_oracle()

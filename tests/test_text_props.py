@@ -70,3 +70,25 @@ def test_tfidf_matches_python_reference(spark, docs, parts, top_k):
         for r in tfidf_terms(df, top_k=top_k).collect()
     }
     assert got == _py_tfidf(docs, top_k)
+
+
+def test_split_assign_stable_and_proportional(spark):
+    """Hypothesis-free determinism probe: (1) a doc's split NEVER
+    changes when the corpus doubles (assignment is id-only); (2) the
+    md5-threshold fractions land near the requested 80/10/10 on 4k
+    uniform ids; (3) re-running yields identical assignments."""
+    from rabbit_data_pipeline_spark.operators.text import split_assign
+
+    small = spark.range(2000).withColumnRenamed("id", "doc_id")
+    big = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in split_assign(small).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in split_assign(big).collect()}
+    assert all(s2[i] == s1[i] for i in s1)
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    assert abs(c["test"] / 4000 - 0.1) < 0.02
+    s3 = {r["doc_id"]: r["split"] for r in split_assign(big).collect()}
+    assert s3 == s2
