@@ -238,3 +238,72 @@ def _sample_exact_k(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]
     return sample_exact_k(
         df, group_col=cfg["group_col"], k=int(cfg["k"]), id_col=cfg.get("id_col", "doc_id")
     )
+
+
+@plugin("transform.c4_clean")
+def _c4_clean(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """C4 cleaning rules (line + page heuristics) as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import C4_BAD_WORDS, c4_clean
+
+    (df,) = inputs
+    return c4_clean(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        min_words=int(cfg.get("min_words", 5)),
+        min_lines=int(cfg.get("min_lines", 3)),
+        bad_words=tuple(cfg.get("bad_words", C4_BAD_WORDS)),
+    )
+
+
+@plugin("transform.split_assign")
+def _split_assign(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Deterministic train/val/test assignment as a pipeline node.
+    cfg.splits: {"train": 0.8, "val": 0.1, "test": 0.1} (ordered)."""
+    from rabbit_data_pipeline_spark.operators.text import split_assign
+
+    (df,) = inputs
+    splits = list(cfg["splits"].items()) if "splits" in cfg else None
+    return split_assign(df, id_col=cfg.get("id_col", "doc_id"), splits=splits)
+
+
+@plugin("transform.domain_filter")
+def _domain_filter(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Blocklist domain filtering as a pipeline node. The blocklist is
+    either an upstream node (second input) or cfg.domains (inline)."""
+    from rabbit_data_pipeline_spark.operators.text import domain_filter
+
+    if len(inputs) == 2:
+        df, bl = inputs
+    else:
+        (df,) = inputs
+        bl = sch.spark.createDataFrame([(d,) for d in cfg["domains"]], "domain string")
+    return domain_filter(df, bl, url_col=cfg.get("url_col", "url"), id_col=cfg.get("id_col", "doc_id"))
+
+
+@plugin("transform.normalize")
+def _normalize(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Aggressive text canonicalization as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import normalize_text
+
+    (df,) = inputs
+    col = cfg.get("text_col", "text")
+    keep = bool(cfg.get("keep_newlines", True))  # pipelines default to
+    # preserving lines so downstream line-based nodes keep working
+    return df.withColumn(col, normalize_text(F.col(col), keep_newlines=keep))
+
+
+@plugin("transform.dsir_weight")
+def _dsir_weight(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """DSIR importance log-weights as a pipeline node. cfg carries the
+    (tiny, hashed) model arrays: target_logprobs / source_logprobs."""
+    from rabbit_data_pipeline_spark.operators.text import dsir_log_weights
+
+    (df,) = inputs
+    return dsir_log_weights(
+        df,
+        target_logprobs=[float(x) for x in cfg["target_logprobs"]],
+        source_logprobs=[float(x) for x in cfg["source_logprobs"]],
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )

@@ -569,3 +569,59 @@ def ann_ivf(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    counterpart of the n-gram overlap check (operators/text.py
+    decontaminate): a training item whose embedding sits within
+    `threshold` cosine of ANY benchmark item is a paraphrase-level
+    leak that n-gram matching misses, and drops. Benchmark embeddings
+    broadcast (eval sets are small by definition); the corpus is
+    scanned once with a pure filter via an EXISTS-shaped aggregate
+    over the broadcast set — no shuffle of the corpus at all. At very
+    large benchmarks swap the broadcast for the LSH-bucketed
+    embedding_near_pairs shape. Returns the clean corpus rows."""
+    from rabbit_data_pipeline_spark.functions.vector import cosine
+
+    b = benchmark.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    hits = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(b), cosine(F.col(vec_col), F.col("b_vec")) >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hits, on=id_col, how="left_anti")
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    low_q: float = 0.01,
+    high_q: float = 0.99,
+) -> DataFrame:
+    """Norm-based embedding quality control: vectors whose L2 norm
+    falls outside the corpus's [low_q, high_q] norm quantiles are
+    flagged (collapsed/degenerate or exploding embeddings — the
+    standard sanity filter before indexing). Two passes: a tiny
+    percentile aggregate (map-side combining, 2 scalars to the
+    driver-side literal), then a shuffle-free flagging scan. Exact
+    discrete percentiles (percentile_disc semantics) so the oracle can
+    recompute the identical cut points. Adds (l2_norm, is_outlier)."""
+    from rabbit_data_pipeline_spark.functions.vector import norm as l2norm
+
+    scored = corpus.withColumn("l2_norm", l2norm(F.col(vec_col)))
+    lo, hi = scored.agg(
+        F.percentile("l2_norm", F.lit(low_q)).alias("lo"),
+        F.percentile("l2_norm", F.lit(high_q)).alias("hi"),
+    ).first()
+    return scored.withColumn(
+        "is_outlier", (F.col("l2_norm") < F.lit(lo)) | (F.col("l2_norm") > F.lit(hi))
+    )

@@ -895,3 +895,51 @@ def dsir_log_weights(
         lambda acc, g: acc + (F.element_at(t_arr, bucket(g)) - F.element_at(s_arr, bucket(g))),
     )
     return df.withColumn("log_weight", lw)
+
+
+# ------------------------------------------------ text normalization
+
+# Latin-1/Latin-Extended accent folding map (split in two so the
+# from/to strings stay index-aligned and reviewable). translate() is a
+# per-char map with identical semantics in Spark and DuckDB — unlike
+# full NFKD unicode normalization, which neither engine exposes as a
+# built-in; for true NFKD run unicodedata in a mapInPandas stage.
+_ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+
+def normalize_text(col: Column, keep_newlines: bool = False) -> Column:
+    """Aggressive text canonicalization for matching/dedup keys:
+    accent folding (per-char translate), control-char removal, unicode
+    punctuation variants → ASCII, whitespace collapse, lowercase.
+    Shuffle-free single scan; the DuckDB twin below is token-for-token
+    so normalized keys agree across engines."""
+    c = F.translate(col, _ACCENT_FROM, _ACCENT_TO)
+    c = F.translate(c, "‘’“”–— ", "''\"\"--  ")
+    if keep_newlines:
+        # preserve line structure for downstream line-based ops
+        # (c4_clean, dedup_lines): strip controls except \n, collapse
+        # only within-line whitespace, trim spaces around newlines
+        c = F.regexp_replace(c, r"[\x00-\x09\x0b-\x1f\x7f]", " ")
+        c = F.regexp_replace(c, r"[^\S\n]+", " ")
+        c = F.regexp_replace(c, r" ?\n ?", "\n")
+    else:
+        c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+        c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(F.lower(c))
+
+
+def sql_normalize_text(expr: str, keep_newlines: bool = False) -> str:
+    """DuckDB spelling of normalize_text (identical maps/regexes)."""
+    quotes_from = "‘’“”–— "
+    quotes_to = "''\"\"--  "
+    c = f"translate({expr}, '{_ACCENT_FROM}', '{_ACCENT_TO}')"
+    c = f"translate({c}, '{quotes_from}', '{quotes_to.replace(chr(39), chr(39) * 2)}')"
+    if keep_newlines:
+        c = f"regexp_replace({c}, '[\\x00-\\x09\\x0b-\\x1f\\x7f]', ' ', 'g')"
+        c = f"regexp_replace({c}, '[^\\S\\n]+', ' ', 'g')"
+        c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    else:
+        c = f"regexp_replace({c}, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
+        c = f"regexp_replace({c}, '\\s+', ' ', 'g')"
+    return f"trim(lower({c}))"

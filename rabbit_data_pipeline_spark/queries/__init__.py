@@ -84,7 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # q_regression, text_c4_clean, dedup_semantic, text_split,
 # text_domain_filter, source_jsonl, text_data_card, corpus_diff,
 # dedup_incremental, q_funnel, q_retention, text_dsir,
-# stream_dedup_incremental.
+# stream_dedup_incremental, emb_decontaminate, emb_outliers,
+# text_normalize, text_normalize_lines.
 
 
 def registry() -> dict[str, Query]:

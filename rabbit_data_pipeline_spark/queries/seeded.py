@@ -23,6 +23,7 @@ queries/llm.py (bench + recall unit tests)."""
 
 from __future__ import annotations
 
+import math
 import random
 from functools import lru_cache
 
@@ -991,3 +992,154 @@ def text_dsir_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, _ = dsir_corpora()
     t_lp, s_lp = dsir_models()
     return dsir_log_weights(_spark_text_df(spark, source), t_lp, s_lp).select("doc_id", "log_weight")
+
+
+# ----------------------------------- L42: semantic decontamination
+
+
+@register(
+    "emb_decontaminate",
+    oracle=f"""
+    WITH c(vec_id, emb) AS (VALUES {_vec_values([r for r in vec_corpus()[0] if r[0] >= 5])}),
+    b(b_id, b_emb) AS (VALUES {_vec_values([r for r in vec_corpus()[0] if r[0] < 5])})
+    SELECT vec_id FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b WHERE list_cosine_similarity(c.emb, b.b_emb) >= 0.9
+    )
+    """,
+)
+def emb_decontaminate_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42 gate: semantic decontamination against the 5 cluster
+    centers as the "benchmark" — all 60 planted paraphrase-level
+    members (cosine ≥ 0.99 to a center) drop, all 40 background
+    vectors survive; margins are 0.09/0.30 around the 0.9 threshold,
+    so the cross-engine cosine decision cannot flip."""
+    from rabbit_data_pipeline_spark.operators.similarity import semantic_decontaminate
+
+    corpus, _ = vec_corpus()
+    bench = _spark_vec_df(spark, [r for r in corpus if r[0] < 5])
+    rest = _spark_vec_df(spark, [r for r in corpus if r[0] >= 5])
+    return semantic_decontaminate(rest, bench, threshold=0.9).select("vec_id")
+
+
+# ----------------------------------- L43: embedding outlier flags
+
+
+@lru_cache(maxsize=1)
+def norm_corpus() -> list[tuple[int, list[float]]]:
+    """100 vectors: 96 with L2 norms in a tight band around 4, plus 2
+    collapsed (scaled to ~0.3) and 2 exploding (~40) — the planted
+    outliers; the norm gap (0.3 ↔ ~3.5 ↔ ~40) dwarfs any
+    quantile-interpolation difference between engines."""
+    rng = random.Random(9001)
+    dim = 16
+    rows = []
+    for i in range(96):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [round(x * 4.0 / n, 6) for x in v]))
+    for j, scale in ((96, 0.3), (97, 0.32), (98, 40.0), (99, 38.0)):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((j, [round(x * scale / n, 6) for x in v]))
+    return rows
+
+
+@register(
+    "emb_outliers",
+    oracle=f"""
+    WITH e(vec_id, emb) AS (VALUES {_vec_values(norm_corpus())}),
+    n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(emb, x -> x * x)), (acc, x) -> acc + x)) AS l2_norm
+      FROM e
+    ),
+    q AS (SELECT quantile_cont(l2_norm, 0.02) AS lo, quantile_cont(l2_norm, 0.98) AS hi FROM n)
+    SELECT vec_id, l2_norm, (l2_norm < q.lo OR l2_norm > q.hi) AS is_outlier FROM n, q
+    """,
+)
+def emb_outliers_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43 gate: norm-quantile outlier flagging marks exactly the 4
+    planted degenerate/exploding vectors; l2_norm itself value-hashes
+    (the left-assoc fold mirrors the oracle's list_reduce), proving
+    the norm math bit-identical, and the [2%, 98%] cut points agree
+    because every norm sits far from them."""
+    from rabbit_data_pipeline_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(
+        _spark_vec_df(spark, norm_corpus()), low_q=0.02, high_q=0.98
+    ).select("vec_id", "l2_norm", "is_outlier")
+
+
+# ------------------------------------------- T7: text normalization
+
+
+@lru_cache(maxsize=1)
+def unicode_corpus() -> list[tuple[int, str]]:
+    """Docs exercising every normalization rule: accents (both cases),
+    curly quotes, en/em dashes, NBSP, tabs/newlines/control chars,
+    repeated whitespace, mixed case — plus a pure-ASCII control that
+    must pass through unchanged except lowering."""
+    return [
+        (0, "Café München ÉCOLE"),
+        (1, "curly ‘quotes’ and “double” ones"),
+        (2, "dash – and — types"),
+        (3, "non breaking space"),
+        (4, "tabs\tand\nnewlines\there"),
+        (5, "lots   of    spaces"),
+        (6, "Plain ASCII Control 123."),
+        (7, "señor à la façade NAÏVE"),
+    ]
+
+
+def _normalize_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_normalize_text
+
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '"))
+        for i, t in unicode_corpus()
+    )
+    return f"""
+    WITH d(doc_id, text) AS (VALUES {vals})
+    SELECT doc_id, {sql_normalize_text('text')} AS text FROM d
+    """
+
+
+@register("text_normalize", oracle=_normalize_oracle())
+def text_normalize_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 gate: the normalization pipeline (accent fold, unicode
+    punctuation, control strip, whitespace collapse, lowercase) agrees
+    character-for-character with the DuckDB twin on a corpus that
+    exercises every rule."""
+    from rabbit_data_pipeline_spark.operators.text import normalize_text
+
+    d = _spark_text_df(spark, unicode_corpus())
+    return d.select("doc_id", normalize_text(F.col("text")).alias("text"))
+
+
+def _normalize_lines_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_normalize_text
+
+    rows = unicode_corpus() + [(8, "line one  here\n  line TWO\n\nlast – line")]
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '"))
+        for i, t in rows
+    )
+    return f"""
+    WITH d(doc_id, text) AS (VALUES {vals})
+    SELECT doc_id, {sql_normalize_text('text', keep_newlines=True)} AS text FROM d
+    """
+
+
+@register("text_normalize_lines", oracle=_normalize_lines_oracle())
+def text_normalize_lines_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 gate (line-preserving mode): same normalization but newlines
+    survive — within-line whitespace collapses, spaces around newlines
+    trim, controls other than \\n strip; char-for-char vs the DuckDB
+    twin."""
+    from rabbit_data_pipeline_spark.operators.text import normalize_text
+
+    rows = unicode_corpus() + [(8, "line one  here\n  line TWO\n\nlast – line")]
+    d = _spark_text_df(spark, rows)
+    return d.select("doc_id", normalize_text(F.col("text"), keep_newlines=True).alias("text"))

@@ -292,3 +292,36 @@ def test_yaml_decontaminate_and_mix_plugins(spark, tmp_path):
     # s0 ids are even (kept fully); s1 ids odd, kept iff id % 1000 < 500
     expect = {i for i in range(100) if (i % 2 == 0 or i < 500 and i % 1000 < 500) and i != 7}
     assert got == expect
+
+
+def test_corpus_prep_plugins_compose(spark):
+    """The new corpus-management plugins (normalize → c4_clean →
+    split_assign) compose through the Scheduler as one task."""
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    rows = [
+        (0, "Café line with five solid words here.\nshort.\nAnother clean líne of six words total."),
+        (1, "one good line with enough words here.\nsecond good line with many words too.\nthird good line with plenty words also."),
+        (2, "only two good lines in here now.\nnope"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.createOrReplaceTempView("raw_docs")
+    spec = PipelineSpec.from_dict(
+        "prep",
+        {
+            "src": {"type": "transform.sql", "start": True, "sql": "SELECT * FROM raw_docs", "output": ["norm"]},
+            "norm": {"type": "transform.normalize", "output": ["clean"]},
+            "clean": {"type": "transform.c4_clean", "min_lines": 2, "output": ["split"]},
+            "split": {"type": "transform.split_assign"},
+        },
+    )
+    out = Scheduler(spark, {"prep": spec}).run("prep")["split"]
+    got = {r["doc_id"]: (r["n_lines_kept"], r["split"]) for r in out.collect()}
+    # doc 2 drops (only 1 surviving line < min_lines 2); 0 and 1 survive
+    assert set(got) == {0, 1}
+    assert got[0][0] == 2 and got[1][0] == 3
+    assert all(s in ("train", "val", "test") for _, s in got.values())
+    # normalization folded the accents before cleaning
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "café" not in texts[0] and "cafe" in texts[0]
