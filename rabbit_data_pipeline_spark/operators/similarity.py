@@ -625,3 +625,54 @@ def embedding_outliers(
     return scored.withColumn(
         "is_outlier", (F.col("l2_norm") < F.lit(lo)) | (F.col("l2_norm") > F.lit(hi))
     )
+
+
+# ----------------------------------------------- index persistence
+
+
+def save_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist an ANN index's model state (IVF centroids and, for
+    IVF-PQ, the per-subspace codebook) as plain parquet — the index
+    IS data: versioned, diffable, readable by any engine, no pickle.
+    Layout: centroids(cid, vec), codebook(j, code, vec). The encoded
+    corpus itself (cell + codes columns) lives wherever the corpus
+    table lives — this saves only the small trained state."""
+    spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if codebook is not None:
+        rows = [
+            (j, c, [float(x) for x in cv])
+            for j, sub in enumerate(codebook)
+            for c, cv in enumerate(sub)
+        ]
+        spark.createDataFrame(rows, "j int, code int, vec array<double>").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/codebook")
+
+
+def load_ivf_index(
+    spark, path: str
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]] | None]:
+    """Load index state saved by save_ivf_index. Returns (centroids,
+    codebook-or-None) in the literal-foldable shapes ann_ivf /
+    ann_ivfpq / pq_encode consume."""
+    import os as _os
+
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = sorted((r["cid"], [float(x) for x in r["vec"]]) for r in crows)
+    codebook = None
+    if _os.path.isdir(f"{path}/codebook"):
+        rows = spark.read.parquet(f"{path}/codebook").collect()
+        m = max(r["j"] for r in rows) + 1
+        ks = max(r["code"] for r in rows) + 1
+        codebook = [[None] * ks for _ in range(m)]
+        for r in rows:
+            codebook[r["j"]][r["code"]] = [float(x) for x in r["vec"]]
+    return centroids, codebook

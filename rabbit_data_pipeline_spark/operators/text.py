@@ -943,3 +943,35 @@ def sql_normalize_text(expr: str, keep_newlines: bool = False) -> str:
         c = f"regexp_replace({c}, '[\\x00-\\x1f\\x7f]', ' ', 'g')"
         c = f"regexp_replace({c}, '\\s+', ' ', 'g')"
     return f"trim(lower({c}))"
+
+
+def dedup_lines_within(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repeated-line removal (the within-page half of
+    C4/RefinedWeb cleaning — templated pages repeat nav/footer blocks
+    inside one page; corpus-level `dedup_lines` can't see repeats that
+    never cross documents): keep the FIRST occurrence of each line
+    within its document, preserve order, drop empty lines. Two keyed
+    exchanges — the first-occurrence rank partitions by (doc, line),
+    the reassembly aggregate by doc; both are linear in corpus lines
+    and carry (pos, line) rows only. Returns
+    (id, text, n_lines_removed)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    w = Window.partitionBy(id_col, "line").orderBy("pos")
+    kept = lines.withColumn("__rn", F.row_number().over(w))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("__rn") == 1, F.struct("pos", "line")))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_lines_removed"),
+    )

@@ -85,7 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # text_domain_filter, source_jsonl, text_data_card, corpus_diff,
 # dedup_incremental, q_funnel, q_retention, text_dsir,
 # stream_dedup_incremental, emb_decontaminate, emb_outliers,
-# text_normalize, text_normalize_lines.
+# text_normalize, text_normalize_lines, multimodal_image_neardup,
+# text_dedup_lines_within.
 
 
 def registry() -> dict[str, Query]:

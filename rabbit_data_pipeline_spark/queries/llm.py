@@ -966,11 +966,11 @@ def _data_card_oracle() -> str:
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            {sql_davg('n_chars')} AS avg_chars,
-           SUM(ws_tokens) AS total_tokens,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
            {sql_davg('ws_tokens')} AS avg_tokens
     FROM t GROUP BY source
     """

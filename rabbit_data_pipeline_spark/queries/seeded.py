@@ -29,7 +29,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType, StringType, StructField, StructType
 
 from rabbit_data_pipeline_spark.queries import register
 
@@ -1143,3 +1143,136 @@ def text_normalize_lines_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = unicode_corpus() + [(8, "line one  here\n  line TWO\n\nlast – line")]
     d = _spark_text_df(spark, rows)
     return d.select("doc_id", normalize_text(F.col("text"), keep_newlines=True).alias("text"))
+
+
+# ------------------------------------- L44: perceptual image near-dup
+
+
+def _py_ahash(body: bytes, w: int, h: int, grid: int = 8) -> int:
+    px = [
+        body[min(int(y * h / grid), h - 1) * w + min(int(x * w / grid), w - 1)]
+        for y in range(grid)
+        for x in range(grid)
+    ]
+    mean = sum(px) / len(px)
+    bits = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            bits |= 1 << i
+    return bits
+
+
+IMAGE_COPY_IDS = tuple(range(0, 30, 5))
+
+
+@lru_cache(maxsize=1)
+def image_corpus() -> list[tuple[str, bytes]]:
+    """30 random 32×32 IMG1 images + a visually-near copy (12 pixels
+    nudged by +2) of every 5th, id 'img<base>c'. Seed pinned where the
+    Python aHash replica puts every planted pair within hamming 2 and
+    every distinct pair above 12 — so the Spark operator's output must
+    be exactly the planted pairs (margins absorb any impl nuance up to
+    the hamming-6 verify bound)."""
+    import struct as _struct
+
+    rng = random.Random(88001)
+    w = h = 32
+    rows: list[tuple[str, bytes]] = []
+    bodies: dict[str, bytes] = {}
+    for i in range(30):
+        body = bytes(rng.randrange(256) for _ in range(w * h))
+        rows.append((f"img{i:03d}", b"IMG1" + _struct.pack("<ii", w, h) + body))
+        bodies[f"img{i:03d}"] = body
+    for i in IMAGE_COPY_IDS:
+        body = bytearray(bodies[f"img{i:03d}"])
+        for _ in range(12):
+            p = rng.randrange(len(body))
+            body[p] = min(255, body[p] + 2)
+        rows.append((f"img{i:03d}c", b"IMG1" + _struct.pack("<ii", w, h) + bytes(body)))
+        bodies[f"img{i:03d}c"] = bytes(body)
+    hashes = {k: _py_ahash(b, w, h) for k, b in bodies.items()}
+    ids = sorted(hashes)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ham = bin(hashes[ids[a]] ^ hashes[ids[b]]).count("1")
+            planted = ids[b] == ids[a] + "c"
+            assert (ham <= 2) if planted else (ham > 12), (ids[a], ids[b], ham)
+    return rows
+
+
+def _image_neardup_oracle() -> str:
+    vals = ", ".join(f"('img{i:03d}', 'img{i:03d}c')" for i in IMAGE_COPY_IDS)
+    return f"SELECT id_a, id_b FROM (VALUES {vals}) AS t(id_a, id_b)"
+
+
+@register("multimodal_image_neardup", oracle=_image_neardup_oracle())
+def multimodal_image_neardup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44 gate: perceptual aHash + quarter banding finds exactly the 6
+    planted visually-near image pairs (bytes differ → exact binary
+    dedup finds nothing; hamming margins 2 ↔ >12 are asserted at
+    corpus build, so output must match the truth table exactly)."""
+    from rabbit_data_pipeline_spark.operators.multimodal import image_near_pairs
+
+    rows = image_corpus()
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    return image_near_pairs(df, max_hamming=6).select("id_a", "id_b")
+
+
+# ------------------------------- L45: intra-document line dedup
+
+
+@lru_cache(maxsize=1)
+def introdup_corpus() -> list[tuple[int, str]]:
+    """20 docs of unique content lines; every doc ≡ 0 (mod 3) gets one
+    of its own lines repeated twice more (the templated-page shape),
+    and doc 19 is one line repeated five times (must collapse to a
+    single line with 4 removals)."""
+    rng = random.Random(424242)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    for i in range(19):
+        lines = [" ".join(rng.choice(vocab) for _ in range(4)) for _ in range(5)]
+        if i % 3 == 0:
+            dup = lines[1]
+            lines.insert(3, dup)
+            lines.append(dup)
+        rows.append((i, "\n".join(lines)))
+    only = " ".join(rng.choice(vocab) for _ in range(4))
+    rows.append((19, "\n".join([only] * 5)))
+    return rows
+
+
+def _introdup_oracle(rows: list[tuple[int, str]]) -> str:
+    vals = ", ".join(f"({i}, '{t}')".replace("\n", "' || chr(10) || '") for i, t in rows)
+    return f"""
+    WITH d(doc_id, text) AS (VALUES {vals}),
+    l AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+      FROM d, UNNEST(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+                     i -> {{'pos': i, 'line': string_split(text, chr(10))[i]}})) AS u(s)
+      WHERE trim(u.s.line) <> ''
+    ),
+    r AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM l
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+    FROM r GROUP BY doc_id
+    """
+
+
+@register("text_dedup_lines_within", oracle=_introdup_oracle(introdup_corpus()))
+def text_dedup_lines_within_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45 gate: intra-doc line dedup keeps exactly the first
+    occurrence of each repeated line (order-preserving reassembly and
+    removal counts value-hashed); the all-repeats doc collapses to one
+    line."""
+    from rabbit_data_pipeline_spark.operators.text import dedup_lines_within
+
+    return dedup_lines_within(_spark_text_df(spark, introdup_corpus()))

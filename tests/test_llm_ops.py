@@ -865,3 +865,26 @@ def test_dsir_ranks_target_like_docs_highest(spark):
         for g in _py_grams(t):
             py += t_lp[_py_bucket(g)] - s_lp[_py_bucket(g)]
         assert abs(py - got[i]) < 1e-9
+
+
+def test_ivf_index_roundtrip(spark, tmp_path):
+    """Index persistence: save → load returns the exact centroid and
+    codebook floats, and an IVF-PQ query over the loaded index equals
+    the query over the in-memory one."""
+    from rabbit_data_pipeline_spark.operators.similarity import (
+        ann_ivfpq,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from rabbit_data_pipeline_spark.queries.seeded import ivfpq_corpus
+
+    corpus, centroids, codebook = ivfpq_corpus()[:3]
+    p = str(tmp_path / "idx")
+    save_ivf_index(spark, p, centroids, codebook)
+    c2, cb2 = load_ivf_index(spark, p)
+    assert c2 == sorted(centroids) and cb2 == codebook
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    want = sorted(map(tuple, ann_ivfpq(df, q, centroids, codebook, k=5).collect()))
+    got = sorted(map(tuple, ann_ivfpq(df, q, c2, cb2, k=5).collect()))
+    assert got == want
