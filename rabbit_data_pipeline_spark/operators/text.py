@@ -975,3 +975,61 @@ def dedup_lines_within(
         ).alias(text_col),
         F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_lines_removed"),
     )
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-PASSAGE removal (the substring-dedup
+    step of Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better", word-granular): any word k-gram appearing
+    in ≥ min_docs distinct documents marks its k positions as
+    boilerplate, overlapping marks union into full passage spans, and
+    the covered words are cut from every document (docs reduced to
+    nothing drop out — mirrors dedup_lines). Operates on
+    already-normalized text (single-space; run normalize_text first).
+
+    Scale shape: gram doc-frequency is one gram-keyed shuffle over
+    distinct (gram, doc) pairs — linear in corpus tokens, same shape
+    as repeated_ngrams/decontaminate, no all-pairs anywhere; the
+    coverage explode fans out ×k for HEAVY grams only (boilerplate is
+    rare among distinct grams); the final anti-join and reassembly key
+    by (doc, pos) / doc. Returns (id, text, n_words_removed)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    gram_structs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.struct(i.alias("start"), F.array_join(F.slice(words, i, k), " ").alias("gram")),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+    grams = df.select(F.col(id_col), F.explode(gram_structs).alias("g")).select(
+        id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram")
+    )
+    heavy = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(heavy), on="gram")
+        .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + k - 1)).alias("pos"))
+        .distinct()
+    )
+    wp = df.select(
+        F.col(id_col), n.alias("__n"), F.posexplode(words).alias("pos0", "word")
+    ).select(id_col, "__n", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = wp.join(covered, on=[id_col, "pos"], how="left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]),
+            " ",
+        ).alias(text_col),
+        (F.first("__n") - F.count("*")).cast("long").alias("n_words_removed"),
+    )

@@ -1276,3 +1276,69 @@ def text_dedup_lines_within_seeded(spark: SparkSession, sf_dir: str) -> DataFram
     from rabbit_data_pipeline_spark.operators.text import dedup_lines_within
 
     return dedup_lines_within(_spark_text_df(spark, introdup_corpus()))
+
+
+# ----------------------------- L47: repeated-passage removal (substring dedup)
+
+
+@lru_cache(maxsize=1)
+def passage_corpus() -> list[tuple[int, str]]:
+    """16 docs of 12-25 random words; a 10-word passage P planted into
+    docs 0/3/6/9 (at varying offsets), a second passage Q into 1/4;
+    doc 15 IS passage P alone (must vanish entirely). Random 8-gram
+    collisions are impossible at this vocab size (checked by the gate
+    itself — the oracle recomputes the truth)."""
+    rng = random.Random(20107)  # Lee et al. arXiv number
+    vocab = [f"w{i:03d}" for i in range(300)]
+    P = " ".join(rng.choice(vocab) for _ in range(10))
+    Q = " ".join(rng.choice(vocab) for _ in range(10))
+    rows = []
+    for i in range(15):
+        words = [rng.choice(vocab) for _ in range(rng.randint(12, 25))]
+        if i in (0, 3, 6, 9):
+            at = rng.randrange(len(words) + 1)
+            words[at:at] = P.split(" ")
+        if i in (1, 4):
+            at = rng.randrange(len(words) + 1)
+            words[at:at] = Q.split(" ")
+        rows.append((i, " ".join(words)))
+    rows.append((15, P))
+    return rows
+
+
+def _passage_oracle(rows: list[tuple[int, str]], k: int = 8, min_docs: int = 2) -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    return f"""
+    WITH d(doc_id, text) AS (VALUES {vals}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM d),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS start,
+             array_to_string(words[i:i + {k} - 1], ' ') AS gram
+      FROM w, UNNEST(range(1, GREATEST(len(words) - {k} + 1, 0) + 1)) AS t(i)
+    ),
+    heavy AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    cov AS (
+      SELECT DISTINCT doc_id, start + CAST(o AS INT) AS pos
+      FROM (SELECT doc_id, start FROM g JOIN heavy USING (gram)), UNNEST(range(0, {k})) AS u(o)
+    ),
+    wp AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, words[i] AS word, len(words) AS n
+      FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)
+    ),
+    kept AS (SELECT wp.* FROM wp ANTI JOIN cov USING (doc_id, pos))
+    SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+           CAST(MAX(n) - COUNT(*) AS BIGINT) AS n_words_removed
+    FROM kept GROUP BY doc_id
+    """
+
+
+@register("text_remove_passages", oracle=_passage_oracle(passage_corpus()))
+def text_remove_passages_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47 gate: cross-doc repeated-passage removal cuts the full
+    10-word planted passages (3 overlapping heavy 8-grams union to the
+    exact span) from every host doc, leaves all unique words, and the
+    passage-only doc vanishes — reassembled texts and removal counts
+    value-hashed against the DuckDB recomputation."""
+    from rabbit_data_pipeline_spark.operators.text import remove_repeated_passages
+
+    return remove_repeated_passages(_spark_text_df(spark, passage_corpus()))

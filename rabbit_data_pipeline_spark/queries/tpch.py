@@ -556,3 +556,35 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+# --- Q6-shape: forecasting revenue change ------------------------------------
+@register(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_lsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical
+    predicate-pushdown + scalar-aggregate probe — every filter reaches
+    the parquet scan (range on shipdate, between on discount, bound on
+    quantity), the aggregate is one map-side-combined scalar, and the
+    whole query is scan-rate-bound; discount microvalues are 2-decimal
+    so the lsum fast path is exact."""
+    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(lsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )

@@ -386,3 +386,11 @@ def test_retention_two_exchanges_no_join(plans):
     p = plans("q_retention")
     assert "Join" not in p
     assert p.count("Exchange (") == 2
+
+
+def test_passage_removal_no_python_no_cartesian(plans):
+    """Repeated-passage removal is pure HOF/explode SQL: no Python in
+    the plan, the heavy-gram side broadcasts, never a cartesian."""
+    p = plans("text_remove_passages")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
