@@ -307,3 +307,51 @@ def _dsir_weight(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -
         text_col=cfg.get("text_col", "text"),
         id_col=cfg.get("id_col", "doc_id"),
     )
+
+
+@plugin("transform.remove_passages")
+def _remove_passages(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Cross-doc repeated-passage removal as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import remove_repeated_passages
+
+    (df,) = inputs
+    return remove_repeated_passages(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        k=int(cfg.get("k", 8)),
+        min_docs=int(cfg.get("min_docs", 2)),
+    )
+
+
+@plugin("transform.dedup_lines_within")
+def _dedup_lines_within(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Intra-document repeated-line removal as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import dedup_lines_within
+
+    (df,) = inputs
+    return dedup_lines_within(
+        df, text_col=cfg.get("text_col", "text"), id_col=cfg.get("id_col", "doc_id")
+    )
+
+
+@plugin("transform.semantic_dedup")
+def _semantic_dedup(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """SemDeDup as a pipeline node; centroids come from cfg (inline
+    list of vectors) or an index dir saved by save_ivf_index."""
+    from rabbit_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    (df,) = inputs
+    if "index_path" in cfg:
+        from rabbit_data_pipeline_spark.operators.similarity import load_ivf_index
+
+        centroids, _ = load_ivf_index(sch.spark, cfg["index_path"])
+    else:
+        centroids = [(int(i), [float(x) for x in v]) for i, v in enumerate(cfg["centroids"])]
+    return semantic_dedup(
+        df,
+        centroids,
+        vec_col=cfg.get("vec_col", "embedding"),
+        id_col=cfg.get("id_col", "vec_id"),
+        threshold=float(cfg.get("threshold", 0.95)),
+    )

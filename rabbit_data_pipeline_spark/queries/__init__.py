@@ -86,7 +86,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # dedup_incremental, q_funnel, q_retention, text_dsir,
 # stream_dedup_incremental, emb_decontaminate, emb_outliers,
 # text_normalize, text_normalize_lines, multimodal_image_neardup,
-# text_dedup_lines_within, q_forecast_revenue, text_remove_passages.
+# text_dedup_lines_within, q_forecast_revenue, text_remove_passages,
+# q_anomaly.
 
 
 def registry() -> dict[str, Query]:

@@ -424,3 +424,62 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week",
         (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
     ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+# --- Q51: trailing-window anomaly detection ----------------------------------
+@register(
+    "q_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(value) OVER win AS n_prev,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER win AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS s2
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                               AND INTERVAL 1 MICROSECOND PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, event_id, ts, value, n_prev,
+             CAST(s1 AS DOUBLE) / n_prev AS mean_prev,
+             sqrt((n_prev * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n_prev AS DOUBLE) * (n_prev - 1))) AS std_prev
+      FROM w WHERE n_prev >= 5
+    )
+    SELECT user_id, event_id, ts, value, n_prev, mean_prev, std_prev
+    FROM z
+    WHERE std_prev > 0 AND value > mean_prev + 3 * std_prev
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q51: per-user anomaly flags — an event whose value exceeds
+    mean + 3σ of that user's TRAILING 24-hour window (current row
+    excluded, so an outlier can't mask itself). The ops-monitoring
+    staple. Moments accumulate in exact decimal over the RANGE frame
+    (order-independent — built-in stddev over a window could never
+    value-hash) and the z-score derives in double with the identical
+    expression shape as the oracle. One user_id exchange serves all
+    three window aggregates and the filter."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-24 * 3_600_000_000, -1)
+    )
+    x = F.col("value").cast("decimal(18,6)")
+    d = e.select(
+        "user_id", "event_id", "ts", "value",
+        F.count("value").over(win).alias("n_prev"),
+        F.sum(x).over(win).alias("s1"),
+        F.sum(x * x).over(win).alias("s2"),
+    ).filter(F.col("n_prev") >= 5)
+    n = F.col("n_prev")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1 / n
+    std = F.sqrt((n * s2 - s1 * s1) / (n.cast("double") * (n - 1)))
+    z = d.select(
+        "user_id", "event_id", "ts", "value", "n_prev",
+        mean.alias("mean_prev"), std.alias("std_prev"),
+    )
+    return z.filter((F.col("std_prev") > 0) & (F.col("value") > F.col("mean_prev") + 3 * F.col("std_prev")))
