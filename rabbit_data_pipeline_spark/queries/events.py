@@ -483,3 +483,44 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_prev"), std.alias("std_prev"),
     )
     return z.filter((F.col("std_prev") > 0) & (F.col("value") > F.col("mean_prev") + 3 * F.col("std_prev")))
+
+
+# --- Q52: event path analysis ------------------------------------------------
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM e WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path HAVING COUNT(*) >= 2
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q52: behavior path analysis — the ordered sequence of each
+    user's FIRST 5 events, aggregated into path frequencies (the
+    "what do users do first" product question). The per-user rank and
+    the path assembly share one user_id exchange; the path-frequency
+    aggregate is the only other shuffle and carries one row per user.
+    Deterministic ordering (ts, event_id tiebreak) makes the paths —
+    and therefore the hash — engine-independent."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("rn", "event_type"))), lambda s: s["event_type"]),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users")).filter(F.col("n_users") >= 2)

@@ -394,3 +394,45 @@ def test_passage_removal_no_python_no_cartesian(plans):
     p = plans("text_remove_passages")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
+    """100 TB contract: when a selective dim filter feeds a non-broadcast
+    join, Catalyst injects a runtime BLOOM filter on the fact side —
+    the fact scan drops most rows BEFORE the shuffle (row-level
+    counterpart of dynamic partition pruning). Local data is below the
+    default 10 GB application-side threshold, so the test pins the
+    thresholds the way a cluster config would; the contract is that
+    the injection fires and the fact filter carries might_contain."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, sf_smoke, ("lineitem", "orders"))
+    conf = spark.conf
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: conf.get(k) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            conf.set(k, v)
+        o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = t["lineitem"].join(o, t["lineitem"].l_orderkey == o.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "might_contain" in p, "runtime bloom filter was not injected on the fact side"
+        assert "bloom_filter_agg" in p
+        # the injected probe must sit on the lineitem (application) side
+        probe_line = next(line for line in p.splitlines() if "might_contain" in line)
+        assert "l_orderkey" in probe_line
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
