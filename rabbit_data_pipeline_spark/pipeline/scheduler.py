@@ -122,5 +122,40 @@ class Scheduler:
         if df is not None and node.config.get("cache"):
             # Branch point feeding multiple sinks: persist once.
             df = df.cache()
+        if df is not None and node.config.get("cache_ttl"):
+            df = self._ttl_cache(df, spec.name, name, float(node.config["cache_ttl"]))
         self._built[key] = df
         return df
+
+    def _ttl_cache(self, df: DataFrame, task: str, node: str, ttl: float) -> DataFrame:
+        """Reference parity: Sources/Pdo.php caches query results for
+        `duration` seconds (Pdo.php:100 ``->cache($this->duration,…)``).
+        Spark twin: materialize the node's output as parquet under a
+        per-(task, node) staging dir and serve it from there while the
+        materialization is younger than `ttl` seconds — repeated
+        Scheduler runs (the cron/interval loop) skip recomputation AND
+        downstream reads get parquet scan speed + pushdown instead of
+        re-running the subplan. The swap is atomic (write to tmp,
+        os.replace) so a concurrent run never reads a half-written
+        cache."""
+        import os
+        import shutil
+        import tempfile
+        import time
+
+        base = os.path.join(tempfile.gettempdir(), "rdps_node_cache", task, node)
+        marker = os.path.join(base, "_CACHED_AT")
+        if os.path.exists(marker):
+            age = time.time() - float(open(marker).read())
+            if age < ttl:
+                return self.spark.read.parquet(os.path.join(base, "data"))
+        tmp = f"{base}.tmp.{os.getpid()}"
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        with open(os.path.join(tmp, "_CACHED_AT"), "w") as f:
+            f.write(str(time.time()))
+        old = f"{base}.old.{os.getpid()}"
+        if os.path.exists(base):
+            os.replace(base, old)
+        os.replace(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
+        return self.spark.read.parquet(os.path.join(base, "data"))

@@ -325,3 +325,33 @@ def test_corpus_prep_plugins_compose(spark):
     # normalization folded the accents before cleaning
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert "café" not in texts[0] and "cafe" in texts[0]
+
+
+def test_cache_ttl_serves_and_expires(spark):
+    """Pdo `duration` parity: a node with cache_ttl materializes once
+    and serves the cached parquet while fresh; after expiry the next
+    run recomputes (observable through a changing upstream view)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "rdps_node_cache", "t"), ignore_errors=True)
+
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    spark.createDataFrame([(1,)], ["v"]).createOrReplaceTempView("ttl_src")
+    spec = {
+        "q": {"type": "transform.sql", "start": True, "sql": "SELECT * FROM ttl_src", "cache_ttl": 2.0}
+    }
+
+    def run():
+        sch = Scheduler(spark, {"t": PipelineSpec.from_dict("t", spec)})
+        return sch.run("t")["q"].collect()[0]["v"]
+
+    assert run() == 1
+    spark.createDataFrame([(2,)], ["v"]).createOrReplaceTempView("ttl_src")
+    assert run() == 1, "within ttl the cached result must serve"
+    time.sleep(2.2)
+    assert run() == 2, "after ttl expiry the node must recompute"
