@@ -39,7 +39,7 @@ SUPPORT_EXT = ("csv", "txt", "tsv", "xls", "xlsx")  # reference SUPPORT_EXT
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
-def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
+def parse_xlsx_bytes(content: bytes, sheet_name: str | None = None) -> list[tuple[int, list[str]]]:
     """Decode the first worksheet of an xlsx workbook into (row_number,
     cells) pairs using only the stdlib (zipfile + ElementTree):
     resolves sharedStrings and inline strings, places cells by their
@@ -67,9 +67,12 @@ def parse_xlsx_bytes(content: bytes) -> list[tuple[int, list[str]]]:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_XLSX_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
-        first_sheet = _resolve_first_sheet(z)
+        first_sheet = (
+            _resolve_sheet_by_name(z, sheet_name) if sheet_name is not None else _resolve_first_sheet(z)
+        )
         if first_sheet is None:
-            raise ValueError("xlsx has no xl/worksheets/sheet*.xml member")
+            target = f"sheet {sheet_name!r}" if sheet_name is not None else "xl/worksheets/sheet*.xml member"
+            raise ValueError(f"xlsx has no {target}")
         root = ET.fromstring(z.read(first_sheet))
 
     rows: list[tuple[int, list[str]]] = []
@@ -133,6 +136,34 @@ def _resolve_first_sheet(z: "zipfile.ZipFile") -> str | None:
         key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
     )
     return sheets[0] if sheets else None
+
+
+def _resolve_sheet_by_name(z: "zipfile.ZipFile", name: str) -> str | None:
+    """Member path of the worksheet whose display NAME matches —
+    reference LineParser's `sheet` knob (LineParser.php `sheet`,
+    doc/LineParser.md): sheets are addressed by tab name, never by
+    member filename."""
+    import posixpath
+    import xml.etree.ElementTree as ET
+
+    rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    rid_attr = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    except (KeyError, ET.ParseError):
+        return None
+    targets = {r.get("Id"): r.get("Target") for r in rels.iter(f"{rel_ns}Relationship")}
+    for sheet in wb.iter(f"{_XLSX_NS}sheet"):
+        if sheet.get("name") != name:
+            continue
+        target = targets.get(sheet.get(rid_attr))
+        if not target:
+            return None
+        member = target if target.startswith("/") else posixpath.normpath(f"xl/{target}")
+        member = member.lstrip("/")
+        return member if member in z.namelist() else None
+    return None
 
 
 def _read_grid_indexed(
@@ -265,20 +296,40 @@ def parse_lines(
     file_type: str = "csv",
     delimiter: str | None = None,
     head_line: int | None = 1,
-    data_line: int = 2,
+    data_line: int | list[int] = 2,
     end_line: int | None = None,
     columns: list[str] | None = None,
-    include: list[int] | None = None,
+    include: list[int] | dict[int, str | None] | None = None,
     exclude: list[int] | None = None,
     rename: dict[str, str] | None = None,
     add_fields: dict[str, Any] | None = None,
     id_key: str | None = None,
     reader_options: dict | None = None,
+    sheet: str | None = None,
+    field: dict[str, int] | None = None,
+    field_line: int | None = None,
 ) -> DataFrame:
     """`reader_options` are extra Spark reader options (pathGlobFilter,
     recursiveFileLookup, …) applied to whichever source reads `path` —
     this is how a FindFiles listing spec flows through without
-    collecting the matched paths to the driver."""
+    collecting the matched paths to the driver.
+
+    Reference LineParser knob parity (doc/LineParser.md):
+    - `sheet` selects the Excel worksheet by TAB NAME (the reference
+      makes it mandatory for xls/xlsx; here default = first sheet).
+    - `data_line` may be a LIST: rows in the list PLUS everything from
+      max(list) on are data (LineParser.php run loop:
+      ``in_array($i, dataLine) || $i >= max(dataLine)``); header and
+      field rows are excluded from data either way.
+    - `field` + `field_line`: some producers hoist constant columns
+      into one shared row to shrink the file; `field` maps new column
+      name → cell index in row `field_line`, and the extracted values
+      attach to EVERY data row (as named columns — the reference
+      splices them positionally, same information).
+    - `include` may be a DICT {index: None | SQL expr}: the reference
+      evals PHP per cell with ``$col`` bound (LineParser.php
+      dealInclude); here the expr is a Spark SQL expression over the
+      same ``$col`` placeholder — JVM-side, no eval."""
     if file_type not in SUPPORT_EXT:
         raise ValueError(f"fileType only support ({' & '.join(SUPPORT_EXT)})")  # LineParser.php:115
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
@@ -292,9 +343,15 @@ def parse_lines(
         if file_type == "xls":
             from rabbit_data_pipeline_spark.operators.xls import parse_xls_bytes
 
-            df_idx = _read_grid_indexed(spark, path, parse_xls_bytes, reader_options)
+            parse_fn = (
+                (lambda b, _s=sheet: parse_xls_bytes(b, sheet_name=_s)) if sheet else parse_xls_bytes
+            )
+            df_idx = _read_grid_indexed(spark, path, parse_fn, reader_options)
         else:
-            df_idx = _read_xlsx_indexed(spark, path, reader_options)
+            parse_fn = (
+                (lambda b, _s=sheet: parse_xlsx_bytes(b, sheet_name=_s)) if sheet else parse_xlsx_bytes
+            )
+            df_idx = _read_grid_indexed(spark, path, parse_fn, reader_options)
         header_names = columns
         if not columns:
             df_idx = df_idx.cache()
@@ -302,9 +359,11 @@ def parse_lines(
             if head_line is not None and not columns:
                 h = _sniff_header(df_idx, head_line, "cells")
                 header_names = list(h) if h is not None else None
-            body = df_idx.filter(F.col("__line") >= data_line)
+            body = df_idx.filter(_data_line_filter(data_line, head_line, field_line))
             if end_line is not None:
                 body = body.filter(F.col("__line") < end_line)
+            if field and field_line is not None:
+                add_fields = {**_field_values(df_idx, field, field_line, None), **(add_fields or {})}
             if header_names:
                 n_cols = len(header_names)
             else:
@@ -318,7 +377,13 @@ def parse_lines(
             df_idx.unpersist()
         return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
 
-    simple = head_line in (None, 1) and data_line == (2 if head_line == 1 else 1) and end_line is None
+    simple = (
+        head_line in (None, 1)
+        and isinstance(data_line, int)
+        and data_line == (2 if head_line == 1 else 1)
+        and end_line is None
+        and not field
+    )
     if simple:
         # Fast path: native csv reader, fully JVM-side.
         df = (
@@ -342,9 +407,11 @@ def parse_lines(
             if head_line is not None and not columns:
                 h = _sniff_header(df_idx, head_line, "value")
                 header_names = h.split(sep) if h is not None else None
-            body = df_idx.filter(F.col("__line") >= data_line)
+            body = df_idx.filter(_data_line_filter(data_line, head_line, field_line))
             if end_line is not None:
                 body = body.filter(F.col("__line") < end_line)  # reference: i >= endLine stops BEFORE endLine
+            if field and field_line is not None:
+                add_fields = {**_field_values(df_idx, field, field_line, sep), **(add_fields or {})}
             if header_names:
                 n_cols = len(header_names)
             else:
@@ -364,9 +431,38 @@ def parse_lines(
     return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
 
 
+def _data_line_filter(data_line, head_line, field_line):
+    """Data-row predicate: reference semantics are ``i in dataLine or
+    i >= max(dataLine)`` with header/field rows never data."""
+    col = F.col("__line")
+    if isinstance(data_line, (list, tuple)):
+        lines = [int(x) for x in data_line]
+        cond = (col >= max(lines)) | col.isin(lines)
+    else:
+        cond = col >= int(data_line)
+    for special in (head_line, field_line):
+        if special is not None:
+            cond = cond & (col != int(special))
+    return cond
+
+
+def _field_values(df_idx, field: dict[str, int], field_line: int, sep: str | None) -> dict[str, Any]:
+    """Extract the shared-value row once (a single tiny row to the
+    driver — the field row is one line by definition) and map it to
+    {new_column: literal}."""
+    row = df_idx.filter(F.col("__line") == int(field_line)).first()
+    if row is None:
+        raise ValueError(f"field_line {field_line} not present in input")
+    cells = list(row["cells"]) if sep is None else row["value"].split(sep)
+    out: dict[str, Any] = {}
+    for name, idx in field.items():
+        out[name] = cells[int(idx)] if 0 <= int(idx) < len(cells) else None
+    return out
+
+
 def _apply_column_opts(
     df: DataFrame,
-    include: list[int] | None,
+    include: list[int] | dict[int, str | None] | None,
     exclude: list[int] | None,
     rename: dict[str, str] | None,
     add_fields: dict[str, Any] | None,
@@ -377,7 +473,19 @@ def _apply_column_opts(
         keep = [c for i, c in enumerate(df.columns) if i not in set(exclude)]
         df = df.select(*keep)
     if include:
-        df = df.select(*[df.columns[i] for i in include])
+        if isinstance(include, dict):
+            # {index: None | SQL expr with $col} — reference dealInclude
+            # evals PHP per cell; here the transform stays JVM-side.
+            cols = []
+            for i, expr in include.items():
+                name = df.columns[int(i)]
+                if expr:
+                    cols.append(F.expr(expr.replace("$col", f"`{name}`")).alias(name))
+                else:
+                    cols.append(F.col(name))
+            df = df.select(*cols)
+        else:
+            df = df.select(*[df.columns[i] for i in include])
     if rename:
         df = df.withColumnsRenamed(rename)
     for name, value in (add_fields or {}).items():
@@ -430,4 +538,7 @@ def _line_parser(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -
         add_fields=cfg.get("addField", cfg.get("add_fields")),
         id_key=cfg.get("idKey", cfg.get("id_key")),
         reader_options=reader_options,
+        sheet=cfg.get("sheet"),
+        field=cfg.get("field"),
+        field_line=cfg.get("fieldLine", cfg.get("field_line")),
     )

@@ -222,9 +222,11 @@ def _fmt_number(v: float) -> str:
     return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
 
 
-def parse_xls_bytes(content: bytes) -> list[tuple[int, list[str]]]:
-    """Decode the first worksheet of a BIFF8 workbook into (1-based
-    row_number, cells) pairs — the .xls twin of parse_xlsx_bytes."""
+def parse_xls_bytes(content: bytes, sheet_name: str | None = None) -> list[tuple[int, list[str]]]:
+    """Decode one worksheet of a BIFF8 workbook into (1-based
+    row_number, cells) pairs — the .xls twin of parse_xlsx_bytes.
+    `sheet_name` selects by BOUNDSHEET name (reference LineParser's
+    mandatory `sheet` knob); default = first worksheet."""
     wb = _cfb_stream(content, ("Workbook", "Book"))
 
     sst: list[str] = []
@@ -232,15 +234,27 @@ def parse_xls_bytes(content: bytes) -> list[tuple[int, list[str]]]:
     for opcode, pos, length in _records(wb):
         if opcode == 0x00FC:  # SST
             sst = _parse_sst(wb, pos, length)
-        elif opcode == 0x0085 and first_sheet_off is None:  # BOUNDSHEET8
+        elif opcode == 0x0085:  # BOUNDSHEET8
             lbPlyPos = struct.unpack_from("<I", wb, pos)[0]
             if wb[pos + 5] == 0x00:  # sheet-type byte: worksheet
-                first_sheet_off = lbPlyPos
+                if sheet_name is not None:
+                    # short XLUnicodeString: cch, grbitChr, rgch
+                    cch = wb[pos + 6]
+                    if wb[pos + 7] & 1:
+                        name = wb[pos + 8 : pos + 8 + 2 * cch].decode("utf-16-le")
+                    else:
+                        name = wb[pos + 8 : pos + 8 + cch].decode("latin-1")
+                    if name == sheet_name:
+                        first_sheet_off = lbPlyPos
+                        break
+                elif first_sheet_off is None:
+                    first_sheet_off = lbPlyPos
         elif opcode == 0x000A:  # EOF of the globals substream
             break
 
     if first_sheet_off is None:
-        raise ValueError("xls: workbook has no worksheet BOUNDSHEET")
+        target = f"sheet {sheet_name!r}" if sheet_name is not None else "a worksheet BOUNDSHEET"
+        raise ValueError(f"xls: workbook has no {target}")
 
     cells: dict[int, dict[int, str]] = {}
 

@@ -142,3 +142,91 @@ def test_line_range_reads_gzip_like_fast_path(spark, tmp_path):
     ).collect()
     # end_line is exclusive (reference semantics, as in the tests above)
     assert [tuple(r) for r in out] == [("a1", "b1"), ("a2", "b2")]
+
+
+# --------------------- reference knob parity: dataLine list / field / include
+
+
+def test_data_line_list_includes_listed_and_tail(spark, tmp_path):
+    """dataLine as a list: rows IN the list plus everything from
+    max(list) on are data; the header row is never data
+    (LineParser.php run loop)."""
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    p = tmp_path / "d.csv"
+    p.write_text("h1,h2\nr2,x\nr3,x\nr4,x\nr5,x\nr6,x\n")
+    df = parse_lines(
+        spark, str(p), file_type="csv", head_line=1, data_line=[3, 5]
+    )
+    got = sorted(r["h1"] for r in df.collect())
+    assert got == ["r3", "r5", "r6"]  # row 2 and 4 skipped, tail from 5
+
+
+def test_field_line_attaches_shared_values(spark, tmp_path):
+    """field/fieldLine: a designated row carries constant values that
+    attach to every data row (doc/LineParser.md `field`)."""
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    p = tmp_path / "f.csv"
+    p.write_text("h1,h2\nACME,2024-01\nr3a,r3b\nr4a,r4b\n")
+    df = parse_lines(
+        spark, str(p), file_type="csv", head_line=1, data_line=3,
+        field={"company": 0, "period": 1}, field_line=2,
+    )
+    rows = {r["h1"]: (r["company"], r["period"]) for r in df.collect()}
+    assert rows == {"r3a": ("ACME", "2024-01"), "r4a": ("ACME", "2024-01")}
+
+
+def test_include_dict_applies_cell_transform(spark, tmp_path):
+    """include as {index: SQL-expr-with-$col}: the reference evals PHP
+    per cell; here the same contract runs as a JVM expression."""
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+
+    p = tmp_path / "i.csv"
+    p.write_text("code,qty\nab 12,3\ncd 45,4\n")
+    df = parse_lines(
+        spark, str(p), file_type="csv",
+        include={0: "element_at(split($col, ' '), 1)", 1: None},
+    )
+    assert sorted(map(tuple, df.collect())) == [("ab", "3"), ("cd", "4")]
+
+
+def test_xlsx_sheet_selection_by_name(spark, tmp_path):
+    """`sheet` selects the worksheet by TAB NAME (mandatory in the
+    reference for Excel; LineParser.php init guard)."""
+    import zipfile
+
+    from rabbit_data_pipeline_spark.operators.line_parser import parse_lines
+    from tests.test_xlsx import _NS
+
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    doc_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    p = str(tmp_path / "multi.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {_NS} xmlns:r="{doc_ns}"><sheets>'
+            '<sheet name="summary" sheetId="1" r:id="rId1"/>'
+            '<sheet name="daily stats" sheetId="2" r:id="rId2"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{rel_ns}">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>'
+            "</Relationships>",
+        )
+        for n, (h, v) in [(1, ("wrong", "w1")), (2, ("name", "alice"))]:
+            z.writestr(
+                f"xl/worksheets/sheet{n}.xml",
+                f'<?xml version="1.0"?><worksheet {_NS}><sheetData>'
+                f'<row r="1"><c r="A1" t="inlineStr"><is><t>{h}</t></is></c></row>'
+                f'<row r="2"><c r="A1" t="inlineStr"><is><t>{v}</t></is></c></row>'
+                "</sheetData></worksheet>",
+            )
+    df = parse_lines(spark, p, file_type="xlsx", head_line=1, data_line=2, sheet="daily stats")
+    assert [r["name"] for r in df.collect()] == ["alice"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no sheet"):
+        parse_lines(spark, p, file_type="xlsx", head_line=1, data_line=2, sheet="nope").collect()

@@ -290,3 +290,44 @@ def test_number_nan_inf_cells_do_not_abort(tmp_path):
 def test_not_a_cfb_file_raises():
     with pytest.raises(ValueError, match="bad magic"):
         parse_xls_bytes(b"PK\x03\x04 this is a zip actually" + b"\x00" * 600)
+
+
+def test_parse_xls_sheet_by_name(tmp_path):
+    """`sheet_name` selects the worksheet via its BOUNDSHEET name —
+    reference LineParser's mandatory `sheet` knob for Excel."""
+    from rabbit_data_pipeline_spark.operators.xls import parse_xls_bytes
+
+    def sheet_block(sst_idx: int) -> bytes:
+        return b"".join(
+            [
+                _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)),
+                _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, sst_idx)),
+                _biff_rec(0x000A, b""),
+            ]
+        )
+
+    shared = ["first-val", "second-val"]
+    payload = struct.pack("<II", 2, 2) + b"".join(_ucs(s) for s in shared)
+    sst = _biff_rec(0x00FC, payload)
+    bof = _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+
+    def boundsheet(lb: int, name: bytes) -> bytes:
+        data = struct.pack("<I", lb) + bytes([0, 0]) + struct.pack("<B", len(name)) + b"\x00" + name
+        return _biff_rec(0x0085, data)
+
+    glen = len(bof) + len(sst) + len(boundsheet(0, b"alpha")) + len(boundsheet(0, b"beta")) + 4
+    s1 = sheet_block(0)
+    globals_block = (
+        bof + sst + boundsheet(glen, b"alpha") + boundsheet(glen + len(s1), b"beta") + _biff_rec(0x000A, b"")
+    )
+    assert len(globals_block) == glen
+    stream = globals_block + s1 + sheet_block(1)
+    content = _cfb_wrap(stream)
+
+    assert parse_xls_bytes(content) == [(1, ["first-val"])]
+    assert parse_xls_bytes(content, sheet_name="beta") == [(1, ["second-val"])]
+    assert parse_xls_bytes(content, sheet_name="alpha") == [(1, ["first-val"])]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no sheet"):
+        parse_xls_bytes(content, sheet_name="gamma")
