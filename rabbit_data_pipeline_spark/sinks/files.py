@@ -4,6 +4,7 @@ the Hadoop output committer, partitionable, and parallel)."""
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -30,6 +31,22 @@ def write_files(
     writer.save(path)
 
 
+def _resolve_file_name(file_name: str | None) -> str | None:
+    """Reference Sinks/File.php `fileName` templating: the literal
+    values `DateTime` / `Timestamp` (doc/File.md) produce a
+    run-timestamped name; anything else is taken verbatim. (The
+    reference also accepts a PHP callable — a config-embedded code
+    value; deliberately not reproduced, pass a computed name
+    instead.)"""
+    import time
+
+    if file_name == "DateTime":
+        return time.strftime("%Y%m%d%H%M%S")
+    if file_name == "Timestamp":
+        return str(int(time.time()))
+    return file_name
+
+
 @plugin("sink.file")
 def _file_sink(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
     (df,) = inputs
@@ -37,9 +54,13 @@ def _file_sink(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> 
     fmt = cfg.get("format", cfg.get("ext", "parquet"))
     if fmt == "csv" and "header" not in opts:
         opts["header"] = "true"
+    path = cfg["path"]
+    fname = _resolve_file_name(cfg.get("fileName", cfg.get("file_name")))
+    if fname:
+        path = os.path.join(path, f"{fname}.{fmt}")
     write_files(
         df,
-        path=cfg["path"],
+        path=path,
         fmt=fmt,
         mode=cfg.get("mode", "overwrite"),
         partition_by=cfg.get("partition_by"),

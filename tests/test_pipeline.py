@@ -355,3 +355,25 @@ def test_cache_ttl_serves_and_expires(spark):
     assert run() == 1, "within ttl the cached result must serve"
     time.sleep(2.2)
     assert run() == 2, "after ttl expiry the node must recompute"
+
+
+def test_file_sink_filename_templating(spark, tmp_path):
+    """Sinks/File.php fileName parity: `DateTime`/`Timestamp` template
+    values produce run-stamped output names under path."""
+    import os
+
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    spark.createDataFrame([(1, "a")], ["k", "v"]).createOrReplaceTempView("fs_src")
+    out = str(tmp_path / "out")
+    spec = PipelineSpec.from_dict(
+        "t",
+        {
+            "q": {"type": "transform.sql", "start": True, "sql": "SELECT * FROM fs_src", "output": ["w"]},
+            "w": {"type": "sink.file", "path": out, "fileName": "Timestamp", "ext": "csv"},
+        },
+    )
+    Scheduler(spark, {"t": spec}).run("t")
+    dirs = os.listdir(out)
+    assert len(dirs) == 1 and dirs[0].endswith(".csv") and dirs[0][:-4].isdigit()
