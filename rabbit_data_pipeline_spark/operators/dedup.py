@@ -433,6 +433,11 @@ def semantic_dedup(
         F.col(vec_col),
         F.element_at(nearest_cells_l2(F.col(vec_col), centroids, 1), 1).alias("cell"),
     )
+    # The literal-folded argmin (one chained L2 term per centroid) is
+    # referenced by BOTH self-join sides and the survivor anti-join —
+    # without a materialization it recomputes three times over the
+    # corpus (same idiom as lsh_candidate_pairs' materialize).
+    assigned = assigned.localCheckpoint(eager=False)
     left = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cell")
     right = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "cell")
     dup_ids = (
@@ -496,9 +501,17 @@ def lsh_incremental_pairs(
     ib = _banded(index_sigs, id_col, bands).select(
         F.col(id_col).alias("index_id"), F.col("sig").alias("sig_b"), "band", "bh"
     )
-    est = F.aggregate(
+    est_raw = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")), F.lit(0), lambda acc, x: acc + x
     ).cast("double") / F.size("sig_a")
+    # Config drift between the index job and the ingest job (different
+    # num_hashes) would zip nulls into the agreement fold, null out
+    # est_jaccard, and SILENTLY report zero duplicates — fail loudly
+    # instead (the check costs nothing on the happy path).
+    est = F.when(
+        F.size("sig_a") != F.size("sig_b"),
+        F.raise_error(F.lit("lsh_incremental_pairs: batch and index signature widths differ")),
+    ).otherwise(est_raw)
     return (
         ib.join(F.broadcast(nb) if broadcast_new else nb, on=["band", "bh"])
         .select("new_id", "index_id", est.alias("est_jaccard"))

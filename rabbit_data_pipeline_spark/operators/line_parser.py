@@ -344,12 +344,16 @@ def parse_lines(
             from rabbit_data_pipeline_spark.operators.xls import parse_xls_bytes
 
             parse_fn = (
-                (lambda b, _s=sheet: parse_xls_bytes(b, sheet_name=_s)) if sheet else parse_xls_bytes
+                (lambda b, _s=sheet: parse_xls_bytes(b, sheet_name=_s))
+                if sheet is not None
+                else parse_xls_bytes
             )
             df_idx = _read_grid_indexed(spark, path, parse_fn, reader_options)
         else:
             parse_fn = (
-                (lambda b, _s=sheet: parse_xlsx_bytes(b, sheet_name=_s)) if sheet else parse_xlsx_bytes
+                (lambda b, _s=sheet: parse_xlsx_bytes(b, sheet_name=_s))
+                if sheet is not None
+                else parse_xlsx_bytes
             )
             df_idx = _read_grid_indexed(spark, path, parse_fn, reader_options)
         header_names = columns
@@ -449,10 +453,19 @@ def _data_line_filter(data_line, head_line, field_line):
 def _field_values(df_idx, field: dict[str, int], field_line: int, sep: str | None) -> dict[str, Any]:
     """Extract the shared-value row once (a single tiny row to the
     driver — the field row is one line by definition) and map it to
-    {new_column: literal}."""
-    row = df_idx.filter(F.col("__line") == int(field_line)).first()
-    if row is None:
+    {new_column: literal}. With multiple input files the filter yields
+    one row PER FILE; like the header sniff, the field rows must AGREE
+    or the attached constants would be nondeterministic."""
+    col = "cells" if sep is None else "value"
+    rows = df_idx.filter(F.col("__line") == int(field_line)).select(col).distinct().take(2)
+    if not rows:
         raise ValueError(f"field_line {field_line} not present in input")
+    if len(rows) > 1:
+        raise ValueError(
+            f"input files disagree on the field row at line {field_line}; "
+            "parse heterogeneous files separately"
+        )
+    row = rows[0]
     cells = list(row["cells"]) if sep is None else row["value"].split(sep)
     out: dict[str, Any] = {}
     for name, idx in field.items():

@@ -612,9 +612,12 @@ def embedding_outliers(
     flagged (collapsed/degenerate or exploding embeddings — the
     standard sanity filter before indexing). Two passes: a tiny
     percentile aggregate (map-side combining, 2 scalars to the
-    driver-side literal), then a shuffle-free flagging scan. Exact
-    discrete percentiles (percentile_disc semantics) so the oracle can
-    recompute the identical cut points. Adds (l2_norm, is_outlier)."""
+    driver-side literal), then a shuffle-free flagging scan. The cut
+    points use Spark's INTERPOLATING percentile (the same type-7
+    formula as DuckDB's quantile_cont); flags are only engine-stable
+    when no norm sits within float noise of a cut point — true for
+    real outlier detection, where the outlier/bulk gap is the whole
+    point. Adds (l2_norm, is_outlier)."""
     from rabbit_data_pipeline_spark.functions.vector import norm as l2norm
 
     scored = corpus.withColumn("l2_norm", l2norm(F.col(vec_col)))

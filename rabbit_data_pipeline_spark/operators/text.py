@@ -810,13 +810,21 @@ def corpus_diff(
     shuffle moves ~40 bytes/doc regardless of document size; one
     equi-join on the id (both sides hash-partition; incremental snap-
     shots with few changes broadcast the delta side instead)."""
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"))
+    # Presence flags, not hash-nullness, decide added/removed: a row
+    # whose TEXT is null (md5(null) = null) is still PRESENT, and
+    # hash-null tests would misreport it. Hash comparison is null-safe
+    # (two null texts = unchanged).
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"), F.lit(True).alias("__p_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"), F.lit(True).alias("__p_new")
+    )
     j = o.join(n, on=id_col, how="full_outer")
     status = (
-        F.when(F.col("__h_old").isNull(), F.lit("added"))
-        .when(F.col("__h_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        F.when(F.col("__p_old").isNull(), F.lit("added"))
+        .when(F.col("__p_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old").eqNullSafe(F.col("__h_new")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))

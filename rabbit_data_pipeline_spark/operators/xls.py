@@ -231,6 +231,10 @@ def parse_xls_bytes(content: bytes, sheet_name: str | None = None) -> list[tuple
 
     sst: list[str] = []
     first_sheet_off: int | None = None
+    # Scan the WHOLE globals substream: per MS-XLS the SST record comes
+    # AFTER the BOUNDSHEET8 records in real Excel output, so finding the
+    # target sheet must not stop the scan (an early break would leave
+    # sst empty and every LABELSST cell would decode as "").
     for opcode, pos, length in _records(wb):
         if opcode == 0x00FC:  # SST
             sst = _parse_sst(wb, pos, length)
@@ -244,9 +248,8 @@ def parse_xls_bytes(content: bytes, sheet_name: str | None = None) -> list[tuple
                         name = wb[pos + 8 : pos + 8 + 2 * cch].decode("utf-16-le")
                     else:
                         name = wb[pos + 8 : pos + 8 + cch].decode("latin-1")
-                    if name == sheet_name:
+                    if name == sheet_name and first_sheet_off is None:
                         first_sheet_off = lbPlyPos
-                        break
                 elif first_sheet_off is None:
                     first_sheet_off = lbPlyPos
         elif opcode == 0x000A:  # EOF of the globals substream

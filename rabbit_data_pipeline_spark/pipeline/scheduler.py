@@ -123,37 +123,53 @@ class Scheduler:
             # Branch point feeding multiple sinks: persist once.
             df = df.cache()
         if df is not None and node.config.get("cache_ttl"):
-            df = self._ttl_cache(df, spec.name, name, float(node.config["cache_ttl"]))
+            df = self._ttl_cache(df, spec.name, name, node.config, float(node.config["cache_ttl"]))
         self._built[key] = df
         return df
 
-    def _ttl_cache(self, df: DataFrame, task: str, node: str, ttl: float) -> DataFrame:
+    def _ttl_cache(self, df: DataFrame, task: str, node: str, config: dict, ttl: float) -> DataFrame:
         """Reference parity: Sources/Pdo.php caches query results for
         `duration` seconds (Pdo.php:100 ``->cache($this->duration,…)``).
         Spark twin: materialize the node's output as parquet under a
-        per-(task, node) staging dir and serve it from there while the
-        materialization is younger than `ttl` seconds — repeated
-        Scheduler runs (the cron/interval loop) skip recomputation AND
-        downstream reads get parquet scan speed + pushdown instead of
-        re-running the subplan. The swap is atomic (write to tmp,
-        os.replace) so a concurrent run never reads a half-written
-        cache."""
+        staging dir keyed by (task, node, CONFIG FINGERPRINT) and serve
+        it from there while the materialization is younger than `ttl`
+        seconds — repeated Scheduler runs (the cron/interval loop) skip
+        recomputation AND downstream reads get parquet scan speed +
+        pushdown instead of re-running the subplan. The fingerprint
+        covers the node's own config (sql/path/options…), so editing
+        the node invalidates instead of serving stale rows; upstream
+        DATA changes within the ttl are served stale by design — that
+        is what a ttl means (reference semantics). The swap writes to a
+        unique tmp dir and os.replace's into place, so a reader never
+        opens a half-written cache; a reader that grabbed the previous
+        materialization may see its files vanish mid-job (bounded by
+        the swap window — same exposure as the reference's cache
+        replacement). The key includes the user so shared /tmp hosts
+        don't collide."""
+        import getpass
+        import hashlib
         import os
         import shutil
         import tempfile
         import time
+        import uuid
 
-        base = os.path.join(tempfile.gettempdir(), "rdps_node_cache", task, node)
+        fp = hashlib.md5(
+            repr(sorted((k, repr(v)) for k, v in config.items() if not k.startswith("_"))).encode()
+        ).hexdigest()[:16]
+        root = os.path.join(tempfile.gettempdir(), f"rdps_node_cache_{getpass.getuser()}")
+        base = os.path.join(root, task, f"{node}.{fp}")
         marker = os.path.join(base, "_CACHED_AT")
         if os.path.exists(marker):
             age = time.time() - float(open(marker).read())
             if age < ttl:
                 return self.spark.read.parquet(os.path.join(base, "data"))
-        tmp = f"{base}.tmp.{os.getpid()}"
+        run_id = uuid.uuid4().hex
+        tmp = f"{base}.tmp.{run_id}"
         df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
         with open(os.path.join(tmp, "_CACHED_AT"), "w") as f:
             f.write(str(time.time()))
-        old = f"{base}.old.{os.getpid()}"
+        old = f"{base}.old.{run_id}"  # unique per run — a crashed run's leftover can't collide
         if os.path.exists(base):
             os.replace(base, old)
         os.replace(tmp, base)

@@ -1014,9 +1014,9 @@ def text_data_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 13 = 0
     )
     SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
-           CASE WHEN old.h IS NULL THEN 'added'
-                WHEN new.h IS NULL THEN 'removed'
-                WHEN old.h = new.h THEN 'unchanged'
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.h IS NOT DISTINCT FROM new.h THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     """,

@@ -888,3 +888,19 @@ def test_ivf_index_roundtrip(spark, tmp_path):
     want = sorted(map(tuple, ann_ivfpq(df, q, centroids, codebook, k=5).collect()))
     got = sorted(map(tuple, ann_ivfpq(df, q, c2, cb2, k=5).collect()))
     assert got == want
+
+
+def test_corpus_diff_null_text_is_presence_not_hash(spark):
+    """A row whose TEXT is null is still PRESENT: presence flags (not
+    md5-nullness) must decide added/removed, and two null texts are
+    unchanged (null-safe hash comparison)."""
+    from rabbit_data_pipeline_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, None), (5, "fresh")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}

@@ -336,7 +336,12 @@ def test_cache_ttl_serves_and_expires(spark):
     import tempfile
     import time
 
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), "rdps_node_cache", "t"), ignore_errors=True)
+    import getpass
+
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), f"rdps_node_cache_{getpass.getuser()}", "t"),
+        ignore_errors=True,
+    )
 
     from rabbit_data_pipeline_spark.pipeline import Scheduler
     from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
@@ -353,6 +358,17 @@ def test_cache_ttl_serves_and_expires(spark):
     assert run() == 1
     spark.createDataFrame([(2,)], ["v"]).createOrReplaceTempView("ttl_src")
     assert run() == 1, "within ttl the cached result must serve"
+
+    # editing the NODE CONFIG invalidates immediately (fingerprint key)
+    spec2 = {
+        "q": {"type": "transform.sql", "start": True, "sql": "SELECT v + 10 AS v FROM ttl_src", "cache_ttl": 2.0}
+    }
+    from rabbit_data_pipeline_spark.pipeline import Scheduler as _S
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec as _P
+
+    got = _S(spark, {"t": _P.from_dict("t", spec2)}).run("t")["q"].collect()[0]["v"]
+    assert got == 12, "a changed node config must not serve the old cache"
+
     time.sleep(2.2)
     assert run() == 2, "after ttl expiry the node must recompute"
 

@@ -315,10 +315,12 @@ def test_parse_xls_sheet_by_name(tmp_path):
         data = struct.pack("<I", lb) + bytes([0, 0]) + struct.pack("<B", len(name)) + b"\x00" + name
         return _biff_rec(0x0085, data)
 
+    # Real-world MS-XLS record order: BOUNDSHEETs BEFORE the SST — the
+    # parser must keep scanning for the SST after the sheet is found.
     glen = len(bof) + len(sst) + len(boundsheet(0, b"alpha")) + len(boundsheet(0, b"beta")) + 4
     s1 = sheet_block(0)
     globals_block = (
-        bof + sst + boundsheet(glen, b"alpha") + boundsheet(glen + len(s1), b"beta") + _biff_rec(0x000A, b"")
+        bof + boundsheet(glen, b"alpha") + boundsheet(glen + len(s1), b"beta") + sst + _biff_rec(0x000A, b"")
     )
     assert len(globals_block) == glen
     stream = globals_block + s1 + sheet_block(1)
