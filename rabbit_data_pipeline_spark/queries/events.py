@@ -524,3 +524,75 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_users")).filter(F.col("n_users") >= 2)
+
+
+# --- Q53: time-series pattern similarity search ------------------------------
+_TS_PATTERN = [1.0, 2.0, 4.0, 2.0, 1.0]  # spike shape, length 5
+_TS_L = len(_TS_PATTERN)
+_TS_SY = sum(_TS_PATTERN)
+_TS_SYY = sum(y * y for y in _TS_PATTERN)
+
+
+def _ts_oracle() -> str:
+    L, sy, syy = _TS_L, repr(_TS_SY), repr(_TS_SYY)
+    ylist = "[" + ", ".join(repr(y) for y in _TS_PATTERN) + "]"
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {x}), (a, v) -> a + v)"
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW) AS sub
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             {fold.format(x="sub")} AS sx,
+             {fold.format(x="list_transform(sub, v -> v * v)")} AS sxx,
+             {fold.format(x=f"list_transform(range(1, {L} + 1), i -> sub[i] * ({ylist})[i])")} AS sxy
+      FROM w WHERE len(sub) = {L}
+    ),
+    scored AS (
+      SELECT user_id, event_id,
+             ({L} * sxy - sx * {sy})
+               / sqrt(({L} * sxx - sx * sx) * ({L} * {syy} - {sy} * {sy})) AS score
+      FROM s WHERE ({L} * sxx - sx * sx) > 0
+    )
+    SELECT user_id, event_id, score FROM scored
+    ORDER BY score DESC, user_id, event_id LIMIT 10
+    """
+
+
+@register("q_ts_similarity", oracle=_ts_oracle())
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q53: time-series pattern similarity search (the streaming-
+    similarity shape of EDBT'19's distributed subsequence matching):
+    every length-5 consecutive per-user window is scored by Pearson
+    correlation against a literal query pattern — correlation IS
+    z-normalized similarity, so matches are found regardless of each
+    user's offset/scale — and the global top-10 windows return.
+
+    Scale shape: ONE user_id exchange builds all windows (rows-frame
+    collect_list); the moment sums fold over each window's array with
+    left-assoc HOFs (bit-identical to the oracle's list_reduce — the
+    DSIR idiom), the pattern's own moments fold in as Python-computed
+    literals, and the global top-10 is TakeOrdered, never a full sort.
+    Flat (zero-variance) windows are excluded (correlation undefined)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    L = _TS_L
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(L - 1), 0)
+    y_arr = F.array(*[F.lit(y) for y in _TS_PATTERN])
+    sub = F.collect_list("value").over(w)
+    d = e.select("user_id", "event_id", sub.alias("sub")).filter(F.size("sub") == L)
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    sx = fold(F.col("sub"))
+    sxx = fold(F.transform(F.col("sub"), lambda v: v * v))
+    sxy = fold(F.zip_with(F.col("sub"), y_arr, lambda x, y: x * y))
+    var_x = L * sxx - sx * sx
+    score = (L * sxy - sx * F.lit(_TS_SY)) / F.sqrt(var_x * F.lit(L * _TS_SYY - _TS_SY * _TS_SY))
+    return (
+        d.select("user_id", "event_id", score.alias("score"), var_x.alias("__vx"))
+        .filter(F.col("__vx") > 0)
+        .drop("__vx")
+        .orderBy(F.col("score").desc(), "user_id", "event_id")
+        .limit(10)
+    )

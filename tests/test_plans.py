@@ -436,3 +436,13 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_ts_similarity_one_exchange_takeordered(plans):
+    """Pattern similarity search: one user_id window exchange, global
+    top-10 via TakeOrderedAndProject — never a full sort of all
+    window scores."""
+    p = plans("q_ts_similarity")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange (") == 1
+    assert "Join" not in p
