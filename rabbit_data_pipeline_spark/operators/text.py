@@ -1041,3 +1041,28 @@ def remove_repeated_passages(
         ).alias(text_col),
         (F.first("__n") - F.count("*")).cast("long").alias("n_words_removed"),
     )
+
+
+# -------------------------------------------------- sentiment scoring
+
+# Tiny seed lexicons, word-boundary matched — like LANG_STOPWORDS the
+# scale story is the shape (two regexp_count passes), not lexicon size;
+# swap AFINN/VADER lists in via the parameters.
+POSITIVE_WORDS: tuple[str, ...] = ("good", "great", "fast", "love", "best", "happy", "win")
+NEGATIVE_WORDS: tuple[str, ...] = ("bad", "slow", "hate", "worst", "sad", "fail", "error")
+
+
+def sentiment_score(
+    col: Column,
+    positive: tuple[str, ...] = POSITIVE_WORDS,
+    negative: tuple[str, ...] = NEGATIVE_WORDS,
+) -> Column:
+    """Lexicon sentiment in [-1, 1]: (pos-hits − neg-hits) / (hits+1)
+    — the distributed shape of large-scale social-stream sentiment
+    (EDBT'16 "Large Scale Sentiment Analysis on Twitter with Spark"):
+    two word-boundary regexp_count passes, integer arithmetic, one
+    exact double division — shuffle-free, codegen'd, and oracle-able
+    (the +1 keeps the quotient exact-checkable and neutral docs at 0)."""
+    pos = stopword_hits(col, list(positive))
+    neg = stopword_hits(col, list(negative))
+    return (pos - neg).cast("double") / (pos + neg + F.lit(1))

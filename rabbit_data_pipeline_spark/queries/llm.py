@@ -1044,3 +1044,29 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(d, v2)
+
+
+def _sentiment_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.text import NEGATIVE_WORDS, POSITIVE_WORDS
+
+    pos = r"\b(" + "|".join(POSITIVE_WORDS) + r")\b"
+    neg = r"\b(" + "|".join(NEGATIVE_WORDS) + r")\b"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{pos}')) AS p,
+             len(regexp_extract_all(lower(text), '{neg}')) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(p - n AS DOUBLE) / (p + n + 1) AS sentiment FROM h
+    """
+
+
+@register("text_sentiment", oracle=_sentiment_oracle())
+def text_sentiment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: lexicon sentiment over the documents table — shuffle-free
+    double regexp_count scan, exact quotient hashes cross-engine."""
+    from rabbit_data_pipeline_spark.operators.text import sentiment_score
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select("doc_id", sentiment_score(F.col("text")).alias("sentiment"))
