@@ -87,7 +87,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # stream_dedup_incremental, emb_decontaminate, emb_outliers,
 # text_normalize, text_normalize_lines, multimodal_image_neardup,
 # text_dedup_lines_within, q_forecast_revenue, text_remove_passages,
-# q_anomaly, q_event_paths, q_ts_similarity, text_sentiment.
+# q_anomaly, q_event_paths, q_ts_similarity, text_sentiment,
+# layout_partitioned_read.
 
 
 def registry() -> dict[str, Query]:

@@ -533,3 +533,42 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = Scheduler(spark, {"jsonl_pull": spec}).run("jsonl_pull")["pull"]
     return out.filter(F.col("n_chars") >= 200).select("doc_id", "lang", "source", "n_chars", "text")
+
+
+# --- K8 under the value-hash gate: partitioned write → pruned read -----------
+@register(
+    "layout_partitioned_read",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1994, 1995)
+    GROUP BY 1, 2
+    """,
+)
+def layout_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 correctness (the layout contracts in tests/test_layout.py are
+    plan-level; this puts the write→read path under the value hash):
+    orders written partitioned by year into a staging dir, read back
+    with a partition filter — the filter prunes DIRECTORIES, not rows
+    (partition pruning), and the re-aggregated answer must equal the
+    oracle computed from the original table. Exercises partition-column
+    round-trip typing, Hive-style dir layout and pruned-scan
+    correctness in one gate."""
+    import tempfile
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    out = os.path.join(tempfile.gettempdir(), f"rdps_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("order_year").isin(1994, 1995))
+    return back.groupBy("order_year", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )

@@ -446,3 +446,19 @@ def test_ts_similarity_one_exchange_takeordered(plans):
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange (") == 1
     assert "Join" not in p
+
+
+def test_window_rank_prunes_with_window_group_limit(plans):
+    """Top-3-per-customer must prune to per-partition top-k during the
+    window sort (WindowGroupLimit), not rank every order first."""
+    p = plans("q_window_rank")
+    assert "WindowGroupLimit" in p
+
+
+def test_partitioned_read_prunes_directories(plans):
+    """The year filter on the partitioned staging table must land in
+    PartitionFilters (directory pruning) — not as a row-level filter
+    over a full scan."""
+    p = plans("layout_partitioned_read")
+    pf = next((line for line in p.splitlines() if "PartitionFilters" in line), "")
+    assert "order_year" in pf, f"expected order_year in PartitionFilters, got: {pf!r}"
