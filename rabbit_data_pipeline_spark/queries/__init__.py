@@ -88,7 +88,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # text_normalize, text_normalize_lines, multimodal_image_neardup,
 # text_dedup_lines_within, q_forecast_revenue, text_remove_passages,
 # q_anomaly, q_event_paths, q_ts_similarity, text_sentiment,
-# layout_partitioned_read.
+# layout_partitioned_read, layout_bucketed_join,
+# layout_compacted_roundtrip.
 
 
 def registry() -> dict[str, Query]:

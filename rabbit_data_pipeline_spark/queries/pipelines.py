@@ -572,3 +572,75 @@ def layout_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
     )
+
+
+# --- K6/K7 under the value-hash gate ------------------------------------------
+@register(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY 1
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 correctness (the zero-exchange layout contract is plan-gated
+    in tests/test_layout.py; this value-hashes the path end-to-end):
+    orders and lineitem written BUCKETED on the order key as catalog
+    tables, then joined bucket-to-bucket and re-aggregated — the
+    answer must match the oracle computed from the raw parquet. At
+    100 TB co-bucketing is the difference between a join that shuffles
+    two fact tables and one that shuffles nothing."""
+    from rabbit_data_pipeline_spark.sinks.layout import write_bucketed
+
+    import shutil
+    from urllib.parse import urlparse
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ot, lt = f"rdps_bq_orders_{sfx}", f"rdps_bq_lineitem_{sfx}"
+    # A managed table's LOCATION can survive a previous session whose
+    # catalog (in-memory by default) forgot the table — overwrite then
+    # fails with LOCATION_ALREADY_EXISTS. Drop both halves explicitly.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    write_bucketed(t["orders"], ot, ["o_orderkey"], num_buckets=8)
+    write_bucketed(t["lineitem"].select("l_orderkey", "l_extendedprice"), lt, ["l_orderkey"], num_buckets=8)
+    o = spark.table(ot).filter(F.col("o_orderdate") >= "1995-01-01")
+    l = spark.table(lt)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "layout_compacted_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def layout_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 correctness: a many-small-files table compacted to
+    size-targeted files must round-trip every row bit-identically (the
+    compaction is a pure rewrite — any row change is a bug)."""
+    import tempfile
+
+    from rabbit_data_pipeline_spark.sinks.layout import compact
+
+    n = load_tables(spark, sf_dir, ("nation",))["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"rdps_compact_{os.path.basename(sf_dir.rstrip('/'))}")
+    n.repartition(16).write.mode("overwrite").parquet(out)  # deliberately fragmented
+    compact(spark, out, target_file_mb=128)
+    return spark.read.parquet(out)

@@ -462,3 +462,11 @@ def test_partitioned_read_prunes_directories(plans):
     p = plans("layout_partitioned_read")
     pf = next((line for line in p.splitlines() if "PartitionFilters" in line), "")
     assert "order_year" in pf, f"expected order_year in PartitionFilters, got: {pf!r}"
+
+
+def test_bucketed_join_skips_the_join_shuffle(plans):
+    """Co-bucketed orders⋈lineitem must not exchange on the join key —
+    the only shuffle is the final small aggregation."""
+    p = plans("layout_bucketed_join")
+    assert "hashpartitioning(o_orderkey" not in p
+    assert "hashpartitioning(l_orderkey" not in p
