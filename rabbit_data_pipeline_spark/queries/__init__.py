@@ -89,7 +89,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # text_dedup_lines_within, q_forecast_revenue, text_remove_passages,
 # q_anomaly, q_event_paths, q_ts_similarity, text_sentiment,
 # layout_partitioned_read, layout_bucketed_join,
-# layout_compacted_roundtrip.
+# layout_compacted_roundtrip, layout_zorder_read, q_salted_join.
 
 
 def registry() -> dict[str, Query]:

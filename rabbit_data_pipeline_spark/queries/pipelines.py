@@ -644,3 +644,66 @@ def layout_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n.repartition(16).write.mode("overwrite").parquet(out)  # deliberately fragmented
     compact(spark, out, target_file_mb=128)
     return spark.read.parquet(out)
+
+
+# --- K9/L15 under the value-hash gate ----------------------------------------
+@register(
+    "layout_zorder_read",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 50
+    """,
+)
+def layout_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 correctness: lineitem Z-order-clustered on (l_partkey,
+    l_suppkey) at write, read back with a range predicate on BOTH
+    dims — the clustering narrows every file's min/max span on both
+    columns (effectiveness proven in tests/test_layout.py; here the
+    rewritten data must also still be the same data). The aggregate
+    over the pruned scan must equal the oracle over the original."""
+    import tempfile
+
+    from rabbit_data_pipeline_spark.sinks.layout import cluster_by_zorder
+
+    l = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out = os.path.join(tempfile.gettempdir(), f"rdps_zorder_{os.path.basename(sf_dir.rstrip('/'))}")
+    cluster_by_zorder(l, ["l_partkey", "l_suppkey"], n_files=8).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("l_partkey").between(100, 200) & F.col("l_suppkey").between(10, 50)
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15 correctness: the salted join (small side replicated salt×,
+    large rows scattered across salt buckets — the standard treatment
+    when one key is hot enough to collapse a reducer) must produce the
+    EXACT rows of the plain join; the per-nation aggregate over the
+    salted result hashes against the plain-join oracle. (The salting
+    is row-level logic — its correctness contract holds under any
+    physical join strategy; the forced-SMJ skew plan shape is covered
+    by the unit tests in tests/test_skew_multimodal.py.)"""
+    from rabbit_data_pipeline_spark.functions.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    c = t["customer"].withColumnRenamed("c_nationkey", "n_nationkey")
+    j = salted_join(c, t["nation"].select("n_nationkey", "n_name"), on=["n_nationkey"], salt=8)
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+    )
