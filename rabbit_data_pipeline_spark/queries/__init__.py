@@ -89,7 +89,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # text_dedup_lines_within, q_forecast_revenue, text_remove_passages,
 # q_anomaly, q_event_paths, q_ts_similarity, text_sentiment,
 # layout_partitioned_read, layout_bucketed_join,
-# layout_compacted_roundtrip, layout_zorder_read, q_salted_join.
+# layout_compacted_roundtrip, layout_zorder_read, q_salted_join,
+# q_grouping_sets, q_not_in_nulls.
 
 
 def registry() -> dict[str, Query]:

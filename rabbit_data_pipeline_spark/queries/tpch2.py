@@ -938,3 +938,65 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+# --- Q54: explicit GROUPING SETS ----------------------------------------------
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n, {sql_lsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q54: explicit GROUPING SETS — the general form ROLLUP/CUBE
+    (Q17/Q33) special-case; a hand-picked set list compiles to ONE
+    Expand + one aggregate exchange (not one scan per set). GROUPING()
+    bits disambiguate real NULLs from subtotal rows — the only correct
+    way to consume subtotal output."""
+    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    l.createOrReplaceTempView("rdps_gs_lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+                 AS sum_qty
+        FROM rdps_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+# --- Q55: NOT IN three-valued logic --------------------------------------------
+@register(
+    "q_not_in_nulls",
+    oracle="""
+    WITH probe(k) AS (VALUES (1), (2), (NULL)),
+    t AS (SELECT c_custkey FROM customer WHERE c_custkey <= 20)
+    SELECT
+      (SELECT COUNT(*) FROM t WHERE c_custkey IN (SELECT k FROM probe)) AS n_in,
+      (SELECT COUNT(*) FROM t WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      (SELECT COUNT(*) FROM t WHERE NOT EXISTS (
+         SELECT 1 FROM probe WHERE probe.k = t.c_custkey)) AS n_not_exists
+    """,
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q55: NOT IN vs NOT EXISTS under NULLs — the classic
+    three-valued-logic trap: a NULL in the subquery makes `x NOT IN
+    (...)` UNKNOWN for every x (n_not_in = 0), while NOT EXISTS
+    ignores the NULL row (n_not_exists = 18). An engine that rewrites
+    NOT IN to a plain anti-join silently returns wrong rows; Spark's
+    null-aware anti-join and DuckDB must agree on all three counts."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    c.filter(F.col("c_custkey") <= 20).createOrReplaceTempView("rdps_nin_t")
+    spark.createDataFrame([(1,), (2,), (None,)], "k int").createOrReplaceTempView("rdps_nin_probe")
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM rdps_nin_t WHERE c_custkey IN (SELECT k FROM rdps_nin_probe)) AS n_in,
+          (SELECT COUNT(*) FROM rdps_nin_t WHERE c_custkey NOT IN (SELECT k FROM rdps_nin_probe)) AS n_not_in,
+          (SELECT COUNT(*) FROM rdps_nin_t WHERE NOT EXISTS (
+             SELECT 1 FROM rdps_nin_probe WHERE rdps_nin_probe.k = rdps_nin_t.c_custkey)) AS n_not_exists
+    """)
