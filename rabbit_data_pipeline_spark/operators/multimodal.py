@@ -337,3 +337,40 @@ def image_near_pairs(df: DataFrame, max_hamming: int = 6, grid: int = 8) -> Data
 
     hashed = perceptual_hash(df, grid=grid)
     return simhash_near_pairs(hashed, id_col="media_id", hash_col="phash", max_hamming=max_hamming)
+
+
+def audio_fingerprint(df: DataFrame, n_windows: int = 64) -> DataFrame:
+    """Energy-difference audio fingerprint (the Haitsma-Kalker shape
+    every audio-dedup system descends from): per-window RMS energies →
+    bit i set iff energy rises window-to-window → 63 delta bits packed
+    into one long (63, not 64 — the sign bit stays clear so the pack
+    is a plain SUM of positive powers, exact under ANSI arithmetic).
+    Robust to gain/offset-preserving perturbations (the bits depend
+    only on the energy ORDER, not its scale); the bit-pack is a pure
+    HOF fold over the feature array — only the RMS decode itself
+    touches Python. Returns (media_id, afp)."""
+    assert n_windows == 64, "63 delta bits need 64 energy windows"
+    feats = audio_energy_features(df, n_windows=n_windows)
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(63)])
+    bits = F.aggregate(
+        F.sequence(F.lit(0), F.lit(62)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at("features", (i + 2).cast("int")) > F.element_at("features", (i + 1).cast("int")),
+            F.element_at(powers, (i + 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return feats.select("media_id", bits.alias("afp"))
+
+
+def audio_near_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual audio near-dup: energy-difference fingerprints +
+    the SimHash 16-bit-quarter banding join (operators/dedup.py).
+    Completes the modality triad with image_near_pairs. Returns
+    (id_a, id_b, hamming)."""
+    from rabbit_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        audio_fingerprint(df), id_col="media_id", hash_col="afp", max_hamming=max_hamming
+    )

@@ -1066,3 +1066,29 @@ def sentiment_score(
     pos = stopword_hits(col, list(positive))
     neg = stopword_hits(col, list(negative))
     return (pos - neg).cast("double") / (pos + neg + F.lit(1))
+
+
+def keyword_snippets(
+    df: DataFrame,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 30,
+) -> DataFrame:
+    """Keyword-in-context extraction: the ±context-char window around
+    the FIRST occurrence of `term` in each matching document — the
+    search-result-preview / concordance op. Pure locate+substring
+    column expressions: shuffle-free, codegen'd, and the match filter
+    composes with scan pushdown via the contains() pre-filter. For
+    all-occurrence concordances run chunk_text first and snippet per
+    chunk. Returns (id, pos, snippet)."""
+    pos = F.instr(F.col(text_col), term)
+    start = F.greatest(F.lit(1), pos - context)
+    return (
+        df.filter(F.contains(F.col(text_col), F.lit(term)))
+        .select(
+            F.col(id_col),
+            pos.alias("pos"),
+            F.substring(F.col(text_col), start, F.lit(2 * context + len(term))).alias("snippet"),
+        )
+    )

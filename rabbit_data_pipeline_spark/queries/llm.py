@@ -1070,3 +1070,22 @@ def text_sentiment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return d.select("doc_id", sentiment_score(F.col("text")).alias("sentiment"))
+
+
+@register(
+    "text_snippets",
+    oracle="""
+    SELECT doc_id,
+           strpos(text, 'spark') AS pos,
+           substr(text, GREATEST(1, strpos(text, 'spark') - 30), 65) AS snippet
+    FROM documents WHERE contains(text, 'spark')
+    """,
+)
+def text_snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: keyword-in-context snippets for 'spark' over the documents
+    table — locate + clamped substring, shuffle-free; positions and
+    extracted windows hash char-for-char against DuckDB."""
+    from rabbit_data_pipeline_spark.operators.text import keyword_snippets
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return keyword_snippets(d, "spark", context=30)

@@ -1342,3 +1342,82 @@ def text_remove_passages_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.text import remove_repeated_passages
 
     return remove_repeated_passages(_spark_text_df(spark, passage_corpus()))
+
+
+# --------------------------------- L50: perceptual audio near-dup
+
+
+AUDIO_COPY_IDS = tuple(range(0, 24, 4))
+
+
+def _py_audio_fp(pcm: list[int], n_windows: int = 64) -> int:
+    win = max(1, len(pcm) // n_windows)
+    import numpy as _np
+
+    arr = _np.asarray(pcm, dtype=_np.float64)
+    feats = [
+        float(_np.float32(_np.sqrt(_np.mean(_np.square(arr[i * win : (i + 1) * win])) or 0.0)))
+        for i in range(n_windows)
+    ]
+    bits = 0
+    for i in range(63):
+        if feats[i + 1] > feats[i]:
+            bits |= 1 << i
+    return bits
+
+
+@lru_cache(maxsize=1)
+def audio_corpus() -> list[tuple[str, bytes]]:
+    """24 AUD1 clips (64 windows × 64 samples, per-window random
+    amplitude envelopes so the energy profile is informative) + a
+    near-copy (8 samples nudged ±2 — inaudible, energy-preserving) of
+    every 4th, id 'aud<base>c'. Seed pinned where the Python replica
+    puts planted pairs within hamming 2 and distinct pairs above 12."""
+    import struct as _struct
+
+    rng = random.Random(44100)
+    n_win, win = 64, 64
+    rows: list[tuple[str, bytes]] = []
+    pcms: dict[str, list[int]] = {}
+    for i in range(24):
+        pcm: list[int] = []
+        for _ in range(n_win):
+            amp = rng.randint(50, 1000)
+            pcm.extend(rng.randint(-amp, amp) for _ in range(win))
+        rows.append((f"aud{i:03d}", b"AUD1" + _struct.pack("<ii", 16000, len(pcm)) + b"".join(_struct.pack("<h", v) for v in pcm)))
+        pcms[f"aud{i:03d}"] = pcm
+    for i in AUDIO_COPY_IDS:
+        pcm = list(pcms[f"aud{i:03d}"])
+        for _ in range(8):
+            p = rng.randrange(len(pcm))
+            pcm[p] = max(-32768, min(32767, pcm[p] + rng.choice((-2, 2))))
+        rows.append((f"aud{i:03d}c", b"AUD1" + _struct.pack("<ii", 16000, len(pcm)) + b"".join(_struct.pack("<h", v) for v in pcm)))
+        pcms[f"aud{i:03d}c"] = pcm
+    fps = {k: _py_audio_fp(v) for k, v in pcms.items()}
+    ids = sorted(fps)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ham = bin(fps[ids[a]] ^ fps[ids[b]]).count("1")
+            planted = ids[b] == ids[a] + "c"
+            assert (ham <= 2) if planted else (ham > 12), (ids[a], ids[b], ham)
+    return rows
+
+
+def _audio_neardup_oracle() -> str:
+    vals = ", ".join(f"('aud{i:03d}', 'aud{i:03d}c')" for i in AUDIO_COPY_IDS)
+    return f"SELECT id_a, id_b FROM (VALUES {vals}) AS t(id_a, id_b)"
+
+
+@register("multimodal_audio_neardup", oracle=_audio_neardup_oracle())
+def multimodal_audio_neardup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50 gate: energy-difference fingerprints + quarter banding find
+    exactly the 6 planted inaudibly-perturbed clip pairs (bytes differ
+    → binary dedup finds nothing; hamming margins 2 ↔ >12 asserted at
+    corpus build)."""
+    from rabbit_data_pipeline_spark.operators.multimodal import audio_near_pairs
+
+    rows = audio_corpus()
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return audio_near_pairs(spark.createDataFrame(rows, schema), max_hamming=6).select("id_a", "id_b")
