@@ -90,7 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # q_anomaly, q_event_paths, q_ts_similarity, text_sentiment,
 # layout_partitioned_read, layout_bucketed_join,
 # layout_compacted_roundtrip, layout_zorder_read, q_salted_join,
-# q_grouping_sets, q_not_in_nulls, text_sentiment, text_snippets,
+# q_grouping_sets, q_not_in_nulls, text_snippets,
 # multimodal_audio_neardup.
 
 
