@@ -355,3 +355,51 @@ def _semantic_dedup(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]
         id_col=cfg.get("id_col", "vec_id"),
         threshold=float(cfg.get("threshold", 0.95)),
     )
+
+
+@plugin("transform.corpus_diff")
+def _corpus_diff(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Snapshot diff as a pipeline node: first input = old, second =
+    new (reference fan-in order)."""
+    from rabbit_data_pipeline_spark.operators.text import corpus_diff
+
+    old, new = inputs
+    return corpus_diff(
+        old, new, id_col=cfg.get("id_col", "doc_id"), text_col=cfg.get("text_col", "text")
+    )
+
+
+@plugin("transform.sentiment")
+def _sentiment(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Lexicon sentiment as a pipeline node; lexicons from cfg."""
+    from rabbit_data_pipeline_spark.operators.text import (
+        NEGATIVE_WORDS,
+        POSITIVE_WORDS,
+        sentiment_score,
+    )
+
+    (df,) = inputs
+    col = cfg.get("text_col", "text")
+    return df.withColumn(
+        "sentiment",
+        sentiment_score(
+            F.col(col),
+            positive=tuple(cfg.get("positive", POSITIVE_WORDS)),
+            negative=tuple(cfg.get("negative", NEGATIVE_WORDS)),
+        ),
+    )
+
+
+@plugin("transform.snippets")
+def _snippets(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Keyword-in-context snippets as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import keyword_snippets
+
+    (df,) = inputs
+    return keyword_snippets(
+        df,
+        cfg["term"],
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        context=int(cfg.get("context", 30)),
+    )

@@ -393,3 +393,24 @@ def test_file_sink_filename_templating(spark, tmp_path):
     Scheduler(spark, {"t": spec}).run("t")
     dirs = os.listdir(out)
     assert len(dirs) == 1 and dirs[0].endswith(".csv") and dirs[0][:-4].isdigit()
+
+
+def test_corpus_diff_plugin_two_inputs(spark):
+    """transform.corpus_diff consumes two upstream nodes (old, new) in
+    declaration order."""
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+
+    spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"]).createOrReplaceTempView("cd_old")
+    spark.createDataFrame([(1, "a"), (3, "c")], ["doc_id", "text"]).createOrReplaceTempView("cd_new")
+    spec = PipelineSpec.from_dict(
+        "d",
+        {
+            "old": {"type": "transform.sql", "start": True, "sql": "SELECT * FROM cd_old", "output": ["diff"]},
+            "new": {"type": "transform.sql", "start": True, "sql": "SELECT * FROM cd_new", "output": ["diff"]},
+            "diff": {"type": "transform.corpus_diff"},
+        },
+    )
+    out = Scheduler(spark, {"d": spec}).run("d")["diff"]
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {1: "unchanged", 2: "removed", 3: "added"}
