@@ -28,7 +28,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -339,6 +341,25 @@ def image_near_pairs(df: DataFrame, max_hamming: int = 6, grid: int = 8) -> Data
     return simhash_near_pairs(hashed, id_col="media_id", hash_col="phash", max_hamming=max_hamming)
 
 
+
+def _delta_bits(features_col: str):
+    """63 rise/fall delta bits of a 64-float feature sequence packed
+    into one long — a pure HOF fold (ANSI-safe positive power sum; the
+    sign bit stays clear). The shared core of the audio and video
+    perceptual fingerprints."""
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(63)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(62)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(features_col, (i + 2).cast("int"))
+            > F.element_at(features_col, (i + 1).cast("int")),
+            F.element_at(powers, (i + 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 def audio_fingerprint(df: DataFrame, n_windows: int = 64) -> DataFrame:
     """Energy-difference audio fingerprint (the Haitsma-Kalker shape
     every audio-dedup system descends from): per-window RMS energies →
@@ -351,17 +372,7 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 64) -> DataFrame:
     touches Python. Returns (media_id, afp)."""
     assert n_windows == 64, "63 delta bits need 64 energy windows"
     feats = audio_energy_features(df, n_windows=n_windows)
-    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(63)])
-    bits = F.aggregate(
-        F.sequence(F.lit(0), F.lit(62)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at("features", (i + 2).cast("int")) > F.element_at("features", (i + 1).cast("int")),
-            F.element_at(powers, (i + 1).cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return feats.select("media_id", bits.alias("afp"))
+    return feats.select("media_id", _delta_bits("features").alias("afp"))
 
 
 def audio_near_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -373,4 +384,47 @@ def audio_near_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
 
     return simhash_near_pairs(
         audio_fingerprint(df), id_col="media_id", hash_col="afp", max_hamming=max_hamming
+    )
+
+
+def video_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-frame mean-brightness video fingerprint: 64 frame means →
+    63 rise/fall delta bits (same shared pack as audio_fingerprint) —
+    the temporal-luminance signature classic video dedup uses, robust
+    to per-pixel noise because only frame-ORDER brightness changes
+    matter. Returns (media_id, vfp); requires 64-frame VID1 payloads
+    (sample_frames to 64 first for longer clips)."""
+    out_schema = StructType(
+        [StructField("media_id", StringType()), StructField("features", ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"VID1":
+                    raise NotImplementedError("video_fingerprint: only VID1 synthetic format in this container")
+                n, fl = struct.unpack("<ii", payload[4:12])
+                if n != 64:
+                    raise ValueError("video_fingerprint needs 64 frames; sample_frames first")
+                body = np.frombuffer(payload, dtype=np.uint8, offset=12).astype(np.float64)
+                means = [float(np.float32(body[f * fl : (f + 1) * fl].mean())) for f in range(n)]
+                rows.append((mid, means))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    feats = df.mapInPandas(run, schema=out_schema)
+    return feats.select("media_id", _delta_bits("features").alias("vfp"))
+
+
+def video_near_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual video near-dup — the third leg of the modality triad
+    (image aHash, audio energy deltas, video luminance deltas), all
+    sharing the SimHash quarter-banding join."""
+    from rabbit_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        video_fingerprint(df), id_col="media_id", hash_col="vfp", max_hamming=max_hamming
     )

@@ -1421,3 +1421,76 @@ def multimodal_audio_neardup_seeded(spark: SparkSession, sf_dir: str) -> DataFra
         [StructField("media_id", StringType()), StructField("payload", BinaryType())]
     )
     return audio_near_pairs(spark.createDataFrame(rows, schema), max_hamming=6).select("id_a", "id_b")
+
+
+# --------------------------------- L51: perceptual video near-dup
+
+
+VIDEO_COPY_IDS = tuple(range(0, 24, 4))
+
+
+def _py_video_fp(body: bytes, n: int = 64, fl: int = 64) -> int:
+    import numpy as _np
+
+    arr = _np.frombuffer(body, dtype=_np.uint8).astype(_np.float64)
+    means = [float(_np.float32(arr[f * fl : (f + 1) * fl].mean())) for f in range(n)]
+    bits = 0
+    for i in range(63):
+        if means[i + 1] > means[i]:
+            bits |= 1 << i
+    return bits
+
+
+@lru_cache(maxsize=1)
+def video_corpus() -> list[tuple[str, bytes]]:
+    """24 VID1 clips (64 frames × 64 bytes, per-frame random brightness
+    levels) + a near-copy (8 pixels nudged ±2) of every 4th, id
+    'vid<base>c'. Seed pinned where the Python replica puts planted
+    pairs within hamming 2 and distinct pairs above 12."""
+    import struct as _struct
+
+    rng = random.Random(2997)  # NTSC fps
+    n, fl = 64, 64
+    rows: list[tuple[str, bytes]] = []
+    bodies: dict[str, bytearray] = {}
+    for i in range(24):
+        body = bytearray()
+        for _ in range(n):
+            level = rng.randint(20, 235)
+            body.extend(max(0, min(255, level + rng.randint(-10, 10))) for _ in range(fl))
+        rows.append((f"vid{i:03d}", b"VID1" + _struct.pack("<ii", n, fl) + bytes(body)))
+        bodies[f"vid{i:03d}"] = body
+    for i in VIDEO_COPY_IDS:
+        body = bytearray(bodies[f"vid{i:03d}"])
+        for _ in range(8):
+            p = rng.randrange(len(body))
+            body[p] = max(0, min(255, body[p] + rng.choice((-2, 2))))
+        rows.append((f"vid{i:03d}c", b"VID1" + _struct.pack("<ii", n, fl) + bytes(body)))
+        bodies[f"vid{i:03d}c"] = body
+    fps = {k: _py_video_fp(bytes(b)) for k, b in bodies.items()}
+    ids = sorted(fps)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ham = bin(fps[ids[a]] ^ fps[ids[b]]).count("1")
+            planted = ids[b] == ids[a] + "c"
+            assert (ham <= 2) if planted else (ham > 12), (ids[a], ids[b], ham)
+    return rows
+
+
+def _video_neardup_oracle() -> str:
+    vals = ", ".join(f"('vid{i:03d}', 'vid{i:03d}c')" for i in VIDEO_COPY_IDS)
+    return f"SELECT id_a, id_b FROM (VALUES {vals}) AS t(id_a, id_b)"
+
+
+@register("multimodal_video_neardup", oracle=_video_neardup_oracle())
+def multimodal_video_neardup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51 gate: per-frame luminance-delta fingerprints + quarter
+    banding find exactly the 6 planted pixel-perturbed clip pairs —
+    the triad's third leg, margins 2 ↔ >12 asserted at corpus build."""
+    from rabbit_data_pipeline_spark.operators.multimodal import video_near_pairs
+
+    rows = video_corpus()
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return video_near_pairs(spark.createDataFrame(rows, schema), max_hamming=6).select("id_a", "id_b")
