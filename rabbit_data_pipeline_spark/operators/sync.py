@@ -198,3 +198,16 @@ def bump_flag(df: DataFrame, keys_values: DataFrame, keys: list[str], flag_col: 
         F.when(F.col(flag_col).isin(0, 1), F.col(flag_col) + 1).otherwise(F.col(flag_col)),
     )
     return untouched.unionByName(bumped)
+
+
+def deleted_keys(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Delete DETECTION — the reverse of insert_missing: keys present
+    in the sync TARGET but gone from the SOURCE (rows deleted upstream
+    that a watermark-based incremental sync can never see — the
+    classic silent-divergence bug of updatedAt pipelines). Feed the
+    result into delete_where / an anti-join rewrite to propagate the
+    deletes. One anti-join on the key columns; both sides project to
+    keys only before the shuffle."""
+    return target.select(*keys).distinct().join(
+        source.select(*keys).distinct(), on=keys, how="left_anti"
+    )

@@ -91,7 +91,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # layout_partitioned_read, layout_bucketed_join,
 # layout_compacted_roundtrip, layout_zorder_read, q_salted_join,
 # q_grouping_sets, q_not_in_nulls, text_snippets,
-# multimodal_audio_neardup, multimodal_video_neardup.
+# multimodal_audio_neardup, multimodal_video_neardup,
+# sync_deleted_keys.
 
 
 def registry() -> dict[str, Query]:

@@ -707,3 +707,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
     )
+
+
+# --- Y9: delete detection ------------------------------------------------------
+@register(
+    "sync_deleted_keys",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey % 7 = 0
+      AND c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+    """,
+)
+def sync_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y9: delete detection — target holds keys ≡0 (mod 7) from an old
+    sync, source now has only ≡0 (mod 3); the detector must return
+    exactly the target keys the source no longer carries (the rows a
+    watermark sync silently leaves behind forever)."""
+    from rabbit_data_pipeline_spark.operators.sync import deleted_keys
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    target = c.filter(F.col("c_custkey") % 7 == 0)
+    source = c.filter(F.col("c_custkey") % 3 == 0)
+    return deleted_keys(target, source, ["c_custkey"])
