@@ -242,12 +242,23 @@ def main() -> None:
                     builder(spark, _SCALED_DIR).write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                 sf1[name] = round(best, 4)
+            # Scaling regression gate: 10x data should cost well under
+            # 10x wall on every headline query (partial aggs, broadcast
+            # joins, bounded candidate generation). A ratio > 6 means a
+            # plan went super-linear-ish — name the offenders so the
+            # round-over-round record catches the regression.
+            superlinear = {
+                n: round(sf1[n] / timings[n], 2)
+                for n in sf1
+                if n in timings and timings[n] > 0.05 and sf1[n] / timings[n] > 6.0
+            }
             result.update(
                 {
                     "sf1": round(0.1 * _SCALE_FACTOR, 2),
                     "sf1_queries": sf1,
                     "sf1_total": round(sum(sf1.values()), 4),
                     "sf1_build_sec": build_sec,
+                    "sf1_superlinear": superlinear,
                 }
             )
         except Exception as e:  # scale point is evidence, not the contract

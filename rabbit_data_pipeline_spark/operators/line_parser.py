@@ -199,7 +199,10 @@ def _read_xlsx_indexed(
 
 
 def _read_text_indexed(
-    spark: SparkSession, path: str | list[str], reader_options: dict | None = None
+    spark: SparkSession,
+    path: str | list[str],
+    reader_options: dict | None = None,
+    line_sep: str | None = None,
 ) -> DataFrame:
     """(__line, value) per text line, 1-based PER FILE — the text twin
     of _read_xlsx_indexed. binaryFile → mapInPandas: each file's bytes
@@ -225,6 +228,10 @@ def _read_text_indexed(
     )
     max_bytes = 1 << 30
     chunk_lines = 65536
+    # Custom record separator (reference LineParser `split` knob,
+    # default PHP_EOL): split on its exact bytes, no \r stripping —
+    # with an explicit separator a \r is content, not line ending.
+    sep_bytes = line_sep.encode("utf-8") if line_sep is not None else None
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -244,15 +251,18 @@ def _read_text_indexed(
                         "native csv fast path (head_line=1/None, no end_line)."
                     )
                 line_no = 0
-                lines_iter = raw.split(b"\n")
+                lines_iter = raw.split(sep_bytes if sep_bytes is not None else b"\n")
                 if lines_iter and lines_iter[-1] == b"":
                     lines_iter.pop()
                 for off in range(0, len(lines_iter), chunk_lines):
                     chunk = lines_iter[off : off + chunk_lines]
-                    vals = [
-                        (ln[:-1] if ln.endswith(b"\r") else ln).decode("utf-8", "replace")
-                        for ln in chunk
-                    ]
+                    if sep_bytes is None:
+                        vals = [
+                            (ln[:-1] if ln.endswith(b"\r") else ln).decode("utf-8", "replace")
+                            for ln in chunk
+                        ]
+                    else:
+                        vals = [ln.decode("utf-8", "replace") for ln in chunk]
                     yield pd.DataFrame(
                         {
                             "__line": range(line_no + 1, line_no + len(vals) + 1),
@@ -308,6 +318,9 @@ def parse_lines(
     sheet: str | None = None,
     field: dict[str, int] | None = None,
     field_line: int | None = None,
+    split: str | None = None,
+    enclosure: str | None = None,
+    escape: str | None = None,
 ) -> DataFrame:
     """`reader_options` are extra Spark reader options (pathGlobFilter,
     recursiveFileLookup, …) applied to whichever source reads `path` —
@@ -329,7 +342,17 @@ def parse_lines(
     - `include` may be a DICT {index: None | SQL expr}: the reference
       evals PHP per cell with ``$col`` bound (LineParser.php
       dealInclude); here the expr is a Spark SQL expression over the
-      same ``$col`` placeholder — JVM-side, no eval."""
+      same ``$col`` placeholder — JVM-side, no eval.
+    - `split` is the RECORD separator (LineParser.php:22 ``split``,
+      default PHP_EOL — here default newline): the fast path maps it
+      to the csv reader's ``lineSep`` (must be one character there, a
+      Spark reader limit), the line-range path splits file bytes on it
+      directly (any string).
+    - `enclosure` / `escape` are the csv quote and escape characters
+      (LineParser.php:31-33, fgetcsv defaults ``"`` and ``\\``) —
+      mapped to the reader/from_csv ``quote``/``escape`` options, and
+      honored when sniffing the header row.  All three are ignored for
+      xlsx/xls, as in the reference (cell grids have no separators)."""
     if file_type not in SUPPORT_EXT:
         raise ValueError(f"fileType only support ({' & '.join(SUPPORT_EXT)})")  # LineParser.php:115
     sep = delimiter or ("\t" if file_type in ("txt", "tsv") else ",")
@@ -388,34 +411,45 @@ def parse_lines(
         and end_line is None
         and not field
     )
+    csv_opts: dict[str, str] = {}
+    if enclosure is not None:
+        csv_opts["quote"] = enclosure
+    if escape is not None:
+        csv_opts["escape"] = escape
     if simple:
         # Fast path: native csv reader, fully JVM-side.
-        df = (
+        reader = (
             spark.read.format("csv")
             .option("header", "true" if head_line == 1 else "false")
             .option("sep", sep)
+            .options(**csv_opts)
             .options(**(reader_options or {}))
-            .load(path)
         )
+        if split is not None:
+            reader = reader.option("lineSep", split)
+        df = reader.load(path)
         if columns:
             df = df.toDF(*columns)
     else:
         # Line-range path: explicit per-file line numbers via
         # binaryFile → mapInPandas (no Python-RDD round-trip), then
         # from_csv stays JVM-side for the actual parsing.
-        df_idx = _read_text_indexed(spark, path, reader_options)
+        df_idx = _read_text_indexed(spark, path, reader_options, line_sep=split)
         header_names = columns
         if not columns:
             df_idx = df_idx.cache()
         try:
             if head_line is not None and not columns:
                 h = _sniff_header(df_idx, head_line, "value")
-                header_names = h.split(sep) if h is not None else None
+                header_names = _split_cells(h, sep, enclosure, escape) if h is not None else None
             body = df_idx.filter(_data_line_filter(data_line, head_line, field_line))
             if end_line is not None:
                 body = body.filter(F.col("__line") < end_line)  # reference: i >= endLine stops BEFORE endLine
             if field and field_line is not None:
-                add_fields = {**_field_values(df_idx, field, field_line, sep), **(add_fields or {})}
+                add_fields = {
+                    **_field_values(df_idx, field, field_line, sep, enclosure, escape),
+                    **(add_fields or {}),
+                }
             if header_names:
                 n_cols = len(header_names)
             else:
@@ -425,14 +459,40 @@ def parse_lines(
                         "no data rows in the requested line range; pass columns= "
                         "to parse a possibly-empty range"
                     )
-                n_cols = len(first_row["value"].split(sep))
+                n_cols = len(_split_cells(first_row["value"], sep, enclosure, escape))
             names = header_names or [f"_c{i}" for i in range(n_cols)]
             schema = ", ".join(f"`{n}` string" for n in names)
-            df = body.select(F.from_csv("value", schema, {"sep": sep}).alias("r")).select("r.*")
+            df = body.select(
+                F.from_csv("value", schema, {"sep": sep, **csv_opts}).alias("r")
+            ).select("r.*")
         finally:
             df_idx.unpersist()
 
     return _apply_column_opts(df, include, exclude, rename, add_fields, id_key)
+
+
+def _split_cells(line: str, sep: str, enclosure: str | None, escape: str | None) -> list[str]:
+    """Split ONE driver-side line (header / field row / width probe)
+    into cells honoring the csv quote+escape knobs — the body rows are
+    parsed JVM-side by from_csv with the same options.  Plain split
+    when no quoting is in play (bit-compatible with the pre-knob
+    behavior, and str.split keeps empty trailing cells that csv.reader
+    also keeps)."""
+    if (enclosure is None and escape is None) or (sep not in line):
+        return line.split(sep)
+    import csv as _csv
+    import io as _io
+
+    rows = list(
+        _csv.reader(
+            _io.StringIO(line),
+            delimiter=sep,
+            quotechar=enclosure or '"',
+            escapechar=escape,
+            doublequote=escape is None,
+        )
+    )
+    return rows[0] if rows else [""]
 
 
 def _data_line_filter(data_line, head_line, field_line):
@@ -450,7 +510,14 @@ def _data_line_filter(data_line, head_line, field_line):
     return cond
 
 
-def _field_values(df_idx, field: dict[str, int], field_line: int, sep: str | None) -> dict[str, Any]:
+def _field_values(
+    df_idx,
+    field: dict[str, int],
+    field_line: int,
+    sep: str | None,
+    enclosure: str | None = None,
+    escape: str | None = None,
+) -> dict[str, Any]:
     """Extract the shared-value row once (a single tiny row to the
     driver — the field row is one line by definition) and map it to
     {new_column: literal}. With multiple input files the filter yields
@@ -466,7 +533,7 @@ def _field_values(df_idx, field: dict[str, int], field_line: int, sep: str | Non
             "parse heterogeneous files separately"
         )
     row = rows[0]
-    cells = list(row["cells"]) if sep is None else row["value"].split(sep)
+    cells = list(row["cells"]) if sep is None else _split_cells(row["value"], sep, enclosure, escape)
     out: dict[str, Any] = {}
     for name, idx in field.items():
         out[name] = cells[int(idx)] if 0 <= int(idx) < len(cells) else None

@@ -251,7 +251,10 @@ def train_pq_codebook(
     almost surely doubles up on one cluster and leaves another empty
     (P(all distinct) = ks!/ks^ks), and Lloyd cannot escape that local
     optimum — measured 30× worse reconstruction error on planted
-    subspace clusters. Cost: m×ks tiny TakeOrdered jobs, offline."""
+    subspace clusters. Cost: ks-1 tiny agg jobs — each round picks the
+    farthest point for ALL m subspaces in ONE min_by aggregation
+    (ordering struct = (-min_dist, id), i.e. max distance with
+    lowest-id tie-break), not m sequential TakeOrdered jobs."""
     dsub = dim // m
     first = (
         corpus.select(vec_col)
@@ -260,16 +263,20 @@ def train_pq_codebook(
         .collect()[0][vec_col]
     )
     cb = [[[float(x) for x in first[j * dsub : (j + 1) * dsub]]] for j in range(m)]
-    for j in range(m):
-        for _ in range(ks - 1):
+    for _ in range(ks - 1):
+        aggs = []
+        for j in range(m):
             sub = _sub(F.col(vec_col), j, dsub)
             min_d = F.least(*[_l2sq(sub, cv) for cv in cb[j]]) if len(cb[j]) > 1 else _l2sq(sub, cb[j][0])
-            far = (
-                corpus.select(F.col(vec_col).alias("v"), min_d.alias("md"), F.col(id_col).alias("i"))
-                .orderBy(F.col("md").desc(), F.col("i"))
-                .limit(1)
-                .collect()[0]["v"]
+            aggs.append(
+                F.min_by(
+                    F.col(vec_col),
+                    F.struct((-min_d).alias("nmd"), F.col(id_col).alias("i")),
+                ).alias(f"far{j}")
             )
+        far_row = corpus.agg(*aggs).collect()[0]
+        for j in range(m):
+            far = far_row[f"far{j}"]
             cb[j].append([float(x) for x in far[j * dsub : (j + 1) * dsub]])
     for _ in range(max(0, n_iters)):
         enc = corpus.select(

@@ -42,57 +42,40 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-4 front-load, slot budget 50.
-    # (a) The one red key of r3 — its oracle's HUGEINT session_id (DuckDB
-    # SUM over int, the only final-output HUGEINT in the registry) is now
-    # CAST AS BIGINT — plus the five observability digest twins that
-    # localize which column diverges if the driver still disagrees.
-    "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
-    "q_sessionize_dg_val", "q_sessionize_dg_start", "q_sessionize_dg_end",
-    # (b) The 39 keys whose last green verdict is r1/r2 code — rotate them
-    # through the driver's 50-key cap so every key gets a verdict on
-    # current code.
-    # (12 of the stale batch wait for r5 to make room for the never-
-    # verified new keys in (c): q_topn/q_distinct/q_union/q_date_parts/
-    # q_null_funcs/q_string_funcs/q_having/q_regexp_extract — the
-    # simplest single-table plans — plus q_time_bucket, q_pivot,
-    # q_rollup and q_window_distribution, whose shapes are covered
-    # this round by the verified q_tumbling_window, q_cube and the
-    # window-frame trio.)
-    "stream_windowed_agg", "stream_dedup", "stream_stream_join",
-    "q_filter_project", "q_agg_pricing", "q_join_broadcast",
-    "q_join_multiway", "q_join_left", "q_join_semi", "q_join_anti",
-    "q_window_rank", "q_subquery_avg",
-    "q_percentile", "q_ship_priority", "q_order_priority", "q_nation_volume",
-    "q_returned_items", "q_count_distribution", "q_top_supplier",
-    "q_big_orders", "q_or_predicates", "q_cube", "q_waiting_supplier",
-    "q_idle_customers", "q_argminmax", "q_set_ops", "q_join_full",
-    # (c) Keys whose code paths this round touches (line-range rewrite,
-    # xlsx ADVICE fixes, IVF centroid sampling) or that are new this
-    # round (repeated n-grams, Gopher filters, TF-IDF, range search,
-    # product quantization) — verify on current code.
-    "line_parser_csv", "find_files", "ann_ivf", "dedup_clusters",
-    "text_repeated_ngrams", "text_gopher_quality", "text_tfidf",
-    "ann_range", "emb_pq_codes", "ann_pq", "ann_ivfpq",
-    "stream_sliding_window", "text_dedup_lines", "text_url_dedup",
-    "text_sample_exact_k", "stream_static_join", "pipeline_web_prep",
+    # Round-5 front-load, slot budget 50.
+    # (a) The one red key of r4: emb_pq_codes emitted array<int> on the
+    # compare surface; the codes are now array_join'd into one string on
+    # both engines per the q_array_agg rule (queries/tpch2.py).
+    "emb_pq_codes",
+    # (b) The 40 keys that have never had a driver verdict (all late-r4
+    # additions queued behind the cap), in must-verify order: layout
+    # gates, funnel/retention/anomaly/paths/ts-similarity,
+    # C4/SemDeDup/splits/blocklist/DSIR/incremental-dedup, normalize,
+    # the perceptual near-dup triad, sync_deleted_keys, the two SQL
+    # edge-semantics keys, and the two new streaming keys.
+    "layout_partitioned_read", "layout_bucketed_join",
+    "layout_compacted_roundtrip", "layout_zorder_read",
+    "q_funnel", "q_retention", "q_anomaly", "q_event_paths",
+    "q_ts_similarity", "q_forecast_revenue",
+    "text_c4_clean", "dedup_semantic", "text_split", "text_domain_filter",
+    "text_dsir", "dedup_incremental", "text_normalize",
+    "text_normalize_lines", "text_dedup_lines_within",
+    "text_remove_passages", "text_sentiment", "text_snippets",
+    "text_data_card", "corpus_diff", "source_jsonl",
+    "multimodal_image_neardup", "multimodal_audio_neardup",
+    "multimodal_video_neardup", "sync_deleted_keys",
+    "q_grouping_sets", "q_not_in_nulls", "q_salted_join",
+    "q_stats_moments", "q_histogram", "q_regression", "emb_rp_project",
+    "emb_decontaminate", "emb_outliers",
+    "stream_text_prep", "stream_dedup_incremental",
+    # (c) 9 of the 12 keys whose last green verdict is r1/r2 code —
+    # re-verify on current code with the remaining slots.
+    "q_topn", "q_distinct", "q_union", "q_date_parts", "q_null_funcs",
+    "q_string_funcs", "q_having", "q_regexp_extract", "q_time_bucket",
 )
-# Round-5 rotation queue (keys without a current-code driver verdict,
-# in must-verify order): the 12 deferred stale keys listed above, plus
-# the late-round-4 additions that no longer fit the 50-key cap —
-# stream_text_prep, q_stats_moments, q_histogram, emb_rp_project,
-# q_regression, text_c4_clean, dedup_semantic, text_split,
-# text_domain_filter, source_jsonl, text_data_card, corpus_diff,
-# dedup_incremental, q_funnel, q_retention, text_dsir,
-# stream_dedup_incremental, emb_decontaminate, emb_outliers,
-# text_normalize, text_normalize_lines, multimodal_image_neardup,
-# text_dedup_lines_within, q_forecast_revenue, text_remove_passages,
-# q_anomaly, q_event_paths, q_ts_similarity, text_sentiment,
-# layout_partitioned_read, layout_bucketed_join,
-# layout_compacted_roundtrip, layout_zorder_read, q_salted_join,
-# q_grouping_sets, q_not_in_nulls, text_snippets,
-# multimodal_audio_neardup, multimodal_video_neardup,
-# sync_deleted_keys.
+# Round-6 rotation queue (keys whose verdict will then be the only ones
+# not on current code): the last 3 stale r1/r2 keys — q_pivot,
+# q_rollup, q_window_distribution — plus anything round 5 touches.
 
 
 def registry() -> dict[str, Query]:

@@ -818,7 +818,7 @@ def _sql_pq_codes(vec_expr: str) -> str:
 def _pq_codes_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-    SELECT vec_id, {_sql_pq_codes('emb')} AS codes FROM e
+    SELECT vec_id, ARRAY_TO_STRING({_sql_pq_codes('emb')}, ',') AS codes FROM e
     """
 
 
@@ -827,11 +827,21 @@ def emb_pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L27: product-quantization encode — 4 subspaces × 8 centroids,
     codes replace 64 floats with 4 small ints (the compression that
     serves 100 TB ANN from RAM). Literal-folded codebook: one map
-    pass, no shuffle, no Python."""
+    pass, no shuffle, no Python.
+
+    The codes array is emitted joined into one string per the rule at
+    queries/tpch2.py (q_array_agg): the driver's canonicalizer
+    pandas-sorts result columns and list cells are unhashable there,
+    so arrays must leave the compare surface as scalars on BOTH
+    engines (r4's one red row was exactly this)."""
     from rabbit_data_pipeline_spark.operators.similarity import pq_encode
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return pq_encode(e, _PQ_CB)
+    codes = pq_encode(e, _PQ_CB)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+    )
 
 
 def _pq_adc_oracle() -> str:
@@ -912,12 +922,14 @@ def _rp_oracle() -> str:
 
     planes = make_rp_planes(out_dim=8, in_dim=64)
     dots = ", ".join(
-        "(" + " + ".join(f"emb[{i + 1}] * ({p!r})" for i, p in enumerate(plane)) + ")"
-        for plane in planes
+        "("
+        + " + ".join(f"emb[{i + 1}] * ({p!r})" for i, p in enumerate(plane))
+        + f") AS rp_{j}"
+        for j, plane in enumerate(planes)
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-    SELECT vec_id, list_value({dots}) AS rp FROM e
+    SELECT vec_id, {dots} FROM e
     """
 
 
@@ -925,11 +937,18 @@ def _rp_oracle() -> str:
 def emb_rp_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L33: Johnson-Lindenstrauss random projection 64 → 8 dims —
     literal plane matrix, one shuffle-free map pass; the left-assoc
-    dot fold matches the oracle's chained `+` bit-for-bit."""
+    dot fold matches the oracle's chained `+` bit-for-bit.
+
+    The projected vector leaves the compare surface as one DOUBLE
+    column per dim (rp_0..rp_7), not an array: the driver's pandas
+    canonicalizer cannot sort list cells (the emb_pq_codes r4 red),
+    and string-joining floats would trade that for formatter drift
+    between Java and DuckDB — per-dim scalars avoid both."""
     from rabbit_data_pipeline_spark.operators.similarity import make_rp_planes, rp_project
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return rp_project(e, make_rp_planes(out_dim=8, in_dim=64))
+    out = rp_project(e, make_rp_planes(out_dim=8, in_dim=64))
+    return out.select("vec_id", *[F.col("rp")[j].alias(f"rp_{j}") for j in range(8)])
 
 
 def _split_oracle() -> str:

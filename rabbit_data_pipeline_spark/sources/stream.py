@@ -104,7 +104,13 @@ def amqp_stream(spark: SparkSession, queue_dir: str, **_: Any) -> DataFrame:
 
 
 def nsq_stream(spark: SparkSession, queue_dir: str, **_: Any) -> DataFrame:
-    """NSQ consumer (reference src/Sources/Nsq.php) — same substrate."""
+    """NSQ consumer (reference src/Sources/Nsq.php) — same substrate.
+    The broker side is real: ``sources/nsq_protocol.py`` speaks the
+    NSQ V2 TCP protocol natively (handshake/SUB/RDY/FIN/REQ/heartbeat,
+    unit-tested against scripted byte streams) and
+    ``drain_to_queue_dir`` bridges a live subscription into this
+    substrate — connect with ``nsq_protocol.connect_consumer`` when an
+    nsqd is reachable."""
     return queue_dir_stream(spark, queue_dir)
 
 

@@ -48,14 +48,32 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def _assert_scalar_surface(cols: list[str], rows: list[tuple], engine: str) -> None:
+    """The driver's canonicalizer pandas-sorts result columns; list
+    cells are unhashable there (r4's one red row, emb_pq_codes).
+    Enforce the repo rule locally: arrays must leave the compare
+    surface as scalars on BOTH engines (array_join / array_to_string
+    — see queries/tpch2.py q_array_agg)."""
+    for r in rows[:1000]:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple, dict)):
+                raise AssertionError(
+                    f"{engine} result column {cols[i]!r} contains a nested value "
+                    f"({type(v).__name__}); the driver's pandas canonicalizer cannot "
+                    "sort it — emit it joined into a scalar on both engines"
+                )
+
+
 def compare(spark_df, oracle: str, sf_dir: str) -> dict:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
+    _assert_scalar_surface(s_cols, s_rows, "spark")
     con = duckdb_conn(sf_dir)
     res = con.execute(oracle)
     d_cols = [c[0] for c in res.description]
     d_rows = [tuple(r) for r in res.fetchall()]
     con.close()
+    _assert_scalar_surface(d_cols, d_rows, "oracle")
     out = {
         "rows_spark": len(s_rows),
         "rows_oracle": len(d_rows),

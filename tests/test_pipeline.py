@@ -100,6 +100,64 @@ def test_task_lock_expiry_steal(tmp_path):
         pass  # stale lock stolen
 
 
+class _FakeRedis:
+    """redis-py's set(nx=, ex=)/delete surface, in-memory with TTL —
+    enough to exercise the reference rlock protocol (SET NX EX / DEL)
+    without a server."""
+
+    def __init__(self):
+        self.store = {}
+
+    def set(self, name, value, nx=False, ex=None):
+        now = time.time()
+        cur = self.store.get(name)
+        if nx and cur is not None and cur[1] > now:
+            return None
+        self.store[name] = (value, now + (ex or 1e18))
+        return True
+
+    def delete(self, name):
+        self.store.pop(name, None)
+
+
+def test_task_lock_redis_backend():
+    from rabbit_data_pipeline_spark.pipeline.locks import RedisLockBackend
+
+    be = RedisLockBackend(_FakeRedis())
+    with task_lock("job", timeout=60, backend=be):
+        with pytest.raises(TaskLocked):
+            with task_lock("job", timeout=60, backend=be):
+                pass
+    with task_lock("job", timeout=60, backend=be):  # released → re-acquire
+        pass
+
+
+def test_task_lock_redis_backend_ttl_expiry():
+    from rabbit_data_pipeline_spark.pipeline.locks import RedisLockBackend
+
+    fake = _FakeRedis()
+    be = RedisLockBackend(fake)
+    assert be.acquire("job", ttl=60)
+    key = "rdps-lock:job"
+    fake.store[key] = (fake.store[key][0], time.time() - 1)  # holder died, TTL passed
+    with task_lock("job", timeout=60, backend=be):  # NX succeeds on expired key
+        pass
+
+
+def test_task_lock_default_backend_install():
+    from rabbit_data_pipeline_spark.pipeline.locks import RedisLockBackend, set_lock_backend
+
+    be = RedisLockBackend(_FakeRedis())
+    set_lock_backend(be)
+    try:
+        with task_lock("job2", timeout=60):
+            with pytest.raises(TaskLocked):
+                with task_lock("job2", timeout=60):
+                    pass
+    finally:
+        set_lock_backend(None)
+
+
 def test_trigger_parsing():
     assert parse_trigger(None).kind == "once"
     assert parse_trigger(-1).kind == "once"  # reference: -1 = run once
