@@ -96,10 +96,14 @@ def kafka_stream(
 
 
 def amqp_stream(spark: SparkSession, queue_dir: str, **_: Any) -> DataFrame:
-    """AMQP consumer (reference src/Sources/Amqp.php): no RabbitMQ
-    client or broker in this container, so the consumer contract is
-    satisfied by the queue-dir substrate; a cluster deployment would
-    front RabbitMQ with a connector writing the same message schema."""
+    """AMQP consumer (reference src/Sources/Amqp.php). The broker side
+    is real: ``sources/amqp_protocol.py`` speaks AMQP 0-9-1 natively
+    (handshake/declare/qos/consume/deliver-reassembly/ack/publish,
+    unit-tested against scripted byte streams) and its
+    ``drain_to_queue_dir`` bridges a live subscription into this
+    queue-dir substrate — connect with ``amqp_protocol.connect_client``
+    when a RabbitMQ is reachable; without one the substrate alone
+    satisfies the consumer contract."""
     return queue_dir_stream(spark, queue_dir)
 
 
