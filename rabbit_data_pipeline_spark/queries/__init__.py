@@ -75,12 +75,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # Round-6 rotation queue (keys whose verdict will then be the only ones
 # not on current code): the last 3 stale r1/r2 keys — q_pivot,
-# q_rollup, q_window_distribution — plus anything round 5 touches.
+# q_rollup, q_window_distribution — the round-5 TPC-H completion pack
+# (q_min_cost_supplier, q_product_profit, q_important_stock,
+# q_promo_revenue, q_supplier_count, q_potential_promotion), plus
+# anything else round 5 touches.
 
 
 def registry() -> dict[str, Query]:
     # Import side-effect modules on first use.
-    from rabbit_data_pipeline_spark.queries import events, llm, pipelines, seeded, streaming_q, tpch, tpch2  # noqa: F401
+    from rabbit_data_pipeline_spark.queries import events, llm, pipelines, seeded, streaming_q, tpch, tpch2, tpch3  # noqa: F401
 
     ordered = {k: _REGISTRY[k] for k in _DRIVER_PRIORITY if k in _REGISTRY}
     ordered.update((k, q) for k, q in _REGISTRY.items() if k not in ordered)

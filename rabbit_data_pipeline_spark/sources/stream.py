@@ -77,7 +77,13 @@ def kafka_stream(
 ) -> DataFrame:
     """Kafka consumer (RdKafka source parity). Casts to the canonical
     message schema. Requires org.apache.spark:spark-sql-kafka-0-10 on
-    the cluster classpath."""
+    the cluster classpath. Without the jar, the broker side is still
+    real: ``sources/kafka_protocol.py`` speaks the Kafka wire protocol
+    natively (Metadata/ListOffsets/Produce/Fetch, RecordBatch v2 with
+    CRC32C, unit-tested against scripted brokers) and its
+    ``drain_to_queue_dir`` bridges fetched partitions into the
+    queue-dir substrate — connect with ``kafka_protocol.connect_client``
+    when a broker is reachable."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

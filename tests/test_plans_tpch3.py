@@ -1,0 +1,91 @@
+"""Plan contracts for the TPC-H completion pack (queries/tpch3.py):
+the properties that make each query scale-safe must be visible in the
+physical plan, not just intended in the code."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from rabbit_data_pipeline_spark.queries import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_smoke):
+    reg = registry()
+
+    def get(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            reg[name].builder(spark, sf_smoke).explain("formatted")
+        return buf.getvalue()
+
+    return get
+
+
+def test_min_cost_supplier_dims_broadcast_one_fact_shuffle(plans):
+    """Q2 shape: part and the region-filtered supplier dim broadcast;
+    the window MIN runs over the post-agg cost table, never lineitem."""
+    p = plans("q_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    # the p_size/p_name filter reaches the part scan
+    assert "PushedFilters" in p and "EqualTo(p_size,15)" in p
+
+
+def test_product_profit_single_fact_fact_shuffle(plans):
+    """Q9 shape: part/supplier/nation broadcast; only lineitem⋈orders
+    and the final agg exchange shuffle rows."""
+    p = plans("q_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "StartsWith(p_name,red)" in p  # filter pushed to the part scan
+
+
+def test_important_stock_scans_fact_once(plans):
+    """Q11 shape: the scalar total is a window over the grouped table,
+    so lineitem appears exactly once in the plan (the spec's
+    formulation scans it twice) and the window's single-partition
+    exchange carries only post-agg rows."""
+    p = plans("q_important_stock")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_promo_revenue_pushes_month_range(plans):
+    p = plans("q_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    read = next(line for line in p.splitlines() if "ReadSchema" in line and "lineitem" in line.lower() or "l_extendedprice" in line)
+    assert "l_comment" not in read
+
+
+def test_supplier_count_anti_join_broadcasts(plans):
+    """Q16 shape: the NOT-IN exclusion is a broadcast anti join, never
+    a shuffled one — the flagged-supplier list is tiny by contract."""
+    p = plans("q_supplier_count")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_potential_promotion_semi_joins_broadcast(plans):
+    """Q20 shape: both IN chains become broadcast semi joins; the only
+    row-moving exchange is the (partkey,suppkey) aggregation."""
+    p = plans("q_potential_promotion")
+    assert "LeftSemi" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_min_cost_supplier_correct_on_smj_path(spark, sf_smoke):
+    """Force sort-merge (broadcast off): the Q2 answer must not change
+    when the dims are too big to broadcast at 100 TB."""
+    reg = registry()
+    want = sorted(map(tuple, reg["q_min_cost_supplier"].builder(spark, sf_smoke).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = sorted(map(tuple, reg["q_min_cost_supplier"].builder(spark, sf_smoke).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
