@@ -8,6 +8,9 @@ multi-process deployment shape maps to ``RedisLockBackend`` (SET NX EX
 / DEL — the exact rlock protocol) over any redis-py-compatible client;
 the client is injected, so the redis package itself is never imported
 here (works with a fake in tests, real redis in production).
+``pipeline/redis_protocol.py`` provides a real client speaking RESP2
+natively over a socket — ``RedisLockBackend(connect_client(host))`` is
+the full reference deployment shape with zero dependencies.
 """
 
 from __future__ import annotations
