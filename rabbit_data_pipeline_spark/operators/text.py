@@ -1092,3 +1092,77 @@ def keyword_snippets(
             F.substring(F.col(text_col), start, F.lit(2 * context + len(term))).alias("snippet"),
         )
     )
+
+
+# -------------------------------------------------- perplexity filter
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §4.3 filter
+    web pages by LM perplexity; KenLM replaced by an add-α bigram
+    model, which is what the distributed shape is about): score each
+    document by its average per-bigram negative log10 probability
+    under the model — low = fluent/in-domain, high = noise. ``model``
+    defaults to the scored corpus itself (self-perplexity, the
+    novelty/outlier probe); pass a reference corpus for CCNet's
+    in-domain filtering.
+
+    Scale shape: bigram extraction is a shuffle-free map pass
+    (transform over sequence — no Python); model counts are two keyed
+    aggregations linear in corpus tokens; scoring joins bigram
+    occurrences to the model — at 100 TB the model is trained on a
+    reference SAMPLE and both count tables broadcast, so scoring adds
+    zero row-moving exchanges; the final doc aggregation is one
+    id-keyed shuffle.
+
+    Cross-engine determinism: P = (c_bi+α)/(c_uni+α·V) is a rational
+    of exact counts evaluated with the identical IEEE expression shape
+    in DuckDB; each −log10 P is floored to integer micro-units BEFORE
+    the sum, so accumulation is order-independent (functions/exact.py
+    rationale; the transcendental is per-row, never accumulated).
+    Returns (id, n_bigrams, avg_neg_logp)."""
+    def bigrams_of(frame: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        n = F.size(toks)
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return frame.select(F.col(id_col), F.explode(pairs).alias("b")).select(
+            id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+
+    corpus_bi = bigrams_of(df)
+    model_bi = corpus_bi if model is None else bigrams_of(model)
+    cnt_bi = model_bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    cnt_uni = model_bi.groupBy("w1").agg(F.count("*").alias("c_uni"))
+    vocab = (
+        model_bi.select(F.col("w1").alias("w"))
+        .union(model_bi.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("V"))
+    )
+    p = (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(alpha) * F.col("V")
+    )
+    scored = (
+        corpus_bi.join(cnt_bi, ["w1", "w2"], "left")
+        .join(cnt_uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__t", F.floor((-F.log10(p)) * 1_000_000 + F.lit(0.5)).cast("long"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("__t") / F.lit(1e6) / F.count("*")).alias("avg_neg_logp"),
+    )

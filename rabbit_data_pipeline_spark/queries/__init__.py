@@ -77,8 +77,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # not on current code): the last 3 stale r1/r2 keys — q_pivot,
 # q_rollup, q_window_distribution — the round-5 TPC-H completion pack
 # (q_min_cost_supplier, q_product_profit, q_important_stock,
-# q_promo_revenue, q_supplier_count, q_potential_promotion), plus
-# anything else round 5 touches.
+# q_promo_revenue, q_supplier_count, q_potential_promotion), the
+# round-5 L-tier additions text_perplexity / text_bpe_train /
+# text_bpe_encode, plus anything else round 5 touches.
 
 
 def registry() -> dict[str, Query]:

@@ -1108,3 +1108,46 @@ def text_snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return keyword_snippets(d, "spark", context=30)
+
+
+_PERPLEXITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bi AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(w)),
+                               i -> {'w1': w[i], 'w2': w[i+1]}),
+                recursive := true)
+  FROM toks WHERE len(w) >= 2
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY w1, w2
+), cu AS (
+  SELECT w1, COUNT(*) AS c_uni FROM bi GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS V
+  FROM (SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi)
+), scored AS (
+  SELECT bi.doc_id,
+         CAST(FLOOR((-LOG10((cb.c_bi + 0.5) / (cu.c_uni + 0.5 * v.V)))
+                    * 1000000 + 0.5) AS BIGINT) AS t
+  FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       SUM(t) / 1000000.0 / COUNT(*) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_perplexity", oracle=_PERPLEXITY_ORACLE)
+def text_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52: CCNet-style perplexity quality scoring (Wenzek et al.
+    2020) over the documents table — add-α bigram self-model, per-doc
+    average negative log10 probability. The model counts broadcast
+    (reference-sample contract at 100 TB); per-bigram log terms floor
+    to integer micro-units before the order-independent sum, so the
+    only transcendental is per-row and both engines accumulate
+    identically (operators/text.py perplexity_score)."""
+    from rabbit_data_pipeline_spark.operators.text import perplexity_score
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return perplexity_score(d)

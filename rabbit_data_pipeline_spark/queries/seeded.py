@@ -1494,3 +1494,80 @@ def multimodal_video_neardup_seeded(spark: SparkSession, sf_dir: str) -> DataFra
         [StructField("media_id", StringType()), StructField("payload", BinaryType())]
     )
     return video_near_pairs(spark.createDataFrame(rows, schema), max_hamming=6).select("id_a", "id_b")
+
+
+# ------------------------------------------------------------------ BPE
+
+@lru_cache(maxsize=1)
+def bpe_corpus() -> list[tuple[int, str]]:
+    """The classic subword setting (Sennrich et al. 2016's running
+    example family): shared stems + productive suffixes, so merges
+    must discover 'lo'/'low'/'er'/'est'-style units in a deterministic
+    frequency order."""
+    return [
+        (0, "low low low low low lower lower newest newest newest"),
+        (1, "newest newest newest widest widest lowest lowest lowest"),
+        (2, "new new newer newer newer wider wider low newest wide"),
+        (3, "lowest widest lower newer low new wide est"),
+    ]
+
+
+_BPE_N_MERGES = 12
+
+
+@lru_cache(maxsize=1)
+def _bpe_expected_merges() -> list[tuple[int, str, str]]:
+    from rabbit_data_pipeline_spark.operators.bpe import reference_bpe
+
+    return reference_bpe([t for _, t in bpe_corpus()], n_merges=_BPE_N_MERGES)
+
+
+def _bpe_train_oracle() -> str:
+    vals = ", ".join(f"({r}, '{l}', '{rt}')" for r, l, rt in _bpe_expected_merges())
+    return f"SELECT rank, left_sym, right_sym FROM (VALUES {vals}) AS t(rank, left_sym, right_sym)"
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 gate: the DISTRIBUTED trainer (histogram shuffle + per-merge
+    argmax aggregations, operators/bpe.py train_bpe) must reproduce the
+    textbook algorithm's merge table exactly — rank for rank, with the
+    (count DESC, pair ASC) tie-break — against an independent
+    pure-Python twin on the seeded corpus."""
+    from rabbit_data_pipeline_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(bpe_corpus(), ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(r, l, rt) for r, l, rt in merges], ["rank", "left_sym", "right_sym"]
+    ).select(F.col("rank").cast("int"), "left_sym", "right_sym")
+
+
+def _bpe_encode_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.bpe import reference_encode
+
+    merges = _bpe_expected_merges()
+    rows = []
+    for doc_id, text in bpe_corpus():
+        toks = reference_encode(text, merges)
+        joined = " ".join(toks).replace("'", "''")
+        rows.append(f"({doc_id}, '{joined}', {sum(t.count('·') + 1 for t in toks)})")
+    return (
+        "SELECT doc_id, tokens, CAST(n_tokens AS INT) AS n_tokens FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, tokens, n_tokens)"
+    )
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 gate, encode side: greedy rank-order merge application as
+    chained literal folds (shuffle-free) reproduces the reference
+    tokenization token-for-token, boundaries included."""
+    from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(bpe_corpus(), ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=_BPE_N_MERGES)
+    return bpe_encode(df, merges).select(
+        "doc_id", "tokens", F.col("n_tokens").cast("int").alias("n_tokens")
+    )

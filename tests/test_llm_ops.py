@@ -904,3 +904,53 @@ def test_corpus_diff_null_text_is_presence_not_hash(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "changed", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+
+
+def test_perplexity_score_hand_computed(spark):
+    """Tiny corpus with hand-derived add-0.5 bigram probabilities:
+    c(a,b)=3, c(b,a)=1, c(x,y)=1; c(a·)=3, c(b·)=1, c(x·)=1; V=4.
+    P(a,b)=3.5/5=.7, P(b,a)=P(x,y)=1.5/3=.5."""
+    import math
+
+    from rabbit_data_pipeline_spark.operators.text import perplexity_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x y"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in perplexity_score(df).collect()}
+    assert 4 not in rows  # no bigrams -> no score
+    t7 = math.floor(-math.log10(0.7) * 1e6 + 0.5)
+    t5 = math.floor(-math.log10(0.5) * 1e6 + 0.5)
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["avg_neg_logp"] == (2 * t7 + t5) / 1e6 / 3
+    assert rows[2]["avg_neg_logp"] == t7 / 1e6
+    assert rows[3]["avg_neg_logp"] == t5 / 1e6
+    # fluent repetition scores lower than the one-off bigram
+    assert rows[2]["avg_neg_logp"] < rows[3]["avg_neg_logp"]
+
+
+def test_bpe_hand_derived_merges(spark):
+    """corpus 'aaab aaab': pair counts (a,a)=4, (a,b)=2 -> merge (a,a);
+    then (aa,a)=2 ties (a,b)=2 and ('a','b') < ('aa','a') wins the
+    lexicographic tie-break; then (aa,ab)=2. Derived by hand, so a bug
+    shared by the distributed trainer and its Python twin still fails."""
+    from rabbit_data_pipeline_spark.operators.bpe import reference_bpe, train_bpe
+
+    expected = [(0, "a", "a"), (1, "a", "b"), (2, "aa", "ab")]
+    assert reference_bpe(["aaab aaab"], n_merges=5) == expected
+    df = spark.createDataFrame([(1, "aaab aaab")], ["doc_id", "text"])
+    assert train_bpe(df, n_merges=5) == expected
+
+
+def test_bpe_encode_greedy_left_to_right(spark):
+    """'aaa' under merge (a,a) must become [aa, a] — the merged tail
+    does not re-pair — and unseen symbols pass through untouched."""
+    from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, reference_encode
+
+    merges = [(0, "a", "a")]
+    assert reference_encode("aaa xy", merges) == ["aa·a", "x·y"]
+    df = spark.createDataFrame([(1, "aaa xy")], ["doc_id", "text"])
+    row = bpe_encode(df, merges).collect()[0]
+    assert row["tokens"] == "aa·a x·y"
+    assert row["n_tokens"] == 4
