@@ -160,3 +160,58 @@ def connected_components_star(
                 "id", F.coalesce("component", F.col("id")).alias("component")
             )
     raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 6,
+    scale: int = 1_000_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Integer-arithmetic PageRank — the canonical Spark iterative
+    workload (Page et al. 1999; the motivating example of the RDD
+    paper), made BIT-EXACT so even an iterative algorithm can carry a
+    full value-hash oracle: scores live in integer nano-units, each
+    contribution is truncating integer division score÷out_degree, and
+    the damping update is (85·Σ)÷100 — no float enters until the final
+    single /1e9, so Spark and an unrolled-CTE DuckDB twin agree to the
+    last bit regardless of accumulation order.
+
+    ``edges`` is directed (src, dst), assumed deduplicated; every node
+    must have ≥1 out-edge (true by construction for the
+    both-directions bipartite graphs fact tables induce — dangling
+    nodes would need the usual redistribution term).
+
+    Scale shape: out-degrees and the node set are one aggregation
+    each; every iteration is one src-keyed join of the (small) score
+    vector against the (large, never-moving) edge list plus one
+    dst-keyed aggregation — the edge list partitioning is reused
+    across all iterations, scores are localCheckpoint'ed so the plan
+    stays flat instead of nesting k joins. The node count is the one
+    driver scalar (graph order), same class as the PQ-training
+    round-trips."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = (scale * (damp_den - damp_num)) // (damp_den * n)
+    score = nodes.withColumn("score", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(score.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("score div deg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        score = (
+            nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) div {damp_den}")
+                ).cast("long").alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return score.select("node", (F.col("score") / F.lit(float(scale))).alias("rank"))

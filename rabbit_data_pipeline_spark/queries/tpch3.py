@@ -331,3 +331,63 @@ def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("s_name", "n_name")
     )
+
+
+# --- Q62: PageRank over the customer-supplier graph --------------------------
+def _pagerank_oracle(iters: int = 6) -> str:
+    """Unrolled-CTE twin of operators/graph.py pagerank — same integer
+    nano-unit arithmetic, one CTE pair per iteration."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ), deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    pr0 AS (
+      SELECT node,
+             CAST(1000000000 // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS score
+      FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst, CAST(SUM(p.score // d.deg) AS BIGINT) AS s
+      FROM edges e JOIN pr{i - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    pr{i} AS (
+      SELECT n.node,
+             CAST((SELECT (CAST(1000000000 AS BIGINT) * 15) // (100 * COUNT(*)) FROM nodes)
+                  + (85 * COALESCE(c{i}.s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS score
+      FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.node)"""
+    sql += f"\n    SELECT node, score / 1000000000.0 AS rank FROM pr{iters}"
+    return sql
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q62: PageRank over the bipartite customer↔supplier graph the
+    fact tables induce (distinct trading pairs from orders⋈lineitem,
+    edges both directions) — entity importance via the canonical Spark
+    iterative workload. Integer nano-unit arithmetic end to end
+    (operators/graph.py pagerank) makes the six iterations bit-exact
+    against the unrolled-CTE oracle: an iterative algorithm with a
+    full value-hash gate, not a rows-only one."""
+    from rabbit_data_pipeline_spark.operators.graph import pagerank
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=6)

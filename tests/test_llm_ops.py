@@ -954,3 +954,25 @@ def test_bpe_encode_greedy_left_to_right(spark):
     row = bpe_encode(df, merges).collect()[0]
     assert row["tokens"] == "aa·a x·y"
     assert row["n_tokens"] == 4
+
+
+def test_pagerank_hand_verified_fixed_point(spark):
+    """Symmetric 2-node graph: n=2, init=5e8 nano; base=(1e9*15)//200
+    =75e6; contribution=score//1=5e8; update=75e6+(85*5e8)//100=5e8 —
+    the uniform vector is an exact integer fixed point, so every
+    iteration returns rank 0.5 to the last bit. A 3-leaf star must
+    rank the hub strictly above the (equal-rank) leaves."""
+    from rabbit_data_pipeline_spark.operators.graph import pagerank
+
+    sym = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(sym, iters=3).collect()}
+    assert ranks == {"a": 0.5, "b": 0.5}
+
+    star_pairs = [("hub", f"l{i}") for i in range(3)]
+    star = spark.createDataFrame(
+        star_pairs + [(b, a) for a, b in star_pairs], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(star, iters=6).collect()}
+    assert ranks["hub"] > ranks["l0"]
+    assert ranks["l0"] == ranks["l1"] == ranks["l2"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved up to int truncation
