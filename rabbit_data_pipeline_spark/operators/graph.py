@@ -215,3 +215,45 @@ def pagerank(
             .localCheckpoint()
         )
     return score.select("node", (F.col("score") / F.lit(float(scale))).alias("rank"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[str],
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-source BFS hop distances — the frontier-expansion
+    iterative shape (vs pagerank's full-vector relaxation): with unit
+    edge weights the FIRST visit is the shortest path, so each round
+    expands only the newly-settled frontier, anti-joins against the
+    settled set, and stops when the frontier empties. All-integer, so
+    results are exactly comparable to an unrolled min-propagation SQL
+    twin (which relaxes the full vector every round — same fixed
+    point, different work).
+
+    Scale shape: per round one src-keyed join of the frontier against
+    the never-moving edge list, one dst-keyed min-agg, one anti-join
+    against settled nodes; total work across all rounds is O(edges)
+    because every node enters a frontier exactly once (the textbook
+    Pregel BFS). The emptiness probe is one driver boolean per round —
+    bounded by the graph diameter, not size. Settled set is
+    localCheckpoint'ed so plans stay flat."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sources], ["node", "dist"]
+    ).localCheckpoint()
+    frontier = dist
+    for _ in range(max_hops):
+        new = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))

@@ -391,3 +391,57 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, iters=6)
+
+
+# --- Q63: BFS shortest paths over the same graph -----------------------------
+def _bfs_oracle(hops: int = 8) -> str:
+    """Unrolled min-propagation twin of operators/graph.py
+    bfs_distances: relax the full distance vector ``hops`` times
+    (≥ graph diameter), the frontier optimization reaches the same
+    integer fixed point."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    d0 AS (SELECT 's1' AS node, 0 AS dist)"""
+    for i in range(1, hops + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node)"""
+    sql += f"\n    SELECT node, CAST(dist AS INT) AS dist FROM d{hops}"
+    return sql
+
+
+@register("q_shortest_path", oracle=_bfs_oracle())
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q63: BFS hop distances from supplier s1 across the
+    customer↔supplier trading graph — the frontier-expansion iterative
+    shape (every node enters a frontier once, O(edges) total work)
+    with integer distances, so the converged result hashes exactly
+    against the unrolled full-vector relaxation twin."""
+    from rabbit_data_pipeline_spark.operators.graph import bfs_distances
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return bfs_distances(edges, ["s1"], max_hops=8)

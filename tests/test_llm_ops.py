@@ -976,3 +976,14 @@ def test_pagerank_hand_verified_fixed_point(spark):
     assert ranks["hub"] > ranks["l0"]
     assert ranks["l0"] == ranks["l1"] == ranks["l2"]
     assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved up to int truncation
+
+
+def test_bfs_distances_hand_verified(spark):
+    """Path graph a-b-c-d (undirected) from a: dists 0,1,2,3; early
+    exit leaves unreachable z absent."""
+    from rabbit_data_pipeline_spark.operators.graph import bfs_distances
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("z", "z2")]
+    edges = spark.createDataFrame(und + [(y, x) for x, y in und], ["src", "dst"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, ["a"], max_hops=10).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
