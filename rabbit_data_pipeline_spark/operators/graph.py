@@ -257,3 +257,53 @@ def bfs_distances(
         dist = dist.unionAll(new).localCheckpoint()
         frontier = new
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected graph given as
+    canonical (u < v) edge pairs — the standard degree-ordered
+    algorithm (Schank & Wagner 2005 forward/compact-forward): orient
+    every edge from the (degree, id)-smaller endpoint to the larger,
+    enumerate wedges from each node's out-neighborhood, and close them
+    against the oriented edge list. The orientation is what makes this
+    scale: out-degrees are bounded by O(sqrt(m)) on any graph, so the
+    wedge join is O(m^1.5) total instead of the O(Σ deg²) a naive
+    common-neighbor join pays on skewed graphs — the hub that breaks
+    the naive plan has huge IN-degree but tiny out-degree here.
+
+    Any acyclic orientation counts each triangle exactly once, so the
+    degree-ordered count equals the plain id-ordered SQL twin's count
+    — which is how an optimized plan can still carry an exact oracle.
+
+    One row out: (n_triangles). Three shuffles: degree agg, wedge
+    self-join keyed by wedge center, closing semi-join keyed by the
+    wedge endpoints."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            "u", "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("n")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("w1"), F.col("kdst").alias("k1"))
+    e2 = oriented.select("src", F.col("dst").alias("w2"), F.col("kdst").alias("k2"))
+    wedges = e1.join(e2, "src").filter(F.col("k1") < F.col("k2")).select("w1", "w2")
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("w1"), F.col("dst").alias("w2")),
+        ["w1", "w2"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))

@@ -79,8 +79,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # (q_min_cost_supplier, q_product_profit, q_important_stock,
 # q_promo_revenue, q_supplier_count, q_potential_promotion), the
 # round-5 additions text_perplexity / text_bpe_train /
-# text_bpe_encode / q_pagerank / q_shortest_path, plus anything else
-# round 5 touches.
+# text_bpe_encode / q_pagerank / q_shortest_path / q_triangles, plus
+# anything else round 5 touches.
 
 
 def registry() -> dict[str, Query]:

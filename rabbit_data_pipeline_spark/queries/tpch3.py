@@ -445,3 +445,42 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return bfs_distances(edges, ["s1"], max_hops=8)
+
+
+# --- Q64: triangle count on the co-supply graph -------------------------------
+@register(
+    "q_triangles",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q64: triangles in the supplier co-supply graph (edge = two
+    suppliers ship the same part). The Spark side runs the
+    degree-ordered O(m^1.5) algorithm (operators/graph.py
+    triangle_count); the oracle counts via the naive id-ordered
+    triple join — any acyclic orientation counts each triangle once,
+    so the optimized plan and the simple twin must agree exactly."""
+    from rabbit_data_pipeline_spark.operators.graph import triangle_count
+
+    ps = _t(spark, sf_dir, "lineitem")["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -987,3 +987,16 @@ def test_bfs_distances_hand_verified(spark):
     edges = spark.createDataFrame(und + [(y, x) for x, y in und], ["src", "dst"])
     got = {r["node"]: r["dist"] for r in bfs_distances(edges, ["a"], max_hops=10).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_triangle_count_hand_verified(spark):
+    """K4 has C(4,3)=4 triangles; adding a pendant edge adds none.
+    The pendant also makes degrees uneven, exercising the
+    degree-ordered orientation."""
+    from itertools import combinations
+
+    from rabbit_data_pipeline_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a, b in combinations(["a", "b", "c", "d"], 2)]
+    edges = spark.createDataFrame(k4 + [("d", "e")], ["u", "v"])
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
