@@ -1166,3 +1166,248 @@ def perplexity_score(
         F.count("*").alias("n_bigrams"),
         (F.sum("__t") / F.lit(1e6) / F.count("*")).alias("avg_neg_logp"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_size: int = 32,
+) -> DataFrame:
+    """Sharded inverted-index construction (the core layout of keyword
+    search / exact decontamination lookup at corpus scale): one row per
+    (term, shard) with a bounded posting list, so a stop-word's
+    millions of postings become many fixed-size rows instead of one
+    unmergeable giant — the same reason Lucene segments cap block
+    size. Reference parity: the reference pipes corpora through
+    Pdo/Clickhouse for ad-hoc lookup (src/Sinks/Clickhouse.php); an
+    inverted index is the native layout for that job at 100 TB.
+
+    Scale shape: per-doc ``array_distinct`` happens map-side, so the
+    one term-keyed exchange carries (term, doc) pairs already deduped
+    within documents; the row_number window re-uses that exchange's
+    partitioning (term is the partition key) and emits postings in
+    doc-id order. Posting strings are bounded by ``shard_size`` ids.
+    At extreme skew (a term in >10^8 docs) the window's per-term sort
+    is the residual hot spot; the documented mitigation is a two-level
+    shard key (term, doc_id mod k) — same output modulo shard ids.
+
+    Returns (term, shard, n_docs, postings) with postings a
+    comma-joined doc-id string — scalar compare surface per the
+    q_array_agg rule (queries/tpch2.py:588)."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("term").orderBy("doc")
+    sharded = tok.withColumn(
+        "shard", ((F.row_number().over(w) - F.lit(1)) / F.lit(shard_size)).cast("long")
+    )
+    return (
+        sharded.groupBy("term", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.transform(F.sort_array(F.collect_list("doc")), lambda d: d.cast("string")), ",").alias(
+                "postings"
+            ),
+        )
+    )
+
+
+def sql_inverted_index(shard_size: int = 32) -> str:
+    """DuckDB twin of inverted_index over the documents view."""
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS term FROM documents
+      ) WHERE term != ''
+    ), r AS (
+      SELECT term, doc_id,
+             CAST((ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) - 1) // {shard_size} AS BIGINT) AS shard
+      FROM tok
+    )
+    SELECT term, shard, COUNT(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM r GROUP BY term, shard
+    """
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 keyword ranking (Robertson/Sparck Jones probabilistic
+    weighting — the default lexical ranker everywhere from Lucene to
+    corpus QC): score(d) = sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: doc length (dl) is computed map-side and carried
+    through the tokenize-explode, so tf aggregation is the only
+    corpus-wide exchange (keyed on (doc, term), pre-filtered to the
+    query terms — the scan feeds only matching tokens forward);
+    corpus stats (N, total tokens) and per-term df are tiny aggregates
+    that broadcast back. Top-k is TakeOrdered, not a global sort.
+
+    Cross-engine determinism: every per-(doc,term) score is floored to
+    integer micro-units BEFORE the per-doc sum (functions/exact.py
+    rationale); ln/division are per-row IEEE ops evaluated with the
+    identical expression shape in the DuckDB twin."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        ws_token_count(F.col(text_col)).alias("dl"),
+    ).filter(F.col("term") != "")
+    stats = df.select(
+        F.count("*").alias("n_docs_total"),
+        F.sum(ws_token_count(F.col(text_col))).alias("total_tokens"),
+    )
+    qtoks = toks.filter(F.col("term").isin(query_terms))
+    dft = qtoks.groupBy("term").agg(F.count_distinct("doc").alias("df_docs"))
+    tf = qtoks.groupBy("doc", "term", "dl").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_tokens").cast("double") / F.col("n_docs_total"))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs_total") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
+        )
+        .withColumn("s_micro", F.floor(F.col("s") * 1_000_000 + F.lit(0.5)).cast("long"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg((F.sum("s_micro") / F.lit(1e6)).alias("bm25"), F.count("*").alias("n_terms_hit"))
+        .select(F.col("doc").alias(id_col), "bm25", "n_terms_hit")
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(top_k)
+    )
+
+
+def sql_bm25(query_terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 20) -> str:
+    """DuckDB twin of bm25_scores over the documents view."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, UNNEST(string_split(LOWER(text), ' ')) AS term,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE term != ''),
+    stats AS (
+      SELECT COUNT(*) AS n_docs_total,
+             SUM(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens
+      FROM documents
+    ),
+    qtoks AS (SELECT * FROM toks2 WHERE term IN ({terms})),
+    dft AS (SELECT term, COUNT(DISTINCT doc) AS df_docs FROM qtoks GROUP BY term),
+    tf AS (SELECT doc, term, dl, COUNT(*) AS tf FROM qtoks GROUP BY doc, term, dl),
+    scored AS (
+      SELECT tf.doc, FLOOR(
+        (LN(1.0 + (stats.n_docs_total - dft.df_docs + 0.5) / (dft.df_docs + 0.5))
+         * (tf.tf * {k1 + 1.0!r})
+         / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * tf.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs_total))))
+        * 1000000 + 0.5) AS s_micro
+      FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+    )
+    SELECT doc AS doc_id, SUM(s_micro) / 1e6 AS bm25, COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY doc
+    ORDER BY bm25 DESC, doc_id LIMIT {top_k}
+    """
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): word pairs that
+    co-occur far above chance — the standard signal for multi-word
+    expressions, template detection, and vocabulary curation over a
+    training corpus. PMI = ln(p(xy) / (p(x)p(y))) with p(xy) from
+    bigram counts and p(x) from unigram counts.
+
+    Scale shape: bigram extraction is the same shuffle-free
+    transform-over-sequence pass as perplexity_score; one keyed
+    aggregation each for bigram and unigram counts (linear in corpus
+    tokens, map-side combined); unigram tables re-join by key —
+    broadcast when small, shuffle otherwise (Spark AQE decides).
+    Totals are tiny aggregates that cross-join broadcast.
+
+    Cross-engine determinism: the lift ratio is computed with one
+    fixed IEEE expression shape over exact integer counts, PMI's ln is
+    per-row, and the emitted value is floored to micro-units; ordering
+    is on the rounded value with (w1, w2) tiebreak."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = df.select(F.explode(pairs).alias("b")).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = df.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    c_bi = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")).filter(F.col("c_xy") >= min_count)
+    c_uni = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    n_bi = bi.select(F.count("*").alias("n_bi"))
+    n_uni = uni.select(F.count("*").alias("n_uni"))
+    lift = (
+        (F.col("c_xy").cast("double") * F.col("n_uni").cast("double") / (F.col("c_x").cast("double") * F.col("c_y").cast("double")))
+        * (F.col("n_uni").cast("double") / F.col("n_bi").cast("double"))
+    )
+    return (
+        c_bi.join(c_uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(c_uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .withColumn("pmi", F.floor(F.log(lift) * 1_000_000 + F.lit(0.5)) / F.lit(1e6))
+        .select("w1", "w2", "c_xy", "pmi")
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def sql_collocations(min_count: int = 5, top_k: int = 20) -> str:
+    """DuckDB twin of collocations over the documents view."""
+    return f"""
+    WITH toks AS (SELECT string_split(LOWER(text), ' ') AS t FROM documents),
+    bi AS (
+      SELECT UNNEST(list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+      FROM toks WHERE len(t) >= 2
+    ), bi2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+    uni AS (SELECT UNNEST(t) AS w FROM toks), uni2 AS (SELECT w FROM uni WHERE w != ''),
+    c_bi AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi2 GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}),
+    c_uni AS (SELECT w, COUNT(*) AS c_w FROM uni2 GROUP BY w),
+    n_bi AS (SELECT COUNT(*) AS n_bi FROM bi2),
+    n_uni AS (SELECT COUNT(*) AS n_uni FROM uni2)
+    SELECT c_bi.w1, c_bi.w2, c_bi.c_xy,
+           FLOOR(LN((CAST(c_xy AS DOUBLE) * CAST(n_uni.n_uni AS DOUBLE) / (CAST(cx.c_w AS DOUBLE) * CAST(cy.c_w AS DOUBLE)))
+                    * (CAST(n_uni.n_uni AS DOUBLE) / CAST(n_bi.n_bi AS DOUBLE))) * 1000000 + 0.5) / 1e6 AS pmi
+    FROM c_bi
+    JOIN c_uni cx ON cx.w = c_bi.w1
+    JOIN c_uni cy ON cy.w = c_bi.w2
+    CROSS JOIN n_bi CROSS JOIN n_uni
+    ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
+    """

@@ -79,7 +79,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # (q_min_cost_supplier, q_product_profit, q_important_stock,
 # q_promo_revenue, q_supplier_count, q_potential_promotion), the
 # round-5 additions text_perplexity / text_bpe_train /
-# text_bpe_encode / q_pagerank / q_shortest_path / q_triangles, plus
+# text_bpe_encode / q_pagerank / q_shortest_path / q_triangles /
+# text_inverted_index / text_bm25 / text_collocations /
+# q_record_linkage / q_gap_fill / q_skyline, plus
 # anything else round 5 touches.
 
 

@@ -596,3 +596,66 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "user_id", "event_id")
         .limit(10)
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS day_value
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      WHERE user_id % 10 = 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ), d AS (
+      SELECT user_id, CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM f GROUP BY user_id
+    ), j AS (
+      SELECT d.user_id, d.day, COALESCE(f.n_events, 0) AS n_events, f.day_value
+      FROM d LEFT JOIN f ON f.user_id = d.user_id AND f.day = d.day
+    )
+    SELECT user_id, day, n_events,
+           LAST_VALUE(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM j
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q66: time-series gap fill + LOCF — regularize each user's daily
+    activity onto a dense calendar (min..max day per user), zero-fill
+    the counts and carry the last observed daily value forward (the
+    standard resample step before any per-entity model).
+
+    Scale shape: the daily rollup is one (user, day) keyed exchange
+    with map-side combine; the per-user calendar is sequence→explode
+    over a two-column agg (rows ≈ users × days — the DENSE output is
+    the product, unavoidable); the LOCF window rides the same user_id
+    partitioning. Daily sums take the integer micro-unit path
+    (functions/exact.py) so both engines fill bit-identical values."""
+    from rabbit_data_pipeline_spark.functions.exact import lsum
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    f = (
+        e.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"), lsum("value").alias("day_value"))
+    )
+    cal = (
+        f.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    j = cal.join(f, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "day_value",
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
+    )

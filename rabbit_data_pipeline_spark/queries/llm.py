@@ -1151,3 +1151,60 @@ def text_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return perplexity_score(d)
+
+
+@register("text_inverted_index", oracle=None)  # oracle attached below
+def text_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54: sharded inverted-index build over the documents table —
+    bounded posting lists (32 ids/shard) so stop-word skew becomes
+    many fixed-size rows; postings leave the compare surface as a
+    comma-joined scalar (operators/text.py inverted_index)."""
+    from rabbit_data_pipeline_spark.operators.text import inverted_index
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return inverted_index(d, shard_size=32)
+
+
+@register("text_bm25", oracle=None)
+def text_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55: BM25 lexical ranking for the query {spark, join, window}
+    over the documents table — doc length carried map-side, one
+    (doc,term) exchange over query-matching tokens only, stats and df
+    broadcast; per-term scores micro-floored before the per-doc sum
+    (operators/text.py bm25_scores)."""
+    from rabbit_data_pipeline_spark.operators.text import bm25_scores
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bm25_scores(d, ["spark", "join", "window"])
+
+
+@register("text_collocations", oracle=None)
+def text_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56: PMI collocation mining over the documents table — bigram/
+    unigram counting with map-side combine, lift computed from exact
+    integer counts in one fixed IEEE shape, per-row ln micro-floored
+    (operators/text.py collocations)."""
+    from rabbit_data_pipeline_spark.operators.text import collocations
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return collocations(d, min_count=5, top_k=20)
+
+
+def _attach_text_index_oracles() -> None:
+    from rabbit_data_pipeline_spark.operators.text import (
+        sql_bm25,
+        sql_collocations,
+        sql_inverted_index,
+    )
+    from rabbit_data_pipeline_spark.queries import _REGISTRY, Query
+
+    for name, sql in (
+        ("text_inverted_index", sql_inverted_index(shard_size=32)),
+        ("text_bm25", sql_bm25(["spark", "join", "window"])),
+        ("text_collocations", sql_collocations(min_count=5, top_k=20)),
+    ):
+        q = _REGISTRY[name]
+        _REGISTRY[name] = Query(q.name, q.builder, sql)
+
+
+_attach_text_index_oracles()

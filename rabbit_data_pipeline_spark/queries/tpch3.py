@@ -484,3 +484,97 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# --- Q65: record linkage (entity resolution) ---------------------------------
+@register(
+    "q_record_linkage",
+    oracle="""
+    WITH d AS (
+      SELECT p_name, MIN(p_partkey) AS canon_key, COUNT(*) AS n_rows,
+             string_split(p_name, ' ')[2] AS blk, string_split(p_name, ' ')[1] AS first_tok
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.canon_key AS key_a, b.canon_key AS key_b,
+           a.n_rows AS rows_a, b.n_rows AS rows_b,
+           levenshtein(a.first_tok, b.first_tok) AS dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.first_tok, b.first_tok) <= 3
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q65: record linkage / entity resolution over part names —
+    the classic dictionary-then-block shape: collapse the corpus to
+    its distinct-name dictionary first (one keyed agg; the 100 TB
+    corpus may hold 10^11 rows but only 10^7 distinct names), then
+    match WITHIN blocking-key groups only (here the head noun), never
+    all-pairs, scoring candidates by edit distance on the modifier
+    token. Match results join back to the corpus by name when row-level
+    links are needed (broadcast — the dictionary is the small side).
+    Spark's levenshtein and DuckDB's agree on classic edit distance,
+    so the gate hashes pair-for-pair."""
+    p = _t(spark, sf_dir, "part")["part"]
+    d = (
+        p.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("canon_key"), F.count("*").alias("n_rows"))
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+        .withColumn("first_tok", F.split("p_name", " ").getItem(0))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.first_tok"), F.col("b.first_tok"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.canon_key").alias("key_a"),
+            F.col("b.canon_key").alias("key_b"),
+            F.col("a.n_rows").alias("rows_a"),
+            F.col("b.n_rows").alias("rows_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
+# --- Q66 is q_gap_fill (queries/events.py) -----------------------------------
+
+
+# --- Q67: skyline / Pareto frontier ------------------------------------------
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q67: 2-D skyline (Pareto frontier) — parts not dominated on
+    (price, size), both minimized. The oracle is the O(n^2) NOT
+    EXISTS definition; the Spark plan is the O(n log n) sweep: one
+    keyed agg to per-price minimum size (the only corpus-scale
+    exchange), a running-min window over the tiny distinct-price
+    table (rows ≪ corpus — thousands of prices at 100 TB, so the
+    single-partition window is a non-issue), keep prices whose min
+    size strictly undercuts every cheaper price, then broadcast the
+    skyline (price, size) pairs back to recover the rows. A row ties
+    its price-group minimum and beats all cheaper groups iff nothing
+    dominates it — same set, no self-join."""
+    p = _t(spark, sf_dir, "part")["part"]
+    g = p.groupBy("p_retailprice").agg(F.min("p_size").alias("gmin"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        g.withColumn("prev_min", F.min("gmin").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("gmin") < F.col("prev_min")))
+        .select(F.col("p_retailprice").alias("sk_price"), F.col("gmin").alias("sk_size"))
+    )
+    return p.join(
+        F.broadcast(sky),
+        (F.col("p_retailprice") == F.col("sk_price")) & (F.col("p_size") == F.col("sk_size")),
+    ).select("p_partkey", "p_name", "p_retailprice", "p_size")

@@ -1000,3 +1000,49 @@ def test_triangle_count_hand_verified(spark):
     k4 = [(a, b) for a, b in combinations(["a", "b", "c", "d"], 2)]
     edges = spark.createDataFrame(k4 + [("d", "e")], ["u", "v"])
     assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_inverted_index_shards_and_orders(spark):
+    """3 docs sharing 'a': shard_size=2 splits the postings at doc
+    order [1,2],[3]; per-doc duplicates collapse before counting."""
+    from rabbit_data_pipeline_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "a b")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["term"], r["shard"]): (r["n_docs"], r["postings"])
+        for r in inverted_index(df, shard_size=2).collect()
+    }
+    assert rows[("a", 0)] == (2, "1,2")
+    assert rows[("a", 1)] == (1, "3")
+    assert rows[("b", 0)] == (2, "1,3")
+    assert rows[("c", 0)] == (1, "2")
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    """Two docs of equal length: the one matching the rarer query term
+    outranks the one matching the common term (idf dominates at tf=1)."""
+    from rabbit_data_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "rare w x y"), (2, "common w x y"), (3, "common p q r"), (4, "common s t u")],
+        ["doc_id", "text"],
+    )
+    got = bm25_scores(df, ["rare", "common"], top_k=4).collect()
+    assert got[0]["doc_id"] == 1  # rare-term doc first
+    assert got[0]["bm25"] > got[1]["bm25"]
+
+
+def test_collocations_pmi_prefers_exclusive_pair(spark):
+    """'x y' always co-occur exclusively; 'a b' share their words with
+    other contexts — PMI must rank (x,y) above (a,b)."""
+    from rabbit_data_pipeline_spark.operators.text import collocations
+
+    rows = [(i, "x y") for i in range(5)] + [(100 + i, "a b") for i in range(5)] + [
+        (200 + i, "a c b d") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = collocations(df, min_count=5, top_k=10).collect()
+    pmi = {(r["w1"], r["w2"]): r["pmi"] for r in got}
+    assert pmi[("x", "y")] > pmi[("a", "b")]

@@ -89,3 +89,38 @@ def test_min_cost_supplier_correct_on_smj_path(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == want
+
+
+def test_record_linkage_blocked_join_no_cartesian(plans):
+    """Q65: dictionary self-join is equi-keyed on the blocking token —
+    never a cartesian — and the edit-distance filter runs post-join."""
+    p = plans("q_record_linkage")
+    assert "CartesianProduct" not in p
+    assert "levenshtein" in p
+
+
+def test_skyline_sweep_shape(plans):
+    """Q67: the corpus-scale work is one agg; the skyline set joins
+    back by broadcast, and no self-join of the full table exists."""
+    p = plans("q_skyline")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_gap_fill_no_cartesian_window_rides_user_key(plans):
+    """Q66: calendar⋈daily is an equi-join on (user_id, day); the LOCF
+    window partitions by the same user key."""
+    p = plans("q_gap_fill")
+    assert "CartesianProduct" not in p
+    assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_text_index_rankers_stay_jvm_side(plans):
+    """L54-L56: inverted index, BM25 and PMI plans contain no Python
+    evaluation and the rankers' top-k is TakeOrdered, not a sort."""
+    for name in ("text_inverted_index", "text_bm25", "text_collocations"):
+        p = plans(name)
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+    assert "TakeOrderedAndProject" in plans("text_bm25")
+    assert "TakeOrderedAndProject" in plans("text_collocations")
