@@ -659,3 +659,73 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END AS kind
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ), tagged AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 3 DAY THEN touch_type END,
+                    'none') AS channel,
+           COUNT(*) AS n_conversions,
+           SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS revenue
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q68: last-touch marketing attribution — credit each purchase to
+    the user's most recent click/view strictly before it, within a
+    3-day lookback; purchases with no touch in the window fall into
+    the 'none' channel. Revenue per channel on the exact integer
+    micro-unit path.
+
+    Scale shape: the attribution itself is ONE user-keyed window over
+    the union of touches and conversions (the streaming-friendly
+    last-non-null-carry idiom — no touch⋈purchase join, no range
+    explosion); (ts, kind, event_id) total-orders the frame so
+    same-timestamp touch-vs-purchase ties break identically in both
+    engines; the final channel rollup aggregates a handful of rows."""
+    from rabbit_data_pipeline_spark.functions.exact import lsum
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type").isin("click", "view"), F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(F.when(F.col("kind") == 0, F.col("event_type")), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    tagged = ev.select("*", touch_type.alias("touch_type"), touch_ts.alias("touch_ts"))
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(F.col("touch_ts") >= F.col("ts") - F.expr("interval 3 days"), F.col("touch_type")),
+                F.lit("none"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_conversions"), lsum("value").alias("revenue"))
+    )

@@ -729,3 +729,37 @@ def sync_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = c.filter(F.col("c_custkey") % 7 == 0)
     source = c.filter(F.col("c_custkey") % 3 == 0)
     return deleted_keys(target, source, ["c_custkey"])
+
+
+# --- Y10: incremental materialized-rollup maintenance --------------------------
+@register(
+    "rollup_incremental",
+    oracle="""
+    SELECT o_custkey, COUNT(o_totalprice) AS n_rows,
+           SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total,
+           SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+             / COUNT(o_totalprice) AS mean
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y10: incremental materialized-rollup maintenance — the base
+    rollup (orders before 1998) is merged with a delta batch (orders
+    from 1998 on) via integer-partial addition, and the result must
+    hash identically to the oracle's FULL RECOMPUTE over all orders:
+    the gate proves merge(rollup(base), agg(delta)) == rollup(all)
+    bit-for-bit. At 100 TB the stored side is bucketed on the rollup
+    key (sinks/layout.py), so the nightly merge is O(delta), not
+    O(corpus) (operators/rollup.py)."""
+    from rabbit_data_pipeline_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = rollup_partials(o.filter(F.col("o_orderdate") < cut), ["o_custkey"], "o_totalprice")
+    delta = rollup_partials(o.filter(F.col("o_orderdate") >= cut), ["o_custkey"], "o_totalprice")
+    return finalize_rollup(merge_rollups(base, delta, ["o_custkey"]), ["o_custkey"])

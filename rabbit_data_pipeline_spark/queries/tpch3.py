@@ -578,3 +578,46 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sky),
         (F.col("p_retailprice") == F.col("sk_price")) & (F.col("p_size") == F.col("sk_size")),
     ).select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+# --- Q69: table profiling ----------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows, COUNT({c}) AS n_non_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           MIN({c}) AS min_val, MAX({c}) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q69: table profiling (per-column null/distinct/range stats —
+    the first pass of every data-quality gate and the input to a data
+    card). One single-column aggregation per profiled column, unioned:
+    deliberately NOT one multi-distinct agg — Spark plans multiple
+    COUNT(DISTINCT)s via Expand (data duplicated once per distinct
+    column), while per-column passes each scan ONE pruned parquet
+    column with map-side partials. At 100 TB, four 1-column scans of
+    a columnar file beat one 4-way-expanded scan by the expansion
+    factor. MIN/MAX/COUNT are order-independent — no decimal detour."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    parts = [
+        li.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(c).alias("n_non_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(c).alias("min_val"),
+            F.max(c).alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -472,3 +472,32 @@ def test_corpus_diff_plugin_two_inputs(spark):
     out = Scheduler(spark, {"d": spec}).run("d")["diff"]
     got = {r["doc_id"]: r["status"] for r in out.collect()}
     assert got == {1: "unchanged", 2: "removed", 3: "added"}
+
+
+def test_rollup_merge_order_independent(spark):
+    """Partial-rollup merging is exact integer addition: merging four
+    batches in two different orders (and any grouping) must equal the
+    one-shot aggregation bit-for-bit — the invariant the
+    rollup_incremental oracle gate relies on."""
+    from rabbit_data_pipeline_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    rows = [(i % 5, float(i) + 0.17) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    from pyspark.sql import functions as F
+
+    batches = [
+        rollup_partials(df.filter(F.floor("v").cast("long") % 4 == i), ["k"], "v")
+        for i in range(4)
+    ]
+    full = rollup_partials(df, ["k"], "v")
+
+    def rowset(p):
+        return {tuple(r) for r in finalize_rollup(p, ["k"]).collect()}
+
+    fwd = merge_rollups(merge_rollups(merge_rollups(batches[0], batches[1], ["k"]), batches[2], ["k"]), batches[3], ["k"])
+    rev = merge_rollups(batches[3], merge_rollups(batches[2], merge_rollups(batches[1], batches[0], ["k"]), ["k"]), ["k"])
+    assert rowset(fwd) == rowset(rev) == rowset(full)
