@@ -82,7 +82,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # text_bpe_encode / q_pagerank / q_shortest_path / q_triangles /
 # text_inverted_index / text_bm25 / text_collocations /
 # q_record_linkage / q_gap_fill / q_skyline / q_attribution /
-# q_profile / rollup_incremental, plus
+# q_profile / rollup_incremental / stream_attribution /
+# stream_rollup, plus
 # anything else round 5 touches.
 
 

@@ -347,3 +347,89 @@ def _wire_incremental_oracle():
 
 
 _wire_incremental_oracle()
+
+
+@register(
+    "stream_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END AS kind
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ), tagged AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 3 DAY THEN touch_type END,
+                    'none') AS channel,
+           COUNT(*) AS n_conversions,
+           SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS revenue
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: stateful last-touch attribution ON THE STREAM
+    (applyInPandasWithState; per-user state = one carried touch tuple,
+    O(active users) memory) — each purchase is credited as it arrives.
+    One availableNow batch over the feed must hash-match the batch
+    window query's channel rollup (queries/events.py q_attribution):
+    the custom-stateful path gets a full value-hash gate, not just
+    unit tests (streaming/ops.py attribute_stateful)."""
+    from rabbit_data_pipeline_spark.streaming import attribute_stateful
+
+    stream = _events_queue(spark, sf_dir)
+    per_purchase = attribute_stateful(stream, lookback_days=3)
+    out = _run_to_table(per_purchase, "append")
+    return out.groupBy("channel").agg(
+        F.count("*").alias("n_conversions"),
+        (F.sum("value_micro") / F.lit(1e6)).alias("revenue"),
+    )
+
+
+@register(
+    "stream_rollup",
+    oracle="""
+    SELECT event_type, COUNT(value) AS n_rows,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+             / COUNT(value) AS mean
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: exactly-once incremental rollup maintenance on the stream —
+    the feed is deliberately chopped into MULTIPLE micro-batches
+    (maxFilesPerTrigger) and each batch's integer partials merge into
+    a parquet rollup through the epoch-fenced atomic swap
+    (sinks/stream.py rollup_write_stream). The final table must
+    hash-match a full recompute over all events: multi-batch merge
+    exactness + the non-idempotent-sink fence, value-hash-gated."""
+    from rabbit_data_pipeline_spark.operators.rollup import finalize_rollup
+    from rabbit_data_pipeline_spark.sinks.stream import rollup_write_stream
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    ).repartition(8)
+    qdir = os.path.join(tempfile.gettempdir(), f"rdps_stream_{uuid.uuid4().hex[:12]}")
+    ev.write.mode("overwrite").json(qdir)
+    stream = (
+        spark.readStream.schema(TRANSPORT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .json(qdir)
+    )
+    table = os.path.join(tempfile.gettempdir(), f"rdps_rollup_{uuid.uuid4().hex[:12]}")
+    ckpt = table + "_ckpt"
+    q = rollup_write_stream(stream, table, ["event_type"], "value", ckpt)
+    q.awaitTermination(300)
+    return finalize_rollup(spark.read.parquet(table), ["event_type"])

@@ -121,3 +121,72 @@ def upsert_write_stream(
     writer = df.writeStream.foreachBatch(merge_batch).option("checkpointLocation", checkpoint)
     writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
     return writer.start()
+
+
+def rollup_write_stream(
+    df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+    trigger: Trigger | None = None,
+) -> StreamingQuery:
+    """Stream → incrementally-maintained rollup table (foreachBatch +
+    operators/rollup.py partials): each micro-batch is aggregated to
+    exact integer partials and MERGED into the stored rollup — the
+    streaming counterpart of Y10's nightly delta job, with work per
+    batch O(batch + rollup keys), never O(history).
+
+    Exactly-once despite a non-idempotent merge: unlike upsert (which
+    replays harmlessly), adding partials twice double-counts, so each
+    swap commits an `_EPOCH` file INSIDE the table directory recording
+    the last merged batch id — data and fence move atomically in the
+    same rename. A replayed batch (crash between sink write and
+    checkpoint commit) sees epoch <= fence and skips. Same
+    crash-recovery invariant as upsert_write_stream: a full copy of
+    the table always exists at `table_path` or `__old`."""
+    def merge_batch(batch: DataFrame, epoch: int) -> None:
+        merge_rollup_batch(batch, epoch, table_path, keys, value_col)
+
+    writer = df.writeStream.foreachBatch(merge_batch).option("checkpointLocation", checkpoint)
+    writer = writer.trigger(**(trigger.streaming_options() if trigger else {"availableNow": True}))
+    return writer.start()
+
+
+def merge_rollup_batch(batch: DataFrame, epoch: int, table_path: str, keys: list[str], value_col: str) -> bool:
+    """One epoch-fenced merge step (the foreachBatch body of
+    rollup_write_stream, module-level so the replay fence is directly
+    unit-testable). Returns False when the fence rejected a replay."""
+    import json
+    import os
+    import shutil
+
+    from rabbit_data_pipeline_spark.operators.rollup import merge_rollups, rollup_partials
+
+    spark = batch.sparkSession
+    base = table_path.rstrip("/")
+    tmp, old = base + "__staging", base + "__old"
+    if os.path.exists(old):
+        if os.path.exists(base):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, base)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+    fence = os.path.join(base, "_EPOCH")
+    if os.path.exists(fence) and json.load(open(fence))["epoch"] >= epoch:
+        return False  # replayed batch already merged — the fence makes the merge idempotent
+    delta = rollup_partials(batch, keys, value_col)
+    if os.path.exists(base):
+        merged = merge_rollups(spark.read.parquet(base), delta, keys)
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(tmp)
+    json.dump({"epoch": epoch}, open(os.path.join(tmp, "_EPOCH"), "w"))
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return True

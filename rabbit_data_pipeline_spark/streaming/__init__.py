@@ -1,4 +1,5 @@
 from rabbit_data_pipeline_spark.streaming.ops import (
+    attribute_stateful,
     parse_json_messages,
     sessionize_stateful,
     session_window_agg,
@@ -8,6 +9,7 @@ from rabbit_data_pipeline_spark.streaming.ops import (
 )
 
 __all__ = [
+    "attribute_stateful",
     "parse_json_messages",
     "sessionize_stateful",
     "session_window_agg",

@@ -286,3 +286,101 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout if event else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------- stateful last-touch attribution
+
+ATTRIBUTION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("channel", StringType()),
+        StructField("value_micro", LongType()),
+    ]
+)
+
+_ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("touch_type", StringType()),
+        StructField("touch_us", LongType()),
+    ]
+)
+
+
+def _attribution_fn(lookback_us: int, touch_types: tuple, conv_type: str):
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # total order (ts, kind, event_id): a touch at the same
+        # microsecond as a purchase counts for it — identical to the
+        # batch oracle's window ORDER BY ts, kind, event_id with a
+        # 1-PRECEDING frame.
+        rows["kind"] = (~rows["event_type"].isin(touch_types)).astype("int64")
+        rows = rows.sort_values(["ts_us", "kind", "event_id"], kind="mergesort", ignore_index=True)
+        touch_type, touch_us = state.get if state.exists else (None, -1)
+        out_uid, out_pid, out_ch, out_val = [], [], [], []
+        for et, t_us, eid, vmicro in zip(
+            rows["event_type"], rows["ts_us"], rows["event_id"], rows["value_micro"]
+        ):
+            t_us = int(t_us)
+            if et in touch_types:
+                touch_type, touch_us = et, t_us
+            elif et == conv_type:
+                attributed = touch_type is not None and touch_us >= t_us - lookback_us
+                out_uid.append(int(user_id))
+                out_pid.append(int(eid))
+                out_ch.append(touch_type if attributed else "none")
+                out_val.append(int(vmicro))
+        state.update((touch_type, touch_us))
+        if out_uid:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_uid,
+                    "purchase_id": out_pid,
+                    "channel": out_ch,
+                    "value_micro": out_val,
+                }
+            )
+
+    return fn
+
+
+def attribute_stateful(
+    stream: DataFrame,
+    lookback_days: int = 3,
+    touch_types: tuple = ("click", "view"),
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming last-touch attribution via `applyInPandasWithState`:
+    per-user state is ONE (touch_type, touch_ts) tuple — the carried
+    value of the batch query's last-non-null window (queries/events.py
+    q_attribution) — so memory is O(active users) regardless of
+    history length, and each conversion is attributed the moment it
+    arrives instead of in a nightly batch job.
+
+    All arithmetic is integer microseconds (timestamps transported as
+    epoch-µs, values as micro-units), so the availableNow replay of a
+    backlog hashes bit-identically against the batch/DuckDB oracle.
+    Cross-batch ordering note: within one micro-batch rows are
+    totally ordered by (ts, kind, id); across micro-batches ordering
+    follows arrival, the same contract every at-least-once broker
+    gives — replays/backfills should use availableNow (one batch),
+    the live path assumes per-user in-order delivery (keyed topics)."""
+    typed = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long").alias("value_micro"),
+    ).filter(F.col("event_type").isin(*touch_types, conv_type))
+    return typed.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn(lookback_days * 86_400_000_000, tuple(touch_types), conv_type),
+        outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

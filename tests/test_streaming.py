@@ -395,3 +395,21 @@ def test_chunked_replay_parity_with_single_batch(spark, tmp_path, sf_smoke):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {tuple(r) for r in ev.select("event_id", "user_id", "event_type").distinct().collect()}
     assert got == want
+
+
+def test_rollup_stream_fence_rejects_replay(spark, tmp_path):
+    """A crash between sink write and checkpoint commit replays the
+    micro-batch; the in-table epoch fence must make the second merge
+    of the same epoch a no-op (a partial merge is NOT idempotent —
+    without the fence the replay double-counts)."""
+    from rabbit_data_pipeline_spark.sinks.stream import merge_rollup_batch
+
+    df = spark.createDataFrame([("a", 1.5), ("a", 2.5), ("b", 1.0)], ["k", "v"])
+    table = str(tmp_path / "rollup")
+    assert merge_rollup_batch(df, 0, table, ["k"], "v") is True
+    assert merge_rollup_batch(df, 0, table, ["k"], "v") is False  # replay fenced
+    got = {r["k"]: (r["n"], r["sum_micro"]) for r in spark.read.parquet(table).collect()}
+    assert got == {"a": (2, 4_000_000), "b": (1, 1_000_000)}
+    assert merge_rollup_batch(df, 1, table, ["k"], "v") is True  # next epoch merges
+    got = {r["k"]: r["n"] for r in spark.read.parquet(table).collect()}
+    assert got == {"a": 4, "b": 2}
