@@ -307,3 +307,102 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
+    """K-core decomposition by iterative peeling: repeatedly drop
+    nodes with degree < k in the surviving subgraph until the fixpoint
+    (the maximal subgraph where everyone keeps >= k neighbors — the
+    standard community-density filter). `edges` must be symmetric
+    (both directions present).
+
+    Scale shape: each round is two semi-joins of the static edge list
+    against the shrinking survivor set plus one keyed count — work
+    decreases monotonically as nodes peel. The convergence probe is
+    one driver count per round; rounds are bounded by the peeling
+    depth (typically ≪ diameter), and a fixpoint round is a no-op,
+    which is what lets an unrolled fixed-depth SQL twin hash-match
+    the converged answer exactly.
+
+    Returns (node, deg) — survivors with their in-core degree."""
+    alive = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+        n_next = deg.count()
+        if n_next == n_alive:
+            return deg.select(F.col("src").alias("node"), "deg")
+        alive = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+        n_alive = n_next
+        if n_alive == 0:
+            return deg.select(F.col("src").alias("node"), "deg")
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: list[str],
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Single-source shortest paths with integer edge weights —
+    Bellman-Ford-style frontier relaxation: each round relaxes only
+    edges out of nodes whose distance IMPROVED last round (the
+    delta-stepping-without-buckets shape), so total work is
+    O(edges x improvement-rounds), not O(V x E). `edges` needs
+    (src, dst, w) with non-negative integer w (micro-units upstream).
+
+    Integer distances make the converged vector bit-comparable to an
+    unrolled full-vector relaxation twin (extra unrolled rounds are
+    no-ops at the fixpoint). Raises if not converged in `max_rounds`
+    (graphs here are candidate/trading graphs with small hop
+    diameters; a genuine 10^6-hop chain needs a different algorithm).
+
+    Returns (node, dist) for reachable nodes."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(s, 0) for s in sources], ["node", "dist"]).localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            return dist
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    # converged iff one more relaxation changes nothing
+    cand = (
+        dist.join(edges, dist["node"] == edges["src"])
+        .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    still = cand.join(dist.withColumnRenamed("dist", "old"), "node", "left").filter(
+        F.col("old").isNull() | (F.col("dist") < F.col("old"))
+    )
+    if not still.isEmpty():
+        raise RuntimeError(f"weighted_sssp did not converge in {max_rounds} rounds")
+    return dist

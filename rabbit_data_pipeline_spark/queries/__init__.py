@@ -83,7 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # text_inverted_index / text_bm25 / text_collocations /
 # q_record_linkage / q_gap_fill / q_skyline / q_attribution /
 # q_profile / rollup_incremental / stream_attribution /
-# stream_rollup, plus
+# stream_rollup / q_kcore / q_weighted_paths / text_nb_train /
+# text_nb_classify, plus
 # anything else round 5 touches.
 
 

@@ -1208,3 +1208,72 @@ def _attach_text_index_oracles() -> None:
 
 
 _attach_text_index_oracles()
+
+
+@register(
+    "text_nb_train",
+    oracle="""
+    SELECT lang AS label, word, COUNT(*) AS c
+    FROM (SELECT lang, UNNEST(string_split(LOWER(text), ' ')) AS word FROM documents)
+    WHERE word != ''
+    GROUP BY lang, word
+    """,
+)
+def text_nb_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57a: Naive Bayes training over the documents table — the model
+    IS two integer count tables (per-(class,word) + priors), so
+    training is one keyed shuffle with map-side combine, two training
+    runs merge by integer addition, and the full model hash-matches
+    the oracle (operators/classify.py nb_train)."""
+    from rabbit_data_pipeline_spark.operators.classify import nb_train
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return nb_train(d)
+
+
+@register(
+    "text_nb_classify",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS word FROM documents
+    ), tok2 AS (SELECT * FROM tok WHERE word != ''),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, word),
+    ltok AS (
+      SELECT lang, UNNEST(string_split(LOWER(text), ' ')) AS word FROM documents
+    ),
+    model AS (SELECT lang AS label, word, COUNT(*) AS c FROM ltok WHERE word != '' GROUP BY 1, 2),
+    totals AS (SELECT label, SUM(c) AS tot FROM model GROUP BY label),
+    vocab AS (SELECT COUNT(DISTINCT word) AS V FROM model),
+    priors AS (SELECT lang AS label, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    n_all AS (SELECT SUM(n_docs) AS n_all FROM priors),
+    scored AS (
+      SELECT tf.doc_id, t.label,
+             SUM(CAST(FLOOR(tf.tf * LN((COALESCE(m.c, 0) + 1.0) / (t.tot + v.V)) * 1000000 + 0.5) AS BIGINT)) AS ll
+      FROM tf CROSS JOIN totals t CROSS JOIN vocab v
+      LEFT JOIN model m ON m.label = t.label AND m.word = tf.word
+      GROUP BY tf.doc_id, t.label
+    ),
+    with_prior AS (
+      SELECT s.doc_id, s.label,
+             s.ll + CAST(FLOOR(LN(CAST(p.n_docs AS DOUBLE) / a.n_all) * 1000000 + 0.5) AS BIGINT) AS score
+      FROM scored s JOIN priors p ON p.label = s.label CROSS JOIN n_all a
+    )
+    SELECT doc_id, label AS predicted, score / 1e6 AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+          FROM with_prior)
+    WHERE rn = 1
+    """,
+)
+def text_nb_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57b: Naive Bayes inference — self-classification of the
+    documents corpus by language. Per-(doc,word,class) log terms are
+    micro-floored before the integer sum (order-independent); argmax
+    tie-breaks (score desc, label asc); the model broadcasts, so the
+    corpus crosses the wire once for tf and once for the (doc,class)
+    sum (operators/classify.py nb_classify)."""
+    from rabbit_data_pipeline_spark.operators.classify import nb_classify, nb_train
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    model = nb_train(d)
+    priors = d.groupBy(F.col("lang").alias("label")).agg(F.count("*").alias("n_docs"))
+    return nb_classify(d, model, priors)

@@ -621,3 +621,122 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --- Q70: k-core decomposition -----------------------------------------------
+_TRADE_PAIRS = """
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _kcore_oracle(k: int = 30, rounds: int = 8) -> str:
+    """Unrolled peeling twin of operators/graph.py kcore: every round
+    past the fixpoint is a no-op, so a fixed unroll depth >= the
+    peeling depth hashes exactly against the converged answer."""
+    sql = f"""
+    WITH pairs AS ({_TRADE_PAIRS}
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS deg FROM edges)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT e.src AS node, COUNT(*) AS deg
+      FROM edges e JOIN a{i - 1} x ON e.src = x.node JOIN a{i - 1} y ON e.dst = y.node
+      GROUP BY e.src HAVING COUNT(*) >= {k})"""
+    sql += f"\n    SELECT node, deg FROM a{rounds}"
+    return sql
+
+
+@register("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q70: 30-core of the customer↔supplier trading graph — iterative
+    peeling (drop degree<30 nodes until fixpoint), the standard
+    density filter before community analysis. The Spark side peels to
+    convergence with per-round shrinking semi-joins (operators/
+    graph.py kcore); the oracle unrolls a fixed depth past the
+    fixpoint, where extra rounds are no-ops — converged-loop vs
+    unrolled-twin, hash-equal."""
+    from rabbit_data_pipeline_spark.operators.graph import kcore
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return kcore(edges, k=30)
+
+
+# --- Q71: weighted shortest paths --------------------------------------------
+def _wsssp_oracle(rounds: int = 10) -> str:
+    """Unrolled Bellman-Ford twin of operators/graph.py weighted_sssp
+    (integer micro-unit weights; fixpoint by round 8 at sf0.01, extra
+    rounds are no-ops)."""
+    sql = """
+    WITH pairs AS (
+      SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) AS BIGINT)) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT c AS src, s AS dst, w FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst, w FROM pairs
+    ),
+    d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node)"""
+    sql += f"\n    SELECT node, dist FROM d{rounds}"
+    return sql
+
+
+@register("q_weighted_paths", oracle=_wsssp_oracle())
+def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q71: cheapest trading routes from supplier s1 — weighted
+    shortest paths where an edge costs the cheapest unit price ever
+    traded between the pair (integer micro-units). Frontier-only
+    Bellman-Ford relaxation (operators/graph.py weighted_sssp): each
+    round relaxes only edges out of just-improved nodes, so total work
+    tracks improvements, not V×E; integer distances hash exactly
+    against the unrolled full-vector twin."""
+    from rabbit_data_pipeline_spark.operators.graph import weighted_sssp
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("w")
+        )
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    return weighted_sssp(edges, ["s1"], max_rounds=16)

@@ -1046,3 +1046,50 @@ def test_collocations_pmi_prefers_exclusive_pair(spark):
     got = collocations(df, min_count=5, top_k=10).collect()
     pmi = {(r["w1"], r["w2"]): r["pmi"] for r in got}
     assert pmi[("x", "y")] > pmi[("a", "b")]
+
+
+def test_kcore_hand_verified_peeling(spark):
+    """Triangle a-b-c plus pendant d-a: 2-core must peel d first, then
+    keep exactly the triangle with in-core degree 2 each — two rounds,
+    exercising the cascade."""
+    from rabbit_data_pipeline_spark.operators.graph import kcore
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    edges = spark.createDataFrame(und + [(y, x) for x, y in und], ["src", "dst"])
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_weighted_sssp_prefers_cheap_detour(spark):
+    """a->b costs 10 direct but 3 via c (2+1): the relaxation must
+    take the two-hop path; unreachable z stays absent."""
+    from rabbit_data_pipeline_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 2), ("c", "b", 1), ("z", "z2", 5)],
+        ["src", "dst", "w"],
+    )
+    got = {r["node"]: r["dist"] for r in weighted_sssp(edges, ["a"]).collect()}
+    assert got == {"a": 0, "c": 2, "b": 3}
+
+
+def test_nb_classifier_separates_toy_languages(spark):
+    """Two toy 'languages' with disjoint vocab: self-classification
+    must recover every label, and an unseen mixed doc must go to the
+    class whose words dominate it."""
+    from rabbit_data_pipeline_spark.operators.classify import nb_classify, nb_train
+
+    import pyspark.sql.functions as F
+
+    train = spark.createDataFrame(
+        [(1, "le chat dort", "fr"), (2, "le chien dort", "fr"),
+         (3, "the cat sleeps", "en"), (4, "the dog sleeps", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    model = nb_train(train)
+    priors = train.groupBy(F.col("lang").alias("label")).agg(F.count("*").alias("n_docs"))
+    got = {r["doc_id"]: r["predicted"] for r in nb_classify(train, model, priors).collect()}
+    assert got == {1: "fr", 2: "fr", 3: "en", 4: "en"}
+
+    test = spark.createDataFrame([(9, "the cat dort sleeps")], ["doc_id", "text"])
+    assert nb_classify(test, model, priors).collect()[0]["predicted"] == "en"
