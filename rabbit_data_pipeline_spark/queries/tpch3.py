@@ -740,3 +740,146 @@ def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
     )
     return weighted_sssp(edges, ["s1"], max_rounds=16)
+
+
+# --- Q72: market-basket pair mining ------------------------------------------
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    freq AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY l_partkey),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items)
+    SELECT p.part_a, p.part_b, p.support,
+           FLOOR((CAST(p.support AS DOUBLE) * o.n / (CAST(fa.n AS DOUBLE) * fb.n))
+                 * 1000000 + 0.5) / 1e6 AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n_orders o
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q72: market-basket pair mining — part pairs co-ordered far above
+    chance (lift = P(ab)/P(a)P(b)), the classic association signal.
+    Scale shape: the pair self-join is WITHIN-basket only (keyed on
+    l_orderkey; baskets are small, so pairs are bounded by
+    Σ basket² ≪ catalog²), support pruning (HAVING) runs before the
+    frequency joins, item frequencies broadcast back, and the top-k is
+    TakeOrdered. Lift is one fixed IEEE shape over exact integer
+    counts, micro-rounded for a bit-stable ordering."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    n_orders = items.select(F.count_distinct("l_orderkey").alias("n"))
+    lift = (
+        F.col("support").cast("double") * F.col("o_n") / (F.col("fa_n").cast("double") * F.col("fb_n"))
+    )
+    return (
+        pairs.join(F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("fa_n"))), "part_a")
+        .join(F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("fb_n"))), "part_b")
+        .crossJoin(F.broadcast(n_orders.select(F.col("n").alias("o_n"))))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (F.floor(lift * 1_000_000 + F.lit(0.5)) / F.lit(1e6)).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --- Q73: end-to-end entity resolution ---------------------------------------
+@register(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT p_name, MIN(p_partkey) AS canon_key, COUNT(*) AS n_rows,
+             string_split(p_name, ' ')[2] AS blk, string_split(p_name, ' ')[1] AS first_tok
+      FROM part GROUP BY p_name
+    ),
+    p AS (
+      SELECT a.canon_key AS key_a, b.canon_key AS key_b
+      FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.first_tok, b.first_tok) <= 3
+    ),
+    edges AS (SELECT key_a AS u, key_b AS v FROM p UNION SELECT key_b, key_a FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    cc AS (SELECT u AS canon_key, MIN(v) AS entity FROM reach GROUP BY u),
+    named AS (
+      SELECT d.p_name, COALESCE(cc.entity, d.canon_key) AS entity
+      FROM d LEFT JOIN cc ON cc.canon_key = d.canon_key
+    )
+    SELECT n.entity,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT pt.p_name) AS n_names,
+           MIN(pt.p_name) AS entity_label,
+           SUM(CAST(FLOOR(pt.p_retailprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total_price
+    FROM part pt JOIN named n ON n.p_name = pt.p_name
+    GROUP BY n.entity
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q73: the full entity-resolution pipeline in one plan —
+    dictionary (one keyed agg) → blocked edit-distance candidate pairs
+    (Q65) → transitive closure via distributed min-label propagation
+    (operators/graph.py connected_components; chains A~B~C resolve to
+    one entity even without a direct A~C pair) → canonical-entity
+    rollup of the ORIGINAL rows (broadcast name→entity map back). The
+    oracle replays it with a recursive-CTE closure, so cluster
+    assignment AND the final per-entity aggregate are hash-gated
+    end-to-end."""
+    from rabbit_data_pipeline_spark.functions.exact import lsum
+    from rabbit_data_pipeline_spark.operators.graph import connected_components
+
+    p = _t(spark, sf_dir, "part")["part"]
+    d = (
+        p.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("canon_key"), F.count("*").alias("n_rows"))
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+        .withColumn("first_tok", F.split("p_name", " ").getItem(0))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(F.levenshtein(F.col("a.first_tok"), F.col("b.first_tok")) <= 3)
+        .select(F.col("a.canon_key").alias("id_a"), F.col("b.canon_key").alias("id_b"))
+    )
+    cc = connected_components(pairs).withColumnRenamed("id", "canon_key").withColumnRenamed(
+        "component", "entity"
+    )
+    named = d.join(cc, "canon_key", "left").select(
+        "p_name", F.coalesce(F.col("entity"), F.col("canon_key")).alias("entity")
+    )
+    return (
+        p.join(F.broadcast(named), "p_name")
+        .groupBy("entity")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("p_name").alias("n_names"),
+            F.min("p_name").alias("entity_label"),
+            lsum("p_retailprice").alias("total_price"),
+        )
+    )
