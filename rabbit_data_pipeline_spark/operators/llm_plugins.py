@@ -403,3 +403,96 @@ def _snippets(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> D
         id_col=cfg.get("id_col", "doc_id"),
         context=int(cfg.get("context", 30)),
     )
+
+
+@plugin("transform.inverted_index")
+def _inverted_index(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Sharded inverted-index build as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import inverted_index
+
+    (df,) = inputs
+    return inverted_index(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        shard_size=int(cfg.get("shard_size", 32)),
+    )
+
+
+@plugin("transform.bm25")
+def _bm25(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """BM25 keyword ranking as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import bm25_scores
+
+    (df,) = inputs
+    return bm25_scores(
+        df,
+        list(cfg["query_terms"]),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+        k1=float(cfg.get("k1", 1.2)),
+        b=float(cfg.get("b", 0.75)),
+        top_k=int(cfg.get("top_k", 20)),
+    )
+
+
+@plugin("transform.collocations")
+def _collocations(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """PMI collocation mining as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.text import collocations
+
+    (df,) = inputs
+    return collocations(
+        df,
+        text_col=cfg.get("text_col", "text"),
+        min_count=int(cfg.get("min_count", 5)),
+        top_k=int(cfg.get("top_k", 20)),
+    )
+
+
+@plugin("transform.nb_train")
+def _nb_train(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Naive Bayes model training as a pipeline node."""
+    from rabbit_data_pipeline_spark.operators.classify import nb_train
+
+    (df,) = inputs
+    return nb_train(
+        df,
+        label_col=cfg.get("label_col", "lang"),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+
+
+@plugin("transform.nb_classify")
+def _nb_classify(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Naive Bayes inference as a pipeline node: inputs are
+    (documents, model, priors)."""
+    from rabbit_data_pipeline_spark.operators.classify import nb_classify
+
+    df, model, priors = inputs
+    return nb_classify(
+        df,
+        model,
+        priors,
+        label_col=cfg.get("label_col", "lang"),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+
+
+@plugin("transform.rollup_merge")
+def _rollup_merge(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Incremental rollup maintenance as a pipeline node: inputs are
+    (stored_partials, new_batch); emits merged finalized rollup when
+    cfg['finalize'] (default) else merged partials."""
+    from rabbit_data_pipeline_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    stored, batch = inputs
+    keys = list(cfg["keys"])
+    merged = merge_rollups(stored, rollup_partials(batch, keys, cfg["value_col"]), keys)
+    return finalize_rollup(merged, keys) if cfg.get("finalize", True) else merged

@@ -501,3 +501,68 @@ def test_rollup_merge_order_independent(spark):
     fwd = merge_rollups(merge_rollups(merge_rollups(batches[0], batches[1], ["k"]), batches[2], ["k"]), batches[3], ["k"])
     rev = merge_rollups(batches[3], merge_rollups(batches[2], merge_rollups(batches[1], batches[0], ["k"]), ["k"]), ["k"])
     assert rowset(fwd) == rowset(rev) == rowset(full)
+
+
+def test_nb_plugins_wire_through_scheduler(spark, sf_smoke):
+    """transform.nb_train / transform.nb_classify as pipeline nodes:
+    the classifier trains on the documents table and self-classifies
+    through the DAG (multi-input node wiring pinned by explicit
+    `inputs`)."""
+    cfg = {
+        "t": {
+            "docs": {"type": "source.table", "start": True, "name": "documents",
+                     "sf_dir": sf_smoke, "output": ["model", "priors", "cls"]},
+            "model": {"type": "transform.nb_train", "output": "cls"},
+            "priors": {"type": "transform.sql", "output": "cls",
+                       "sql": "SELECT lang AS label, COUNT(*) AS n_docs FROM input GROUP BY lang"},
+            "cls": {"type": "transform.nb_classify", "inputs": ["docs", "model", "priors"],
+                    "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    out = sch.run("t")["out"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"doc_id", "predicted", "score"}
+
+
+_PARTIALS_SQL = (
+    "SELECT o_custkey, COUNT(o_totalprice) AS n, "
+    "SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS sum_micro "
+    "FROM input GROUP BY o_custkey"
+)
+
+
+def test_rollup_merge_plugin_matches_full_agg(spark, sf_smoke):
+    """transform.rollup_merge as a pipeline node: stored partials +
+    new batch must equal the one-shot rollup of the whole table."""
+    import pyspark.sql.functions as F
+
+    from rabbit_data_pipeline_spark.operators.rollup import finalize_rollup, rollup_partials
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    cfg = {
+        "t": {
+            "src": {"type": "source.table", "start": True, "name": "orders",
+                    "sf_dir": sf_smoke, "output": ["base_f", "batch_f"]},
+            "base_f": {"type": "transform.filter", "condition": "o_orderkey % 2 = 0",
+                       "output": "partials"},
+            "partials": {"type": "transform.sql", "sql": _PARTIALS_SQL, "output": "merge"},
+            "batch_f": {"type": "transform.filter", "condition": "o_orderkey % 2 = 1",
+                        "output": "merge"},
+            "merge": {"type": "transform.rollup_merge", "inputs": ["partials", "batch_f"],
+                      "keys": ["o_custkey"], "value_col": "o_totalprice", "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    got = {tuple(r) for r in sch.run("t")["out"].collect()}
+    o = load_tables(spark, sf_smoke, ("orders",))["orders"]
+    want = {
+        tuple(r)
+        for r in finalize_rollup(
+            rollup_partials(o, ["o_custkey"], "o_totalprice"), ["o_custkey"]
+        ).collect()
+    }
+    assert got == want
