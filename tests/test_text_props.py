@@ -92,3 +92,70 @@ def test_split_assign_stable_and_proportional(spark):
     assert abs(c["test"] / 4000 - 0.1) < 0.02
     s3 = {r["doc_id"]: r["split"] for r in split_assign(big).collect()}
     assert s3 == s2
+
+
+def _py_bm25(docs: list[str], terms: list[str], k1=1.2, b=0.75) -> dict[int, float]:
+    import math
+
+    toks = [d.lower().split(" ") for d in docs]
+    toks = [[w for w in t if w] for t in toks]
+    dls = [len(re.sub(r"\s+", " ", d.lower()).strip().split(" ")) if d.strip() else 0 for d in docs]
+    n = len(docs)
+    avgdl = sum(dls) / n
+    out: dict[int, float] = {}
+    for t in terms:
+        df_t = sum(1 for tk in toks if t in tk)
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for i, tk in enumerate(toks):
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+            out[i] = out.get(i, 0) + math.floor(s * 1_000_000 + 0.5)
+    return {i: v / 1e6 for i, v in out.items()}
+
+
+@given(docs=corpus, parts=st.integers(1, 4))
+@settings(max_examples=10, deadline=None)
+def test_bm25_matches_python_reference(spark, docs, parts):
+    """The distributed BM25 (map-side dl carry, broadcast stats) must
+    equal the single-process definition term-for-term, on any
+    partitioning."""
+    from rabbit_data_pipeline_spark.operators.text import bm25_scores
+
+    terms = ["aa", "spam"]
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"]).repartition(parts)
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, terms, top_k=100).collect()}
+    want = _py_bm25(docs, terms)
+    assert got == want
+
+
+def _py_inverted(docs: list[str], shard: int) -> set[tuple[str, int, int, str]]:
+    postings: dict[str, list[int]] = {}
+    for i, d in enumerate(docs):
+        for w in set(w for w in d.lower().split(" ") if w):
+            postings.setdefault(w, []).append(i)
+    out = set()
+    for w, ids in postings.items():
+        ids.sort()
+        for s in range(0, len(ids), shard):
+            chunk = ids[s : s + shard]
+            out.add((w, s // shard, len(chunk), ",".join(map(str, chunk))))
+    return out
+
+
+@given(docs=corpus, parts=st.integers(1, 4), shard=st.integers(1, 3))
+@settings(max_examples=10, deadline=None)
+def test_inverted_index_matches_python_reference(spark, docs, parts, shard):
+    """Sharded posting lists must equal the single-process build:
+    same shard boundaries, same in-shard doc order, any partitioning."""
+    from rabbit_data_pipeline_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"]).repartition(parts)
+    got = {
+        (r["term"], r["shard"], r["n_docs"], r["postings"])
+        for r in inverted_index(df, shard_size=shard).collect()
+    }
+    assert got == _py_inverted(docs, shard)
