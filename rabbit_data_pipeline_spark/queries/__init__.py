@@ -84,7 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # q_record_linkage / q_gap_fill / q_skyline / q_attribution /
 # q_profile / rollup_incremental / stream_attribution /
 # stream_rollup / q_kcore / q_weighted_paths / text_nb_train /
-# text_nb_classify / q_market_basket / q_entity_resolution, plus
+# text_nb_classify / q_market_basket / q_entity_resolution /
+# q_stickiness / q_mode, plus
 # anything else round 5 touches.
 
 

@@ -729,3 +729,57 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count("*").alias("n_conversions"), lsum("value").alias("revenue"))
     )
+
+
+@register(
+    "q_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    )
+    SELECT d.day, dau.dau, wau.wau,
+           FLOOR(CAST(dau.dau AS DOUBLE) / wau.wau * 1000000 + 0.5) / 1e6 AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q74: DAU/WAU stickiness — daily actives over trailing-7-day
+    actives, the standard engagement ratio. The naive spelling is a
+    COUNT(DISTINCT) over a RANGE window (quadratic state); here each
+    (day, user) activity row fans out to the ≤7 target days it keeps
+    the user 'weekly active' for, dedupes (target, user), and counts —
+    linear ×7 in activity rows, all keyed shuffles. The fan-out days
+    are clamped to observed days by a semi-join. Ratio micro-rounded
+    from exact counts."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    targets = (
+        du.select(
+            F.explode(F.expr("sequence(day, day + interval 6 days)")).alias("day"), "user_id"
+        )
+        .join(days, "day", "left_semi")
+        .distinct()
+    )
+    wau = targets.groupBy("day").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.floor(F.col("dau").cast("double") / F.col("wau") * 1_000_000 + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("stickiness"),
+        )
+    )

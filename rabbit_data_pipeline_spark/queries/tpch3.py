@@ -883,3 +883,30 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsum("p_retailprice").alias("total_price"),
         )
     )
+
+
+# --- Q75: per-group mode ------------------------------------------------------
+@register(
+    "q_mode",
+    oracle="""
+    SELECT p_brand, p_type AS mode_type, cnt
+    FROM (
+      SELECT p_brand, p_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY COUNT(*) DESC, p_type) AS rn
+      FROM part GROUP BY p_brand, p_type
+    ) WHERE rn = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q75: per-group mode (most frequent p_type per brand, smallest
+    type on ties) — count agg keyed on (brand, type), then a rank
+    window over the aggregated table (rows = distinct combos, ≪
+    corpus) that reuses the brand-side of the exchange."""
+    p = _t(spark, sf_dir, "part")["part"]
+    g = p.groupBy("p_brand", "p_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(F.col("cnt").desc(), "p_type")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), "cnt")
+    )
