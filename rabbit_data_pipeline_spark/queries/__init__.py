@@ -85,7 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # q_profile / rollup_incremental / stream_attribution /
 # stream_rollup / q_kcore / q_weighted_paths / text_nb_train /
 # text_nb_classify / q_market_basket / q_entity_resolution /
-# q_stickiness / q_mode, plus
+# q_stickiness / q_mode / pipeline_search_index /
+# layout_orc_roundtrip, plus
 # anything else round 5 touches.
 
 

@@ -1277,3 +1277,69 @@ def text_nb_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = nb_train(d)
     priors = d.groupBy(F.col("lang").alias("label")).agg(F.count("*").alias("n_docs"))
     return nb_classify(d, model, priors)
+
+
+def _search_index_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.text import sql_normalize_text
+
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, {sql_normalize_text('text')} AS text FROM documents
+    ), ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM norm
+      ) WHERE rn = 1
+    ), tok AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS term FROM ded
+      ) WHERE term != ''
+    ), r AS (
+      SELECT term, doc_id,
+             CAST((ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 32 AS BIGINT) AS shard
+      FROM tok
+    )
+    SELECT term, shard, COUNT(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM r GROUP BY term, shard
+    """
+
+
+@register("pipeline_search_index", oracle=None)  # oracle attached below
+def pipeline_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L58: the search-ingest chain — normalize → exact dedup →
+    sharded inverted index — declared as a Scheduler task and executed
+    as ONE composed Catalyst plan over the documents table; a single
+    CTE-chain oracle adjudicates all three stages end-to-end (the
+    composition gate, same contract as pipeline_web_prep)."""
+    from rabbit_data_pipeline_spark.pipeline import PipelineSpec, Scheduler
+
+    spec = PipelineSpec.from_dict(
+        "search_index",
+        {
+            "src": {
+                "type": "source.table",
+                "start": True,
+                "name": "documents",
+                "sf_dir": sf_dir,
+                "output": ["norm"],
+            },
+            "norm": {"type": "transform.normalize", "keep_newlines": False, "output": ["ded"]},
+            "ded": {"type": "transform.dedup_exact", "output": ["idx"]},
+            "idx": {"type": "transform.inverted_index", "shard_size": 32},
+        },
+    )
+    return Scheduler(spark, {"search_index": spec}).run("search_index")["idx"]
+
+
+def _attach_search_index_oracle() -> None:
+    from rabbit_data_pipeline_spark.queries import _REGISTRY, Query
+
+    q = _REGISTRY["pipeline_search_index"]
+    _REGISTRY["pipeline_search_index"] = Query(q.name, q.builder, _search_index_oracle())
+
+
+_attach_search_index_oracle()

@@ -763,3 +763,33 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = rollup_partials(o.filter(F.col("o_orderdate") < cut), ["o_custkey"], "o_totalprice")
     delta = rollup_partials(o.filter(F.col("o_orderdate") >= cut), ["o_custkey"], "o_totalprice")
     return finalize_rollup(merge_rollups(base, delta, ["o_custkey"]), ["o_custkey"])
+
+
+@register(
+    "layout_orc_roundtrip",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def layout_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10: ORC interchange — the documents table written as ORC and
+    read back must aggregate identically to the parquet original
+    (format round-trip is lossless for longs/strings; ORC is the
+    second columnar format a reference user's warehouse speaks, and
+    Spark's reader gives it the same pushdown/pruning treatment —
+    plan-checked in tests/test_layout.py)."""
+    import tempfile
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"rdps_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    d.write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )

@@ -212,3 +212,23 @@ def test_zorder_rejects_long_overflow(spark):
 
     with _pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d"], {}, {}, bits=16)
+
+
+def test_orc_scan_gets_pushdown(spark, sf_smoke, tmp_path):
+    """ORC scans get the same filter-pushdown treatment as parquet:
+    the predicate must reach the ORC scan node."""
+    import contextlib
+    import io
+
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    d = load_tables(spark, sf_smoke, ("documents",))["documents"].select("doc_id", "source")
+    path = str(tmp_path / "docs_orc")
+    d.write.mode("overwrite").orc(path)
+    q = spark.read.orc(path).filter("doc_id > 100").select("source")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "doc_id" in plan
+    assert "ReadSchema" in plan
