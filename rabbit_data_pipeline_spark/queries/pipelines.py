@@ -793,3 +793,48 @@ def layout_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@register(
+    "q_expectations",
+    oracle="""
+    SELECT 'not_null:l_orderkey' AS rule,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_discount',
+           SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_quantity',
+           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 45.0 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    UNION ALL
+    SELECT 'foreign_key:l_orderkey', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6+/K-tier: declarative data-quality expectations over lineitem
+    — the errHandler generalized to row-level validation. All scalar
+    rules (not-null, ranges) evaluate in ONE conditional-sum pass;
+    uniqueness is one distinct-count agg; referential integrity one
+    broadcast anti-join. The report (including zero-violation rows —
+    absence of a rule row would hide a silently-skipped check) is
+    value-hash gated (operators/expect.py)."""
+    from rabbit_data_pipeline_spark.operators.expect import expectation_report
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    rules = [
+        ("not_null", "l_orderkey"),
+        ("range", "l_discount", 0.0, 0.08),
+        ("range", "l_quantity", 1.0, 45.0),
+        ("unique", ["l_orderkey", "l_linenumber"]),
+        ("foreign_key", ["l_orderkey"], t["orders"], ["o_orderkey"]),
+    ]
+    return expectation_report(t["lineitem"], rules)

@@ -566,3 +566,16 @@ def test_rollup_merge_plugin_matches_full_agg(spark, sf_smoke):
         ).collect()
     }
     assert got == want
+
+
+def test_quarantine_splits_rows_exactly(spark):
+    """valid ∪ invalid must equal the input with no overlap; a row
+    violating ANY scalar rule lands in quarantine."""
+    from rabbit_data_pipeline_spark.operators.expect import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0), (4, 10.0)], ["id", "v"]
+    )
+    valid, invalid = quarantine(df, [("not_null", "v"), ("range", "v", 0.0, 20.0)])
+    assert {r["id"] for r in valid.collect()} == {1, 4}
+    assert {r["id"] for r in invalid.collect()} == {2, 3}
