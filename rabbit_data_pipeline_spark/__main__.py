@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("-t", "--task", default=None)
     run_p.add_argument("-n", "--node", default=None, help="run a single node subtree (proxy run)")
     run_p.add_argument("--show", type=int, default=20, help="rows to display per result (0: silent)")
+    run_p.add_argument(
+        "--var",
+        action="append",
+        default=[],
+        metavar="NAME=VALUE",
+        help="bind a ${NAME} placeholder in node configs (repeatable)",
+    )
 
     list_p = sub.add_parser("list", help="print task DAGs from a YAML spec")
     list_p.add_argument("spec")
@@ -62,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     from rabbit_data_pipeline_spark.session import get_spark
 
     spark = get_spark("rdps-cli")
-    sch = Scheduler(spark, specs)
+    variables = dict(v.split("=", 1) for v in getattr(args, "var", []))
+    sch = Scheduler(spark, specs, variables=variables)
     tasks = [args.task] if args.task else list(specs)
 
     if args.cmd == "audit":

@@ -65,17 +65,23 @@ class Scheduler:
         self.specs = specs
         self.variables = variables or {}
         self._registry = plugins()
-        self._built: dict[tuple[str, str], DataFrame | None] = {}
+        self._built: dict[tuple, DataFrame | None] = {}
+        self._active_vars: dict = dict(self.variables)
 
     @classmethod
     def from_yaml(cls, spark: SparkSession, text_or_path: str, variables: dict | None = None) -> Scheduler:
         return cls(spark, PipelineSpec.from_yaml(text_or_path), variables)
 
     # -- reference Scheduler::run / multi ---------------------------------
-    def run(self, task: str, target: str | None = None) -> dict[str, DataFrame | None]:
+    def run(
+        self, task: str, target: str | None = None, variables: dict | None = None
+    ) -> dict[str, DataFrame | None]:
         if task not in self.specs:
             raise KeyError(f"No such task {task}")
         spec = self.specs[task]
+        # Per-run variables override the scheduler-level defaults; the
+        # merged set substitutes ${name} placeholders in node configs.
+        self._active_vars = {**self.variables, **(variables or {})}
         with task_lock(task, timeout=spec.lock):
             names = [target] if target else spec.sinks()
             out: dict[str, DataFrame | None] = {}
@@ -89,6 +95,25 @@ class Scheduler:
     def multi(self, tasks: list[str]) -> dict[str, dict[str, DataFrame | None]]:
         return {t: self.run(t) for t in tasks}
 
+    def backfill(self, task: str, runs: list[dict]) -> list[dict[str, DataFrame | None]]:
+        """Run `task` once per variable binding — the batch complement
+        of cron triggers (re-process historical partitions by passing
+        e.g. [{'date': d} for d in dates]). Each run re-resolves
+        ${name} placeholders, and the plan memo is keyed by the
+        binding, so runs don't serve each other stale plans."""
+        return [self.run(task, variables=v) for v in runs]
+
+    def _subst(self, v):
+        if isinstance(v, str):
+            for k, val in self._active_vars.items():
+                v = v.replace("${" + k + "}", str(val))
+            return v
+        if isinstance(v, list):
+            return [self._subst(x) for x in v]
+        if isinstance(v, dict):
+            return {k: self._subst(x) for k, x in v.items()}
+        return v
+
     def build(self, task: str, node: str) -> DataFrame:
         """Return the lazy plan at `node` without executing any sink."""
         df = self._build(self.specs[task], node)
@@ -98,7 +123,10 @@ class Scheduler:
 
     # -- DAG resolution -----------------------------------------------------
     def _build(self, spec: PipelineSpec, name: str) -> DataFrame | None:
-        key = (spec.name, name)
+        # Memo key includes the variable binding: two backfill runs of
+        # the same node with different ${date}s are different plans.
+        var_key = tuple(sorted(getattr(self, "_active_vars", {}).items()))
+        key = (spec.name, name, var_key)
         if key in self._built:
             return self._built[key]
         node = spec.nodes[name]
@@ -110,7 +138,8 @@ class Scheduler:
             parent_df = self._build(spec, parent)
             if parent_df is not None:
                 inputs.append(parent_df)
-        cfg = {**node.config, "_task": spec.name, "_node": name}
+        resolved = self._subst(dict(node.config)) if getattr(self, "_active_vars", None) else dict(node.config)
+        cfg = {**resolved, "_task": spec.name, "_node": name}
         try:
             df = fn(self, cfg, inputs)
         except SkippedNode:
@@ -119,11 +148,13 @@ class Scheduler:
             if node.on_error == "skip":
                 raise SkippedNode(name) from None
             raise
-        if df is not None and node.config.get("cache"):
+        if df is not None and resolved.get("cache"):
             # Branch point feeding multiple sinks: persist once.
             df = df.cache()
-        if df is not None and node.config.get("cache_ttl"):
-            df = self._ttl_cache(df, spec.name, name, node.config, float(node.config["cache_ttl"]))
+        if df is not None and resolved.get("cache_ttl"):
+            # Fingerprint the RESOLVED config so different bindings
+            # don't serve each other's materializations.
+            df = self._ttl_cache(df, spec.name, name, resolved, float(resolved["cache_ttl"]))
         self._built[key] = df
         return df
 

@@ -579,3 +579,30 @@ def test_quarantine_splits_rows_exactly(spark):
     valid, invalid = quarantine(df, [("not_null", "v"), ("range", "v", 0.0, 20.0)])
     assert {r["id"] for r in valid.collect()} == {1, 4}
     assert {r["id"] for r in invalid.collect()} == {2, 3}
+
+
+def test_variables_substitute_and_backfill(spark, sf_smoke):
+    """${name} placeholders resolve from scheduler defaults, per-run
+    overrides win, and backfill runs the task once per binding with
+    correctly isolated plans."""
+    cfg = {
+        "t": {
+            "src": {"type": "source.table", "start": True, "name": "orders",
+                    "sf_dir": sf_smoke, "output": "f"},
+            "f": {"type": "transform.filter",
+                  "condition": "o_orderdate >= TIMESTAMP '${cut}'", "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(
+        spark,
+        {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()},
+        variables={"cut": "1996-01-01"},
+    )
+    n_default = sch.run("t")["out"].count()
+    n_late = sch.run("t", variables={"cut": "2000-01-01"})["out"].count()
+    assert n_late < n_default  # override applied, memo not reused across bindings
+
+    runs = sch.backfill("t", [{"cut": "1996-01-01"}, {"cut": "2000-01-01"}])
+    assert runs[0]["out"].count() == n_default
+    assert runs[1]["out"].count() == n_late
