@@ -496,3 +496,41 @@ def _rollup_merge(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) 
     keys = list(cfg["keys"])
     merged = merge_rollups(stored, rollup_partials(batch, keys, cfg["value_col"]), keys)
     return finalize_rollup(merged, keys) if cfg.get("finalize", True) else merged
+
+
+@plugin("transform.expectations")
+def _expectations(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Data-quality expectation report as a pipeline node. Rules come
+    as lists (YAML-friendly): [kind, ...args]; foreign_key refs the
+    SECOND input."""
+    from rabbit_data_pipeline_spark.operators.expect import expectation_report
+
+    df, *refs = inputs
+    rules = []
+    for r in cfg["rules"]:
+        kind = r[0]
+        if kind == "foreign_key":
+            rules.append((kind, list(r[1]), refs[0], list(r[2])))
+        elif kind == "range":
+            rules.append((kind, r[1], r[2], r[3]))
+        elif kind == "unique":
+            rules.append((kind, list(r[1])))
+        else:
+            rules.append((kind, r[1]))
+    return expectation_report(df, rules)
+
+
+@plugin("transform.quarantine")
+def _quarantine(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
+    """Row quarantine as a pipeline node: emits the side selected by
+    cfg['emit'] ('valid' default, or 'invalid' for the DLQ branch) —
+    declare two nodes off one input to route both sides, errHandler
+    style."""
+    from rabbit_data_pipeline_spark.operators.expect import quarantine
+
+    (df,) = inputs
+    rules = []
+    for r in cfg["rules"]:
+        rules.append(tuple(r) if r[0] == "not_null" else (r[0], r[1], r[2], r[3]))
+    valid, invalid = quarantine(df, rules)
+    return invalid if cfg.get("emit") == "invalid" else valid

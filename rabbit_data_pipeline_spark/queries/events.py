@@ -783,3 +783,63 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_experiment",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '/exp1'), 1, 4)) AS INT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.variant,
+           COUNT(*) AS n_users,
+           COUNT(c.user_id) AS n_converted,
+           FLOOR(CAST(COUNT(c.user_id) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1e6 AS conv_rate
+    FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY a.variant
+    """,
+)
+def q_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q76: A/B experiment analysis — deterministic hash-based variant
+    assignment (the salted-id split every experimentation system uses:
+    stable under re-runs, no RNG, no assignment table to sync) and
+    per-variant conversion rates from exact distinct counts. The
+    assignment bit comes from md5 (byte-identical in every engine —
+    same rationale as split_assign, operators/text.py:711), never an
+    engine-native hash. One distinct pass for users, one for
+    converters, one broadcastable join; rate micro-rounded."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    assign = e.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("/exp1"))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        assign.join(conv.withColumnRenamed("user_id", "c_user"), assign.user_id == F.col("c_user"), "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("c_user").alias("n_converted"),
+            (
+                F.floor(F.count("c_user").cast("double") / F.count("*") * 1_000_000 + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("conv_rate"),
+        )
+    )

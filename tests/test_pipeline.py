@@ -606,3 +606,27 @@ def test_variables_substitute_and_backfill(spark, sf_smoke):
     runs = sch.backfill("t", [{"cut": "1996-01-01"}, {"cut": "2000-01-01"}])
     assert runs[0]["out"].count() == n_default
     assert runs[1]["out"].count() == n_late
+
+
+def test_quarantine_plugin_routes_both_sides(spark, sf_smoke):
+    """errHandler at row granularity: one source fans into a valid
+    branch and a DLQ branch; the two sides partition the input."""
+    cfg = {
+        "t": {
+            "src": {"type": "source.table", "start": True, "name": "lineitem",
+                    "sf_dir": sf_smoke, "output": ["ok", "dlq"]},
+            "ok": {"type": "transform.quarantine", "emit": "valid",
+                   "rules": [["range", "l_discount", 0.0, 0.08]], "output": "out_ok"},
+            "dlq": {"type": "transform.quarantine", "emit": "invalid",
+                    "rules": [["range", "l_discount", 0.0, 0.08]], "output": "out_dlq"},
+            "out_ok": {"type": "sink.memory"},
+            "out_dlq": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    out = sch.run("t")
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    total = load_tables(spark, sf_smoke, ("lineitem",))["lineitem"].count()
+    n_ok, n_dlq = out["out_ok"].count(), out["out_dlq"].count()
+    assert n_ok + n_dlq == total and n_dlq > 0
