@@ -768,7 +768,7 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "layout_orc_roundtrip",
     oracle="""
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source
     """,
 )
@@ -799,15 +799,15 @@ def layout_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_expectations",
     oracle="""
     SELECT 'not_null:l_orderkey' AS rule,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
     FROM lineitem
     UNION ALL
     SELECT 'range:l_discount',
-           SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'range:l_quantity',
-           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 45.0 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 45.0 THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'unique:l_orderkey,l_linenumber',
