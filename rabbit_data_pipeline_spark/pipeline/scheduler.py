@@ -144,10 +144,22 @@ class Scheduler:
             df = fn(self, cfg, inputs)
         except SkippedNode:
             raise
-        except Exception:
+        except Exception as exc:
+            if resolved.get("alarm"):
+                self._alarm(resolved["alarm"], spec.name, name, exc)
             if node.on_error == "skip":
                 raise SkippedNode(name) from None
             raise
+        # Reference canEmpty parity (AbstractPlugin.php:43-50: empty
+        # data + canEmpty=false -> don't sink downstream). Spark's
+        # empty DataFrames flow through composed lazy plans at zero
+        # cost, so this is OPT-IN here: setting `can_empty: false`
+        # probes the node's output (one limit-1 job — a deliberate
+        # materialization barrier) and skips everything downstream
+        # when it's empty — for sinks with side effects that must not
+        # fire on no data.
+        if df is not None and resolved.get("can_empty") is False and df.isEmpty():
+            raise SkippedNode(name)
         if df is not None and resolved.get("cache"):
             # Branch point feeding multiple sinks: persist once.
             df = df.cache()
@@ -157,6 +169,27 @@ class Scheduler:
             df = self._ttl_cache(df, spec.name, name, resolved, float(resolved["cache_ttl"]))
         self._built[key] = df
         return df
+
+    @staticmethod
+    def _alarm(path: str, task: str, node: str, exc: Exception) -> None:
+        """Reference alarm parity (AbstractPlugin::$alarm): append a
+        JSON-line failure record to the alarm log — the hook a
+        deployment points at its paging/webhook relay."""
+        import json
+        import time
+
+        with open(path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "task": task,
+                        "node": node,
+                        "error": f"{type(exc).__name__}: {exc}"[:500],
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )
 
     def _ttl_cache(self, df: DataFrame, task: str, node: str, config: dict, ttl: float) -> DataFrame:
         """Reference parity: Sources/Pdo.php caches query results for

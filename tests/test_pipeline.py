@@ -630,3 +630,43 @@ def test_quarantine_plugin_routes_both_sides(spark, sf_smoke):
     total = load_tables(spark, sf_smoke, ("lineitem",))["lineitem"].count()
     n_ok, n_dlq = out["out_ok"].count(), out["out_dlq"].count()
     assert n_ok + n_dlq == total and n_dlq > 0
+
+
+def test_can_empty_false_skips_downstream(spark, sf_smoke):
+    """Reference canEmpty parity: a node declared can_empty: false
+    whose output is empty must skip its downstream sink (the
+    reference's 'data is empty so not sink next')."""
+    cfg = {
+        "t": {
+            "src": {"type": "source.table", "start": True, "name": "region",
+                    "sf_dir": sf_smoke, "output": "f"},
+            "f": {"type": "transform.filter", "condition": "r_regionkey > 999",
+                  "can_empty": False, "on_error": "skip", "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    assert sch.run("t") == {"out": None}
+    # and with data present the same task flows normally
+    cfg["t"]["f"]["condition"] = "r_regionkey >= 0"
+    sch2 = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    assert sch2.run("t")["out"].count() > 0
+
+
+def test_alarm_appends_failure_record(spark, tmp_path):
+    """Reference alarm parity: a failing node with `alarm` configured
+    appends a JSON-line record before the error policy applies."""
+    import json
+
+    alarm = str(tmp_path / "alarms.jsonl")
+    cfg = {
+        "t": {
+            "bad": {"type": "source.parquet", "start": True, "path": "/nonexistent",
+                    "alarm": alarm, "on_error": "skip", "output": "out"},
+            "out": {"type": "sink.memory"},
+        }
+    }
+    sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+    assert sch.run("t") == {"out": None}
+    rec = json.loads(open(alarm).read().strip())
+    assert rec["task"] == "t" and rec["node"] == "bad" and "error" in rec
