@@ -670,3 +670,17 @@ def test_alarm_appends_failure_record(spark, tmp_path):
     assert sch.run("t") == {"out": None}
     rec = json.loads(open(alarm).read().strip())
     assert rec["task"] == "t" and rec["node"] == "bad" and "error" in rec
+
+
+def test_console_sink_encodings(spark, sf_smoke, capsys):
+    """doc/Console.md encoding parity: json emits one object per line,
+    xml one <row> element per line, html a table."""
+    cfg_base = {
+        "src": {"type": "source.table", "start": True, "name": "region",
+                "sf_dir": sf_smoke, "output": "out"},
+    }
+    for enc, probe in (("json", '{"r_regionkey"'), ("xml", "<row><r_regionkey>"), ("html", "<table><tr><th>r_regionkey")):
+        cfg = {"t": {**cfg_base, "out": {"type": "sink.console", "encoding": enc, "rows": 2}}}
+        sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
+        sch.run("t")
+        assert probe in capsys.readouterr().out
