@@ -1411,3 +1411,72 @@ def sql_collocations(min_count: int = 5, top_k: int = 20) -> str:
     CROSS JOIN n_bi CROSS JOIN n_uni
     ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
     """
+
+
+def _bloom_pos(gram: Column, i: int, m_bits: int) -> Column:
+    """Bloom hash i: 48 bits of md5(gram + '#i') mod m — md5 is
+    byte-identical in every engine, so bit positions (and therefore
+    false positives) are deterministic and cross-engine reproducible."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(gram, F.lit(f"#{i}"))), 1, 12), 16, 10).cast("long")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination — the constant-size variant
+    of `decontaminate` for benchmarks too large to broadcast as raw
+    gram sets: the benchmark compresses to an m-bit Bloom filter
+    (m/8 bytes regardless of gram count), and a corpus gram is flagged
+    when ALL `n_hashes` of its bit positions are set.
+
+    Scale shape: the filter is the distinct-position table (≤ m rows
+    of longs; broadcast), built with one distinct pass over benchmark
+    grams; the corpus probe explodes each distinct gram to its
+    n_hashes positions (bounded fan-out), joins the broadcast bit set
+    and keeps grams matching on every hash index. No corpus shuffle
+    other than the final doc rollup.
+
+    False positives are INHERENT to the structure and deliberately
+    kept in the contract: positions derive from md5, so both engines
+    flag the identical gram set (the oracle reproduces the same bit
+    arithmetic), and the FP rate is (set_bits/m)^n_hashes by
+    construction. Returns (id, n_flagged) like `decontaminate`."""
+    b = (
+        benchmark.select(F.explode(word_kgrams(F.col(text_col), k)).alias("gram"))
+        .distinct()
+    )
+    bits = (
+        b.select(F.explode(F.array(*[_bloom_pos(F.col("gram"), i, m_bits) for i in range(n_hashes)])).alias("pos"))
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(word_kgrams(F.col(text_col), k))).alias("gram")
+    )
+    cpos = c.select(
+        id_col,
+        "gram",
+        F.posexplode(F.array(*[_bloom_pos(F.col("gram"), i, m_bits) for i in range(n_hashes)])).alias(
+            "i", "pos"
+        ),
+    )
+    hit = (
+        cpos.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "gram")
+        .agg(F.count_distinct("i").alias("n_hit"))
+        .filter(F.col("n_hit") == n_hashes)
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(F.count("*").alias("n_flagged"))
+        .filter(F.col("n_flagged") >= min_shared)
+    )

@@ -86,7 +86,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # stream_rollup / q_kcore / q_weighted_paths / text_nb_train /
 # text_nb_classify / q_market_basket / q_entity_resolution /
 # q_stickiness / q_mode / pipeline_search_index /
-# layout_orc_roundtrip / q_expectations / q_experiment, plus
+# layout_orc_roundtrip / q_expectations / q_experiment /
+# text_bloom_decontaminate, plus
 # anything else round 5 touches.
 
 

@@ -1343,3 +1343,50 @@ def _attach_search_index_oracle() -> None:
 
 
 _attach_search_index_oracle()
+
+
+_BLOOM_POS = (
+    "CAST(('0x' || substring(md5({g} || '#' || CAST(t.i AS VARCHAR)), 1, 12)) AS BIGINT) % 1048576"
+)
+
+
+@register(
+    "text_bloom_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct({_GRAMS_SQL}) AS grams FROM documents
+    ),
+    b AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 250 = 0),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS.format(g="b.gram")} AS pos
+      FROM b CROSS JOIN (SELECT UNNEST(range(0, 3)) AS i) t
+    ),
+    c AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    cp AS (
+      SELECT c.doc_id, c.gram, t.i, {_BLOOM_POS.format(g="c.gram")} AS pos
+      FROM c CROSS JOIN (SELECT UNNEST(range(0, 3)) AS i) t
+    ),
+    hit AS (
+      SELECT cp.doc_id, cp.gram
+      FROM cp JOIN bits ON bits.pos = cp.pos
+      GROUP BY cp.doc_id, cp.gram
+      HAVING COUNT(DISTINCT cp.i) = 3
+    )
+    SELECT doc_id, COUNT(*) AS n_flagged
+    FROM hit GROUP BY doc_id HAVING COUNT(*) >= 1
+    """,
+)
+def text_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59: Bloom-filter decontamination — the constant-size benchmark
+    membership structure for eval sets too large to broadcast as raw
+    gram sets (1 Mbit filter here, ~128 KB, independent of benchmark
+    size). Bit positions derive from md5, so both engines flag the
+    IDENTICAL gram set including the structure's false positives — the
+    oracle replays the same bit arithmetic, making an approximate
+    structure exactly gateable (operators/text.py
+    bloom_decontaminate)."""
+    from rabbit_data_pipeline_spark.operators.text import bloom_decontaminate
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = d.filter(F.col("doc_id") % 250 == 0)
+    return bloom_decontaminate(d, bench, k=8, m_bits=1 << 20, n_hashes=3)

@@ -1093,3 +1093,18 @@ def test_nb_classifier_separates_toy_languages(spark):
 
     test = spark.createDataFrame([(9, "the cat dort sleeps")], ["doc_id", "text"])
     assert nb_classify(test, model, priors).collect()[0]["predicted"] == "en"
+
+
+def test_bloom_decontaminate_never_misses_true_positives(spark, sf_smoke):
+    """Bloom membership has false positives but NO false negatives:
+    every doc the exact gram-join flags must also be bloom-flagged."""
+    from rabbit_data_pipeline_spark.operators.text import bloom_decontaminate, decontaminate
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    import pyspark.sql.functions as F
+
+    d = load_tables(spark, sf_smoke, ("documents",))["documents"]
+    bench = d.filter(F.col("doc_id") % 250 == 0)
+    exact = {r["doc_id"] for r in decontaminate(d, bench, k=8).collect()}
+    bloom = {r["doc_id"] for r in bloom_decontaminate(d, bench, k=8).collect()}
+    assert exact and exact <= bloom
