@@ -8,6 +8,7 @@ Rule kinds:
 - ``("not_null", col)``
 - ``("range", col, lo, hi)``            — violations fall outside [lo, hi]
 - ``("unique", [cols...])``             — violations = rows in excess of 1/key
+  (tuple semantics: NULL-containing keys ARE keys, as COUNT(DISTINCT (a,b)))
 - ``("foreign_key", [cols...], ref_df, [ref_cols...])``
 
 Scale shape: ALL scalar rules (not_null/range) evaluate in ONE pass —
@@ -57,21 +58,34 @@ def expectation_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
     for r in rules:
         if r[0] == "unique":
             cols = list(r[1])
+            # Tuple semantics: count_distinct over a struct counts
+            # NULL-containing keys as distinct values — matching SQL
+            # COUNT(DISTINCT (a, b)) — whereas count_distinct(a, b)
+            # silently DROPS any row with a NULL key column, undercounting
+            # violations on nullable keys (DuckDB-verified divergence).
             parts.append(
                 df.agg(
-                    (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+                    (F.count("*") - F.count_distinct(F.struct(*[F.col(c) for c in cols])))
                     .cast("long")
                     .alias("n_violations")
                 ).select(F.lit("unique:" + ",".join(cols)).alias("rule"), "n_violations")
             )
         elif r[0] == "foreign_key":
             _, cols, ref_df, ref_cols = r
-            cond = [F.col(a) == F.col(b) for a, b in zip(cols, ref_cols)]
-            orphans = df.join(
-                F.broadcast(ref_df.select(*ref_cols).distinct()),
-                cond[0] if len(cond) == 1 else F.expr(" AND ".join(f"{a} = {b}" for a, b in zip(cols, ref_cols))),
-                "left_anti",
-            )
+            # Alias the reference side before joining: the common FK shape
+            # has IDENTICAL names on both sides (user_id -> users.user_id),
+            # and unqualified F.col(a) == F.col(b) would then raise
+            # AMBIGUOUS_REFERENCE. The __fk_ref_ prefix cannot collide with
+            # fact columns read from a warehouse table.
+            aliased = [f"__fk_ref_{i}" for i in range(len(ref_cols))]
+            ref = ref_df.select(
+                *[F.col(rc).alias(a) for rc, a in zip(ref_cols, aliased)]
+            ).distinct()
+            cond = [F.col(a) == F.col(b) for a, b in zip(cols, aliased)]
+            joined = cond[0]
+            for c in cond[1:]:
+                joined = joined & c
+            orphans = df.join(F.broadcast(ref), joined, "left_anti")
             parts.append(
                 orphans.agg(F.count("*").cast("long").alias("n_violations")).select(
                     F.lit("foreign_key:" + ",".join(cols)).alias("rule"), "n_violations"

@@ -81,16 +81,22 @@ class Scheduler:
         spec = self.specs[task]
         # Per-run variables override the scheduler-level defaults; the
         # merged set substitutes ${name} placeholders in node configs.
+        # Restored in the finally so a later build()/plugin-triggered
+        # _build resolves ${name} against the scheduler DEFAULTS, not
+        # whatever the last run happened to bind.
         self._active_vars = {**self.variables, **(variables or {})}
-        with task_lock(task, timeout=spec.lock):
-            names = [target] if target else spec.sinks()
-            out: dict[str, DataFrame | None] = {}
-            for name in names:
-                try:
-                    out[name] = self._build(spec, name)
-                except SkippedNode:
-                    out[name] = None
-            return out
+        try:
+            with task_lock(task, timeout=spec.lock):
+                names = [target] if target else spec.sinks()
+                out: dict[str, DataFrame | None] = {}
+                for name in names:
+                    try:
+                        out[name] = self._build(spec, name)
+                    except SkippedNode:
+                        out[name] = None
+                return out
+        finally:
+            self._active_vars = dict(self.variables)
 
     def multi(self, tasks: list[str]) -> dict[str, dict[str, DataFrame | None]]:
         return {t: self.run(t) for t in tasks}
@@ -100,8 +106,25 @@ class Scheduler:
         of cron triggers (re-process historical partitions by passing
         e.g. [{'date': d} for d in dates]). Each run re-resolves
         ${name} placeholders, and the plan memo is keyed by the
-        binding, so runs don't serve each other stale plans."""
-        return [self.run(task, variables=v) for v in runs]
+        binding, so runs don't serve each other stale plans. After
+        each binding its memo entries are evicted and its `cache: true`
+        plans unpersisted — a long backfill over many bindings must not
+        grow driver memo + executor storage without bound (returned
+        DataFrames stay valid: unpersist just means lazy recompute)."""
+        out: list[dict[str, DataFrame | None]] = []
+        for v in runs:
+            out.append(self.run(task, variables=v))
+            self._evict_binding({**self.variables, **(v or {})})
+        return out
+
+    def _evict_binding(self, binding: dict) -> None:
+        """Drop memo entries for one variable binding and unpersist any
+        cached plans built under it."""
+        var_key = tuple(sorted(binding.items()))
+        for key in [k for k in self._built if k[2] == var_key]:
+            df = self._built.pop(key)
+            if df is not None and df.is_cached:
+                df.unpersist()
 
     def _subst(self, v):
         if isinstance(v, str):

@@ -95,7 +95,24 @@ class PipelineSpec:
     def validate(self) -> None:
         for node in self.nodes.values():
             for out in node.output:
-                if out not in self.nodes and ":" not in out:
+                if out.count(":") == 2:
+                    # Reference sender routing (Scheduler.php:171-177
+                    # `next()` splits output on ':' into
+                    # [sender, address, target] and dispatches the
+                    # Message to another process/host via Senders/
+                    # HttpSender|ProcessSender|WorkerSender). N/A here
+                    # by design — Spark executors ARE the remote
+                    # dispatch — so reject the syntax loudly instead of
+                    # failing with a generic unknown-node error when a
+                    # reference config is ported verbatim.
+                    sender = out.split(":", 1)[0]
+                    raise ValueError(
+                        f"task {self.name}: node {node.name} routes output through "
+                        f"sender '{sender}' ({out!r}); Senders (http/process/worker "
+                        "remote dispatch) are N/A under Spark — executors are the "
+                        "distribution. Point 'output' at a node name in this task."
+                    )
+                if out not in self.nodes:
                     raise ValueError(f"task {self.name}: node {node.name} outputs to unknown node {out}")
             for inp in node.inputs:
                 if inp not in self.nodes:

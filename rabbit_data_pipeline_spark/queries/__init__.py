@@ -42,53 +42,36 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-5 front-load, slot budget 50.
-    # (a) The one red key of r4: emb_pq_codes emitted array<int> on the
-    # compare surface; the codes are now array_join'd into one string on
-    # both engines per the q_array_agg rule (queries/tpch2.py).
-    "emb_pq_codes",
-    # (b) The 40 keys that have never had a driver verdict (all late-r4
-    # additions queued behind the cap), in must-verify order: layout
-    # gates, funnel/retention/anomaly/paths/ts-similarity,
-    # C4/SemDeDup/splits/blocklist/DSIR/incremental-dedup, normalize,
-    # the perceptual near-dup triad, sync_deleted_keys, the two SQL
-    # edge-semantics keys, and the two new streaming keys.
-    "layout_partitioned_read", "layout_bucketed_join",
-    "layout_compacted_roundtrip", "layout_zorder_read",
-    "q_funnel", "q_retention", "q_anomaly", "q_event_paths",
-    "q_ts_similarity", "q_forecast_revenue",
-    "text_c4_clean", "dedup_semantic", "text_split", "text_domain_filter",
-    "text_dsir", "dedup_incremental", "text_normalize",
-    "text_normalize_lines", "text_dedup_lines_within",
-    "text_remove_passages", "text_sentiment", "text_snippets",
-    "text_data_card", "corpus_diff", "source_jsonl",
-    "multimodal_image_neardup", "multimodal_audio_neardup",
-    "multimodal_video_neardup", "sync_deleted_keys",
-    "q_grouping_sets", "q_not_in_nulls", "q_salted_join",
-    "q_stats_moments", "q_histogram", "q_regression", "emb_rp_project",
-    "emb_decontaminate", "emb_outliers",
-    "stream_text_prep", "stream_dedup_incremental",
-    # (c) 9 of the 12 keys whose last green verdict is r1/r2 code —
-    # re-verify on current code with the remaining slots.
-    "q_topn", "q_distinct", "q_union", "q_date_parts", "q_null_funcs",
-    "q_string_funcs", "q_having", "q_regexp_extract", "q_time_bucket",
+    # Round-6 front-load, slot budget 50 (44 used).
+    # (a) The five r5 gates flagged as 0-row/vacuous, now de-vacuated
+    # with predicate constants that exist in /root/testdata (see each
+    # builder's docstring): these must return spark_rows > 0 this round.
+    "q_string_funcs", "q_json_extract", "q_join_anti",
+    "q_idle_customers", "sync_incremental",
+    # (b) The last 3 keys whose green verdict is on r1/r2 code.
+    "q_pivot", "q_rollup", "q_window_distribution",
+    # (c) The 36 round-5 additions that have never had a driver verdict
+    # (queued behind the 50-key cap): TPC-H completion pack, iterative
+    # graph tier, analytics pack, search tier, BPE/perplexity/NB,
+    # layout/quality/rollup gates, streaming stateful pair.
+    "q_min_cost_supplier", "q_product_profit", "q_important_stock",
+    "q_promo_revenue", "q_supplier_count", "q_potential_promotion",
+    "q_pagerank", "q_shortest_path", "q_triangles", "q_kcore",
+    "q_weighted_paths",
+    "q_record_linkage", "q_entity_resolution", "q_market_basket",
+    "q_gap_fill", "q_skyline", "q_attribution", "q_profile",
+    "q_stickiness", "q_mode", "q_experiment",
+    "text_inverted_index", "text_bm25", "text_collocations",
+    "pipeline_search_index",
+    "text_bpe_train", "text_bpe_encode", "text_perplexity",
+    "text_nb_train", "text_nb_classify",
+    "text_bloom_decontaminate",
+    "layout_orc_roundtrip", "q_expectations", "rollup_incremental",
+    "stream_attribution", "stream_rollup",
 )
-# Round-6 rotation queue (keys whose verdict will then be the only ones
-# not on current code): the last 3 stale r1/r2 keys — q_pivot,
-# q_rollup, q_window_distribution — the round-5 TPC-H completion pack
-# (q_min_cost_supplier, q_product_profit, q_important_stock,
-# q_promo_revenue, q_supplier_count, q_potential_promotion), the
-# round-5 additions text_perplexity / text_bpe_train /
-# text_bpe_encode / q_pagerank / q_shortest_path / q_triangles /
-# text_inverted_index / text_bm25 / text_collocations /
-# q_record_linkage / q_gap_fill / q_skyline / q_attribution /
-# q_profile / rollup_incremental / stream_attribution /
-# stream_rollup / q_kcore / q_weighted_paths / text_nb_train /
-# text_nb_classify / q_market_basket / q_entity_resolution /
-# q_stickiness / q_mode / pipeline_search_index /
-# layout_orc_roundtrip / q_expectations / q_experiment /
-# text_bloom_decontaminate, plus
-# anything else round 5 touches.
+# After this round every one of the 183 registry keys should hold a
+# driver verdict on current code: rounds 1-5 covered the other 139 and
+# nothing outside (a) above changed semantics this round.
 
 
 def registry() -> dict[str, Query]:

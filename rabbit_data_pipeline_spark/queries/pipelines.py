@@ -306,17 +306,22 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sync_incremental",
     oracle="""
     WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
-         dst AS (SELECT * FROM events_us WHERE ts < TIMESTAMP '2024-02-01')
+         dst AS (SELECT * FROM events_us WHERE ts < TIMESTAMP '2024-01-15')
     SELECT event_id, ts, user_id, event_type
     FROM events_us
     WHERE ts > (SELECT MAX(ts) FROM dst)
     """,
 )
 def sync_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-January watermark: the driver's events all fall in January
+    2024, so the previous 2024-02-01 cutoff put the entire table in dst
+    and the incremental delta was empty — a 0-row/vacuous gate per the
+    r5 verdict. 2024-01-15 splits the range so the watermark filter
+    actually selects rows (~506 at sf0.001)."""
     from rabbit_data_pipeline_spark.operators.sync import sync_incremental
 
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    dst = e.filter(F.col("ts") < "2024-02-01")
+    dst = e.filter(F.col("ts") < "2024-01-15")
     return sync_incremental(e, dst, "ts").select("event_id", "ts", "user_id", "event_type")
 
 

@@ -217,14 +217,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 2001 orders. The date slice makes the anti
+    join's positive path real in the driver data (65 rows at sf0.001) —
+    every customer has SOME order, so the unsliced form was 0-row/vacuous
+    per the r5 verdict. The filter is applied before the join, so it
+    pushes to the orders scan."""
     t = _t(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].filter(F.col("o_orderdate") >= "2001-01-01")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -421,13 +428,16 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
            CONCAT(p_brand, '#', p_type) AS brand_type,
            LENGTH(p_name) AS name_len
     FROM part
-    WHERE p_name LIKE '%green%' AND p_size BETWEEN 5 AND 15
+    WHERE p_name LIKE '%blue%' AND p_size BETWEEN 5 AND 15
     """,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'%blue%' exists in the driver data at every sf (528 parts at
+    sf0.1) — the r5 verdict flagged the previous '%green%' constant as
+    selecting 0 rows, making the gate vacuous."""
     p = _t(spark, sf_dir, "part")["part"]
     return (
-        p.filter(F.col("p_name").like("%green%") & F.col("p_size").between(5, 15))
+        p.filter(F.col("p_name").like("%blue%") & F.col("p_size").between(5, 15))
         .select(
             "p_partkey",
             F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
@@ -512,22 +522,27 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_id, user_id,
-           CAST(json_extract_string(props, '$.device') AS VARCHAR) AS device,
-           CAST(json_extract_string(props, '$.country') AS VARCHAR) AS country
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_key
     FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
-    WHERE json_extract_string(props, '$.device') = 'mobile'
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extracts the key the driver data actually carries (props is always
+    '{"k": N}') so the gate adjudicates real JSON extraction — the r5
+    verdict flagged the previous '$.device' filter as 0-row/vacuous.
+    'missing_key' keeps the absent-path→NULL semantics covered on both
+    engines."""
     e = _t(spark, sf_dir, "events")["events"]
-    device = F.get_json_object("props", "$.device")
+    k = F.get_json_object("props", "$.k").cast("int")
     return (
-        e.filter(device == "mobile")
+        e.filter(k >= 90)
         .select(
             "event_id",
             "user_id",
-            device.alias("device"),
-            F.get_json_object("props", "$.country").alias("country"),
+            k.alias("k_value"),
+            F.get_json_object("props", "$.missing").alias("missing_key"),
         )
     )
 

@@ -512,25 +512,29 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > (SELECT {sql_lavg('c_acctbal')} FROM customer
                          WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY n.n_name
     ORDER BY n.n_name
     """,
 )
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers who never
-    ordered, by nation (no phone prefixes in the driver schema — the
-    pattern parity is scalar-subquery threshold + anti join + agg).
-    The average is a 1-row aggregate cross-joined in (Spark broadcasts
-    single-row relations), the anti join shuffles on custkey, nation
-    broadcasts."""
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    (2001+) orders, by nation (no phone prefixes in the driver schema —
+    the pattern parity is scalar-subquery threshold + anti join + agg).
+    The 2001 date slice makes the anti join's positive path real in the
+    driver data (every customer has some order, so the unsliced form was
+    0-row/vacuous per the r5 verdict). The average is a 1-row aggregate
+    cross-joined in (Spark broadcasts single-row relations), the anti
+    join shuffles on custkey, nation broadcasts."""
     t = _t(spark, sf_dir, "customer", "orders", "nation")
     avg_bal = t["customer"].filter(F.col("c_acctbal") > 0).agg(lavg("c_acctbal").alias("__avg"))
+    recent = t["orders"].filter(F.col("o_orderdate") >= "2001-01-01")
     return (
         t["customer"]
         .crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg"))
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("numcust"), lsum("c_acctbal").alias("totacctbal"))

@@ -14,8 +14,13 @@ from rabbit_data_pipeline_spark.pipeline.scheduler import Scheduler, plugin
 def _console(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> DataFrame:
     """`encoding` parity with doc/Console.md: text (default tabular
     show), json (one JSON object per line), xml (one <row> element per
-    line via operators/xml.xml_format), html (a minimal table). Only
-    the first `rows` rows ever reach the driver."""
+    line via operators/xml.xml_format), html (a minimal table, cells
+    entity-escaped so values containing <, >, & stay well-formed).
+    Only the first `rows` rows ever reach the driver. `truncate`
+    applies to the text encoding only (json/xml/html are structured
+    interchange — truncating them would corrupt the payload)."""
+    import html as _html
+
     (df,) = inputs
     n = int(cfg.get("rows", 20))
     enc = cfg.get("encoding", "text")
@@ -29,10 +34,14 @@ def _console(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> Da
             print(r["xml"])
     elif enc == "html":
         rows = df.take(n)
-        head = "".join(f"<th>{c}</th>" for c in df.columns)
+        head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in df.columns)
         print(f"<table><tr>{head}</tr>")
         for r in rows:
-            print("<tr>" + "".join(f"<td>{r[c]}</td>" for c in df.columns) + "</tr>")
+            print(
+                "<tr>"
+                + "".join(f"<td>{_html.escape(str(r[c]))}</td>" for c in df.columns)
+                + "</tr>"
+            )
         print("</table>")
     else:
         df.show(n=n, truncate=bool(cfg.get("truncate", True)))

@@ -581,6 +581,53 @@ def test_quarantine_splits_rows_exactly(spark):
     assert {r["id"] for r in invalid.collect()} == {2, 3}
 
 
+def test_foreign_key_rule_same_named_columns(spark):
+    """The most common FK shape shares the column name on both sides
+    (user_id -> users.user_id); the rule must not raise
+    AMBIGUOUS_REFERENCE and must count orphans correctly, including
+    composite keys."""
+    from rabbit_data_pipeline_spark.operators.expect import expectation_report
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (9, "z")], ["user_id", "region"]
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["user_id", "region"]
+    )
+    rows = expectation_report(
+        fact,
+        [
+            ("foreign_key", ["user_id"], dim, ["user_id"]),
+            ("foreign_key", ["user_id", "region"], dim, ["user_id", "region"]),
+        ],
+    ).collect()
+    got = {r["rule"]: r["n_violations"] for r in rows}
+    assert got == {
+        "foreign_key:user_id": 1,
+        "foreign_key:user_id,region": 1,
+    }
+
+
+def test_unique_rule_counts_null_keys(spark):
+    """count_distinct(a, b) drops NULL-key rows (undercounting
+    violations); the rule must use tuple semantics — two rows with the
+    same NULL-containing key are one key, so one of them is a
+    violation."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from rabbit_data_pipeline_spark.operators.expect import expectation_report
+
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", IntegerType())]
+    )
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (None, 2), (None, 2), (None, 3)], schema
+    )
+    rows = expectation_report(df, [("unique", ["a", "b"])]).collect()
+    # 5 rows over 3 distinct keys {(1,1), (NULL,2), (NULL,3)} → 2 violations.
+    assert rows[0]["n_violations"] == 2
+
+
 def test_variables_substitute_and_backfill(spark, sf_smoke):
     """${name} placeholders resolve from scheduler defaults, per-run
     overrides win, and backfill runs the task once per binding with
@@ -606,6 +653,14 @@ def test_variables_substitute_and_backfill(spark, sf_smoke):
     runs = sch.backfill("t", [{"cut": "1996-01-01"}, {"cut": "2000-01-01"}])
     assert runs[0]["out"].count() == n_default
     assert runs[1]["out"].count() == n_late
+
+    # A per-run override must not leak into later builds: after the
+    # override runs above, build() resolves ${cut} against the
+    # scheduler DEFAULTS again (1996-01-01 → the larger row count).
+    assert sch.build("t", "f").count() == n_default
+    # Backfill evicts each binding's memo entries — the memo must not
+    # retain one plan per (node × binding) forever.
+    assert not any(k[2] and dict(k[2]).get("cut") == "2000-01-01" for k in sch._built)
 
 
 def test_quarantine_plugin_routes_both_sides(spark, sf_smoke):
@@ -684,3 +739,29 @@ def test_console_sink_encodings(spark, sf_smoke, capsys):
         sch = Scheduler(spark, {k: PipelineSpec.from_dict(k, v) for k, v in cfg.items()})
         sch.run("t")
         assert probe in capsys.readouterr().out
+
+
+def test_sender_routing_rejected_with_clear_error(spark):
+    """Reference Scheduler.php:171-177 'sender:address:target' routing
+    is N/A under Spark; a ported config using it must fail with a
+    message that says so, not a generic unknown-node error."""
+    import pytest as _pytest
+
+    cfg = {
+        "src": {"type": "source.table", "start": True, "name": "region",
+                "output": "http:127.0.0.1:9501/consume"},
+    }
+    with _pytest.raises(ValueError, match="Senders.*N/A under Spark"):
+        PipelineSpec.from_dict("t", cfg)
+
+
+def test_console_html_escapes_cells(spark, capsys):
+    """Values containing <, >, & must be entity-escaped in the html
+    encoding — raw interpolation emits malformed HTML."""
+    from rabbit_data_pipeline_spark.pipeline.scheduler import plugins
+
+    df = spark.createDataFrame([("<b>x & y</b>",)], ["payload"])
+    plugins()["sink.console"](None, {"encoding": "html", "rows": 1, "_node": "c"}, [df])
+    out = capsys.readouterr().out
+    assert "<td>&lt;b&gt;x &amp; y&lt;/b&gt;</td>" in out
+    assert "<td><b>" not in out
