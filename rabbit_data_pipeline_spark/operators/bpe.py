@@ -3,40 +3,95 @@
 SURVEY §2 L10 counts tokens with a BPE-ish regex; this module makes the
 tokenizer itself first-class: the classic BPE algorithm (Sennrich et
 al. 2016, "Neural Machine Translation of Rare Words with Subword
-Units") trained Spark-side and applied as a column expression. The
-reference pipeline ships no tokenizer training — this is one of the
-"beyond reference" LLM-corpus operators the brief asks for.
+Units") trained Spark-side and applied as a column expression or an
+Arrow map pass. The reference pipeline ships no tokenizer training —
+this is one of the "beyond reference" LLM-corpus operators the brief
+asks for.
 
 Scale shape (the point of doing this on Spark):
+
 - The ONLY corpus-scale pass is the word-count aggregation — one
   shuffle keyed by word, map-side combined. Everything after operates
   on the DISTINCT-WORD histogram (Sennrich's own trick): at 100 TB the
-  corpus may be 10^13 tokens but the histogram is ~10^7 rows.
-- Each merge iteration is one small aggregation over the histogram
-  (explode adjacent symbol pairs weighted by word count, argmax) plus
-  one literal-folded merge application — no Python in either. The
-  winning pair is a 1-row collect, the same justified offline-training
-  driver round-trip as PQ codebook training (operators/similarity.py).
-- The histogram is localCheckpoint'ed per iteration so the plan stays
-  flat instead of nesting n_merges fold expressions (the same
-  re-evaluation guard dedup_minhash documents).
-- Encoding applies merges in rank order as chained fold expressions —
-  fine for the tens of merges a test vocab needs; a 32k-merge
-  production vocab would switch to one Arrow mapInPandas pass with the
-  merge table broadcast (the justified-Python path, like MinHash
-  signatures), which is semantically identical per greedy left-to-right
-  application.
+  corpus may be 10^13 tokens but the histogram is ~10^6-10^8 rows, and
+  standard practice (HF tokenizers, SentencePiece) additionally
+  frequency-truncates it.
+
+- Training has two exact engines behind one front door:
+
+  * ``driver`` (the default whenever the histogram fits a configurable
+    row budget): collect the histogram once and run the classic
+    incremental algorithm — pair-count deltas + a lazy max-heap — in
+    pure Python. Zero Spark jobs per merge; a 32k-merge vocab is
+    seconds of driver CPU over a vocab-sized table. This is the same
+    architecture single-node tokenizer trainers use; Spark's job is the
+    corpus→histogram reduction. The same justified driver-side
+    materialization as PQ codebook training (operators/similarity.py).
+
+  * ``distributed`` (histogram too big to collect): BATCHED merge
+    rounds. Each round is one pair-count aggregation whose top-K rows
+    come back to the driver; the driver selects the longest prefix of
+    the priority-ordered candidates that is provably order-equivalent
+    to applying them one at a time (rule below), and one Arrow
+    ``mapInPandas`` pass applies the whole batch. A 32k-merge vocab
+    costs O(32k / avg-batch) aggregations instead of 32k.
+
+  Batch-exactness rule (why batched == sequential, bit for bit): scan
+  candidates in (count DESC, left ASC, right ASC) order and accept
+  while each pair (a) shares no symbol with an already-accepted pair,
+  (b) its merged token l+r is a brand-new string (not an existing
+  alphabet symbol nor another accepted pair's token), stopping the scan
+  at the first violation, whose count is c_stop; then keep only
+  accepted pairs with count > c_stop. Sketch: disjointness + brand-new
+  tokens make accepted pairs' counts invariant under each other's
+  application, and every pair a merge can create or inflate contains a
+  brand-new token, so it shares a symbol with the prefix, ranks after
+  it, and is bounded by c_stop — strictly below every kept pair. Hence
+  at each sub-step the kept pair is still the global argmax. When the
+  filter empties the batch, fall back to the top-1 pair (a single
+  sequential step is trivially exact). The randomized equivalence
+  tests in tests/test_bpe.py exercise this against the pure-Python
+  twin on adversarial tiny-alphabet corpora where token collisions
+  and ties are common.
+
+- Encoding applies merges in rank order, greedy left-to-right per word
+  (the published semantics; the oracle twin is independent):
+
+  * ``fold`` (≤ _FOLD_LIMIT merges): chained whole-stage-codegen fold
+    expressions, no Python anywhere.
+  * ``arrow`` (production vocabs): the merge table rides the closure
+    into ONE ``mapInPandas`` pass; per-partition word memoization plus
+    a substring prefilter (a merge can only fire on a word containing
+    its token, since tokens are concatenations of adjacent original
+    characters) keeps the per-distinct-word cost far below
+    n_merges × len. Expression depth no longer grows with vocab size.
 
 Determinism: pair selection orders by (count DESC, left ASC, right
 ASC) — total order, no float anywhere — so training is bit-stable
-across partitionings and engines; the oracle twin is an independent
-pure-Python implementation of the same published algorithm.
+across partitionings, batchings and engines; the oracle twin is an
+independent pure-Python implementation of the same published
+algorithm.
 """
 
 from __future__ import annotations
 
+import heapq
+import re
+from collections import Counter
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Above this many merges, bpe_encode(engine="auto") switches from
+#: chained fold expressions to the Arrow map pass — fold depth is
+#: per-merge, and codegen degrades well before a real vocab size.
+_FOLD_LIMIT = 24
+
+#: Histograms up to this many distinct words train driver-side
+#: (strategy="auto"). 2M rows of short strings is tens of MB — far
+#: under any sane spark.driver.memory; beyond it, batched rounds.
+_DRIVER_MAX_WORDS = 2_000_000
 
 
 def _word_histogram(df: DataFrame, text_col: str) -> DataFrame:
@@ -68,56 +123,232 @@ def _merge_expr(syms: Column, left: str, right: str) -> Column:
     )
 
 
+# --------------------------------------------------------- driver engine
+
+
+def _train_incremental(
+    words: list[tuple[list[str], int]], n_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str]]:
+    """Classic incremental BPE over an in-memory histogram: pair-count
+    deltas per affected word + a lazy max-heap (every count CHANGE
+    pushes a fresh (−count, l, r) entry; stale entries are discarded on
+    pop by comparing against the live count). Exactly reproduces the
+    recompute-everything textbook loop, in O(total merge work)."""
+    pair_counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    syms_of: list[list[str]] = []
+    cnt_of: list[int] = []
+    for wi, (syms, cnt) in enumerate(words):
+        syms_of.append(list(syms))
+        cnt_of.append(cnt)
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            occ.setdefault(p, set()).add(wi)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        if pair_counts.get((left, right), 0) != -negc:
+            continue  # stale: the change that invalidated it pushed a fresh entry
+        if -negc < min_pair_count:
+            break
+        merges.append((len(merges), left, right))
+        for wi in sorted(occ.get((left, right), ())):  # sorted: determinism
+            syms = syms_of[wi]
+            new_syms = list(_apply(tuple(syms), left, right))
+            if new_syms == syms:
+                continue  # occ entry was stale (pair left this word earlier)
+            cnt = cnt_of[wi]
+            old_p = Counter(zip(syms, syms[1:]))
+            new_p = Counter(zip(new_syms, new_syms[1:]))
+            for p, d in (old_p - new_p).items():
+                c2 = pair_counts[p] - d * cnt
+                if c2 <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = c2
+                    heapq.heappush(heap, (-c2, p[0], p[1]))
+            for p, d in (new_p - old_p).items():
+                c2 = pair_counts.get(p, 0) + d * cnt
+                pair_counts[p] = c2
+                occ.setdefault(p, set()).add(wi)
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+            syms_of[wi] = new_syms
+        occ.pop((left, right), None)
+    return merges
+
+
+# ---------------------------------------------------- distributed engine
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word count, over the histogram."""
+    return (
+        vocab.select(
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _select_batch(
+    cands: list[tuple[int, str, str]],
+    alphabet: set[str],
+    budget: int,
+    min_pair_count: int,
+    complete: bool,
+) -> list[tuple[str, str]]:
+    """Longest order-equivalent batch from priority-sorted candidates
+    (the exactness rule in the module docstring). ``complete`` says the
+    candidate list is the WHOLE pair table, not a top-K truncation."""
+    accepted: list[tuple[int, str, str]] = []
+    used: set[str] = set()
+    c_stop = 0 if complete else cands[-1][0]
+    for c, left, right in cands:
+        tok = left + right
+        if (
+            c < min_pair_count
+            or len(accepted) == budget
+            or left in used
+            or right in used
+            or tok in used
+            or tok in alphabet
+        ):
+            c_stop = c
+            break
+        accepted.append((c, left, right))
+        used.update((left, right, tok))
+    batch = [(l, r) for c, l, r in accepted if c > c_stop]
+    if not batch:  # top-1 alone is a plain sequential step — always exact
+        batch = [(cands[0][1], cands[0][2])]
+    return batch
+
+
+def _apply_batch_list(syms: list[str], merge_map: dict[tuple[str, str], str]) -> list[str]:
+    """One left-to-right pass applying a symbol-disjoint merge batch.
+    Disjointness + brand-new tokens make this identical to applying
+    each merge greedily in rank order (merges cannot interact)."""
+    out: list[str] = []
+    for s in syms:
+        if out and (out[-1], s) in merge_map:
+            out[-1] = out[-1] + s
+        else:
+            out.append(s)
+    return out
+
+
+def _apply_merges_arrow(vocab: DataFrame, batch: list[tuple[str, str]]) -> DataFrame:
+    """Apply a whole merge batch to the histogram in ONE Arrow pass
+    (the merge map rides the closure — vocab-batch sized, tiny)."""
+    merge_map = {(l, r): l + r for l, r in batch}
+    schema = vocab.schema
+
+    def run(it):
+        for pdf in it:
+            pdf["syms"] = [
+                _apply_batch_list(list(s), merge_map) for s in pdf["syms"]
+            ]
+            yield pdf
+
+    return vocab.mapInPandas(run, schema)
+
+
+def _train_distributed(
+    vocab: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    batch_top_k: int,
+    stats: dict | None,
+) -> list[tuple[int, str, str]]:
+    """Batched merge rounds over a histogram DataFrame(syms, cnt):
+    one top-K pair-count aggregation + one Arrow batch application per
+    round. localCheckpoint keeps the plan flat round-over-round (the
+    same re-evaluation guard dedup_minhash documents)."""
+    vocab = vocab.localCheckpoint()
+    alphabet = {
+        r[0] for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+    merges: list[tuple[int, str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(batch_top_k)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        rounds += 1
+        batch = _select_batch(
+            [(row["c"], row["l"], row["r"]) for row in top],
+            alphabet,
+            budget=n_merges - len(merges),
+            min_pair_count=min_pair_count,
+            complete=len(top) < batch_top_k,
+        )
+        for left, right in batch:
+            merges.append((len(merges), left, right))
+            alphabet.add(left + right)
+        vocab = _apply_merges_arrow(vocab, batch).localCheckpoint()
+    if stats is not None:
+        stats.update(strategy="distributed", rounds=rounds)
+    return merges
+
+
+# -------------------------------------------------------------- front door
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
     min_pair_count: int = 2,
+    strategy: str = "auto",
+    driver_max_words: int = _DRIVER_MAX_WORDS,
+    batch_top_k: int = 4096,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str]]:
     """Train BPE merges over a corpus; returns [(rank, left, right)].
-    Stops early when no pair reaches ``min_pair_count``."""
-    vocab = _word_histogram(df, text_col).select(
-        F.split(F.col("word"), "").alias("syms"), "cnt"
-    )
-    vocab = vocab.localCheckpoint()
-    merges: list[tuple[int, str, str]] = []
-    for rank in range(n_merges):
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.when(
-                        F.size("syms") >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("syms") - 1),
-                            lambda i: F.struct(
-                                F.element_at(F.col("syms"), i).alias("l"),
-                                F.element_at(F.col("syms"), i + 1).alias("r"),
-                            ),
-                        ),
-                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-            .limit(1)
-            .collect()
+    Stops early when no pair reaches ``min_pair_count``.
+
+    strategy: "auto" picks "driver" when the distinct-word histogram
+    has ≤ driver_max_words rows (zero Spark jobs per merge), else
+    "distributed" (batched rounds; see module docstring). All engines
+    produce bit-identical merge tables.
+    """
+    hist = _word_histogram(df, text_col).localCheckpoint()
+    if strategy == "auto":
+        n_words = hist.count()  # cheap: histogram already materialized
+        strategy = "driver" if n_words <= driver_max_words else "distributed"
+    if strategy == "driver":
+        rows = hist.collect()
+        if stats is not None:
+            stats.update(strategy="driver", rounds=0, words=len(rows))
+        return _train_incremental(
+            [(list(r["word"]), r["cnt"]) for r in rows], n_merges, min_pair_count
         )
-        if not pairs or pairs[0]["c"] < min_pair_count:
-            break
-        left, right = pairs[0]["l"], pairs[0]["r"]
-        merges.append((rank, left, right))
-        vocab = vocab.select(
-            _merge_expr(F.col("syms"), left, right).alias("syms"), "cnt"
-        ).localCheckpoint()
-    return merges
+    vocab = hist.select(F.split(F.col("word"), "").alias("syms"), "cnt")
+    return _train_distributed(vocab, n_merges, min_pair_count, batch_top_k, stats)
 
 
 def encode_expr(col: Column, merges: list[tuple[int, str, str]]) -> Column:
     """Column expr: one word → its BPE token array, merges applied in
-    rank order (chained folds; see module docstring for the
-    32k-merge Arrow alternative)."""
+    rank order (chained folds — the codegen path for small vocabs)."""
     syms = F.split(col, "")
     for _, left, right in sorted(merges):
         syms = _merge_expr(syms, left, right)
@@ -129,10 +360,21 @@ def bpe_encode(
     merges: list[tuple[int, str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Tokenize documents: per-word greedy merge application, tokens
     rejoined in document order with '·' marking in-word boundaries.
-    Shuffle-free map pass. Returns (id, tokens, n_tokens)."""
+    Shuffle-free map pass. Returns (id, tokens, n_tokens).
+
+    engine: "fold" = chained codegen folds (depth grows with vocab —
+    right up to _FOLD_LIMIT merges); "arrow" = one mapInPandas pass
+    with the merge table in the closure (production vocabs); "auto"
+    picks by len(merges). Identical output either way.
+    """
+    if engine == "auto":
+        engine = "fold" if len(merges) <= _FOLD_LIMIT else "arrow"
+    if engine == "arrow":
+        return bpe_encode_arrow(df, merges, text_col, id_col)
     words = F.split(F.col(text_col), r"\s+")
     toks = F.flatten(
         F.transform(
@@ -151,14 +393,70 @@ def bpe_encode(
     )
 
 
+def bpe_encode_arrow(
+    df: DataFrame,
+    merges: list[tuple[int, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow encode path: merge ranks ride the closure into one
+    mapInPandas pass. Per-partition word memo (corpora repeat words
+    heavily) + substring prefilter (a merge's token is a run of
+    adjacent original characters, so only merges whose token is a
+    substring of the word can ever fire) keep the per-distinct-word
+    cost to the handful of applicable merges, not the whole table."""
+    import pandas as pd
+
+    ranked = [(left, right, left + right) for _, left, right in sorted(merges)]
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("tokens", T.StringType(), False),
+            T.StructField("n_tokens", T.IntegerType(), False),
+        ]
+    )
+
+    def run(it):
+        memo: dict[str, tuple[str, int]] = {}
+
+        def enc_word(w: str) -> tuple[str, int]:
+            hit = memo.get(w)
+            if hit is None:
+                cand = [(l, r) for l, r, tok in ranked if tok in w]
+                syms = tuple(w)
+                for left, right in cand:
+                    syms = _apply(syms, left, right)
+                hit = ("·".join(syms), len(syms))
+                memo[w] = hit
+            return hit
+
+        for pdf in it:
+            toks: list[str] = []
+            counts: list[int] = []
+            for text in pdf[text_col]:
+                parts = [enc_word(w) for w in re.split(r"\s+", text) if w != ""]
+                toks.append(" ".join(p[0] for p in parts))
+                counts.append(sum(p[1] for p in parts))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].reset_index(drop=True),
+                    "tokens": toks,
+                    "n_tokens": pd.array(counts, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------- oracle twin
 
 def reference_bpe(
     texts: list[str], n_merges: int = 16, min_pair_count: int = 2
 ) -> list[tuple[int, str, str]]:
     """Independent pure-Python twin of train_bpe (the textbook
-    algorithm, dict-based) — oracle builder for the seeded gate and
-    the hand-checked unit tests."""
+    algorithm, dict-based, counts recomputed in full every merge) —
+    oracle builder for the seeded gate, the hand-checked unit tests,
+    and the batched-equals-sequential equivalence suite."""
     hist: dict[tuple[str, ...], int] = {}
     for t in texts:
         for w in t.split():

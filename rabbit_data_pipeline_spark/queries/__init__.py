@@ -42,36 +42,35 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 front-load, slot budget 50 (44 used).
-    # (a) The five r5 gates flagged as 0-row/vacuous, now de-vacuated
-    # with predicate constants that exist in /root/testdata (see each
-    # builder's docstring): these must return spark_rows > 0 this round.
-    "q_string_funcs", "q_json_extract", "q_join_anti",
-    "q_idle_customers", "sync_incremental",
-    # (b) The last 3 keys whose green verdict is on r1/r2 code.
-    "q_pivot", "q_rollup", "q_window_distribution",
-    # (c) The 36 round-5 additions that have never had a driver verdict
-    # (queued behind the 50-key cap): TPC-H completion pack, iterative
-    # graph tier, analytics pack, search tier, BPE/perplexity/NB,
-    # layout/quality/rollup gates, streaming stateful pair.
-    "q_min_cost_supplier", "q_product_profit", "q_important_stock",
-    "q_promo_revenue", "q_supplier_count", "q_potential_promotion",
-    "q_pagerank", "q_shortest_path", "q_triangles", "q_kcore",
-    "q_weighted_paths",
-    "q_record_linkage", "q_entity_resolution", "q_market_basket",
-    "q_gap_fill", "q_skyline", "q_attribution", "q_profile",
-    "q_stickiness", "q_mode", "q_experiment",
-    "text_inverted_index", "text_bm25", "text_collocations",
-    "pipeline_search_index",
-    "text_bpe_train", "text_bpe_encode", "text_perplexity",
-    "text_nb_train", "text_nb_classify",
-    "text_bloom_decontaminate",
-    "layout_orc_roundtrip", "q_expectations", "rollup_incremental",
-    "stream_attribution", "stream_rollup",
+    # Round-7 front-load, slot budget 50 (50 used). With the queue
+    # drained in r6 (183/183 green), this round is verdict FRESHNESS
+    # (VERDICT r6 ask #4) plus the reworked-BPE re-gate (ask #1).
+    # (a) The two keys whose implementation changed this round
+    # (operators/bpe.py rework: driver/distributed trainers, Arrow
+    # encode) and the two NEW gates for the batched/Arrow engines.
+    "text_bpe_train", "text_bpe_encode",
+    "text_bpe_train_batched", "text_bpe_encode_arrow",
+    # (b) The 43 keys whose latest driver verdict is on r3-or-older
+    # code (code unchanged since, so the verdicts stand — this re-run
+    # moves them onto current code).
+    "ann_bruteforce", "ann_lsh", "dedup_embedding", "dedup_exact",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "delete_where", "file_roundtrip", "id_gen", "multimodal_ann",
+    "pipeline_e2e", "pipeline_fanout", "pipeline_llm_prep",
+    "q_array_agg", "q_asof_join", "q_case_agg", "q_event_funnel",
+    "q_heavy_hitters", "q_interval_join", "q_market_share",
+    "q_range_window", "q_tumbling_window", "q_window_running",
+    "sink_upsert", "source_sql", "stream_session_window",
+    "sync_chunked", "sync_flag_update", "sync_insert_missing",
+    "sync_scd2", "text_chunks", "text_decontaminate",
+    "text_fingerprint", "text_lang_id", "text_mix", "text_pack",
+    "text_pii_redact", "text_quality", "text_tokens", "text_word_freq",
+    "xml_format", "xml_parse",
+    # (c) Remaining slots: the oldest (r4) cohort's heaviest plans.
+    "q_waiting_supplier", "q_big_orders", "dedup_clusters",
 )
-# After this round every one of the 183 registry keys should hold a
-# driver verdict on current code: rounds 1-5 covered the other 139 and
-# nothing outside (a) above changed semantics this round.
+# Next round: continue the freshness rotation through the rest of the
+# r4 cohort (38 keys), then r5/r6.
 
 
 def registry() -> dict[str, Query]:

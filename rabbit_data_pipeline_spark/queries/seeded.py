@@ -1543,6 +1543,25 @@ def text_bpe_train_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("rank").cast("int"), "left_sym", "right_sym")
 
 
+@register("text_bpe_train_batched", oracle=_bpe_train_oracle())
+def text_bpe_train_batched_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 gate, batched-distributed engine (the r6 scale ask): the
+    batched merge-round trainer — top-K pair collect, order-equivalent
+    batch selection, one Arrow pass per round (operators/bpe.py
+    _train_distributed) — must reproduce the SAME merge table as the
+    sequential textbook algorithm, rank for rank. batch_top_k=8 forces
+    the truncated-candidate-list conservative branch too."""
+    from rabbit_data_pipeline_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(bpe_corpus(), ["doc_id", "text"])
+    merges = train_bpe(
+        df, n_merges=_BPE_N_MERGES, strategy="distributed", batch_top_k=8
+    )
+    return spark.createDataFrame(
+        [(r, l, rt) for r, l, rt in merges], ["rank", "left_sym", "right_sym"]
+    ).select(F.col("rank").cast("int"), "left_sym", "right_sym")
+
+
 def _bpe_encode_oracle() -> str:
     from rabbit_data_pipeline_spark.operators.bpe import reference_encode
 
@@ -1569,5 +1588,20 @@ def text_bpe_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(bpe_corpus(), ["doc_id", "text"])
     merges = train_bpe(df, n_merges=_BPE_N_MERGES)
     return bpe_encode(df, merges).select(
+        "doc_id", "tokens", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+
+
+@register("text_bpe_encode_arrow", oracle=_bpe_encode_oracle())
+def text_bpe_encode_arrow_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 gate, Arrow encode engine (the production-vocab path): one
+    mapInPandas pass with the merge table in the closure must tokenize
+    identically to the codegen fold chain and the pure-Python twin —
+    same tokens, same '·' boundaries, same counts."""
+    from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(bpe_corpus(), ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=_BPE_N_MERGES)
+    return bpe_encode(df, merges, engine="arrow").select(
         "doc_id", "tokens", F.col("n_tokens").cast("int").alias("n_tokens")
     )
