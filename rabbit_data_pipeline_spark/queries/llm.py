@@ -237,6 +237,28 @@ def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 at sf scale — the bench's driver-loop probe (VERDICT r6 ask
+    #3): train a 256-merge BPE vocab over the real documents table and
+    encode every document with it. Exercises the full production path:
+    one histogram shuffle, driver-incremental training (zero Spark
+    jobs per merge), then the Arrow broadcast-merge-table encode (256
+    merges is far past the codegen fold limit). The driver-adjudicated
+    correctness gates are the seeded twins in queries/seeded.py
+    (text_bpe_train / text_bpe_train_batched / text_bpe_encode*)."""
+    from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, train_bpe
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = train_bpe(docs, n_merges=256, min_pair_count=2)
+    enc = bpe_encode(docs, merges, engine="arrow")
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.lit(len(merges)).alias("n_merges"),
+    )
+
+
 def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 at sf scale: 64-bit SimHash over word tokens, 4×16-bit band
     buckets, hamming ≤ 3 verify. Correctness gate: queries/seeded.py."""
