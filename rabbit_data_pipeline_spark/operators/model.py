@@ -34,12 +34,59 @@ from pyspark.sql.types import ArrayType, DoubleType, FloatType, StructField, Str
 _REAL_MODELS: dict[str, Callable] = {}
 
 
+def _load_sentence_transformer(name: str) -> Callable[[pd.Series], pd.Series]:
+    """Optional-dependency embedder loader: with sentence-transformers
+    installed on the cluster, returns a batched model_fn for
+    embed_documents; without it, the documented gate."""
+    try:
+        from sentence_transformers import SentenceTransformer  # optional dep
+    except ImportError as e:
+        raise NotImplementedError(
+            f"model {name!r} needs sentence-transformers on the cluster "
+            "(pip install sentence-transformers), or pass model_fn="
+        ) from e
+    model = SentenceTransformer(name)
+
+    def fn(texts: pd.Series) -> pd.Series:
+        vecs = model.encode(list(texts.fillna("")), show_progress_bar=False)
+        return pd.Series([list(map(float, v)) for v in vecs], index=texts.index)
+
+    return fn
+
+
+def _load_fasttext(path: str) -> Callable[[pd.Series], pd.Series]:
+    """Optional-dependency classifier loader: fastText-style quality
+    model returning P(label 0) per document."""
+    try:
+        import fasttext  # optional dep
+    except ImportError as e:
+        raise NotImplementedError(
+            f"model {path!r} needs fasttext on the cluster "
+            "(pip install fasttext-wheel), or pass model_fn="
+        ) from e
+    model = fasttext.load_model(path.split("fasttext:", 1)[1])
+
+    def fn(texts: pd.Series) -> pd.Series:
+        labels, probs = model.predict([str(t or "").replace("\n", " ") for t in texts])
+        return pd.Series([float(p[0]) for p in probs], index=texts.index)
+
+    return fn
+
+
 def load_model(name: str):
-    """Load a named real model. None ship in this container — the
-    call is the documented integration point, gated exactly like the
-    multimodal codecs."""
+    """Load a named real model — the documented integration point,
+    import-gated exactly like the multimodal codecs: a registered
+    loader wins; `sentence-transformers/...` names load through the
+    optional sentence-transformers dep; `fasttext:<path>` through the
+    optional fasttext dep; anything else (or a missing dep) raises the
+    clearly-marked gate. The deterministic stand-ins remain the
+    no-dependency default (model_fn=None on score/embed)."""
     if name in _REAL_MODELS:
         return _REAL_MODELS[name]()
+    if name.startswith("sentence-transformers/"):
+        return _load_sentence_transformer(name)
+    if name.startswith("fasttext:"):
+        return _load_fasttext(name)
     raise NotImplementedError(
         f"model {name!r}: no model runtime ships in this container; "
         "pass model_fn= to score_documents/embed_documents instead"

@@ -78,6 +78,54 @@ def encode_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     return b"AUD1" + struct.pack("<ii", sample_rate, n_samples) + pcm
 
 
+def _pil_image():
+    """Optional-dependency gate for real image codecs: returns the PIL
+    Image module when Pillow is installed on the cluster, else None.
+    Tests inject a fake via sys.modules; the container ships none."""
+    try:
+        from PIL import Image  # optional dep: pip install pillow
+
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_real(payload: bytes) -> dict | None:
+    """Real-codec decode: WAV via stdlib `wave` (always available),
+    raster images via Pillow when installed. Returns None when no
+    real codec claims the payload."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            # n_frames carries the sample count; width carries the
+            # rate — the schema stays fixed across modalities.
+            return {
+                "format": "WAV",
+                "width": w.getframerate(),
+                "height": None,
+                "n_frames": w.getnframes(),
+                "n_bytes": len(payload),
+            }
+    Image = _pil_image()
+    if Image is not None:
+        import io
+
+        try:
+            im = Image.open(io.BytesIO(payload))
+            return {
+                "format": (im.format or "IMG").upper(),
+                "width": im.width,
+                "height": im.height,
+                "n_frames": int(getattr(im, "n_frames", 1)),
+                "n_bytes": len(payload),
+            }
+        except Exception:
+            return None  # Pillow present but payload isn't an image it knows
+    return None
+
+
 def _decode_one(payload: bytes) -> dict:
     magic = payload[:4]
     if magic == b"IMG1":
@@ -91,10 +139,15 @@ def _decode_one(payload: bytes) -> dict:
         # n_frames carries the sample count; width carries the rate —
         # the schema stays fixed across modalities (nullable ints).
         return {"format": "AUD1", "width": sr, "height": None, "n_frames": n, "n_bytes": len(payload)}
-    # STUB: real codecs (JPEG/PNG/WAV/MP4) require PIL/ffmpeg — not in
-    # this container. The distributed plumbing around this call is the
-    # tested deliverable.
-    raise NotImplementedError(f"no codec for magic {magic!r}; install an image/av library on the cluster")
+    real = _decode_real(payload)
+    if real is not None:
+        return real
+    # GATE: video containers (MP4/MKV) require ffmpeg/PyAV — not in
+    # this container; images require Pillow when not installed. The
+    # distributed plumbing around this call is the tested deliverable.
+    raise NotImplementedError(
+        f"no codec for magic {magic!r}; pip install pillow (images) or av (video) on the cluster"
+    )
 
 
 def decode_metadata(df: DataFrame) -> DataFrame:
@@ -111,10 +164,26 @@ def decode_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_META)
 
 
+def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
+    """Real-image resize via Pillow (optional dep), re-encoded as PNG.
+    Raises the documented gate when Pillow is absent."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            "resize: real image codecs need Pillow on the cluster (pip install pillow)"
+        )
+    import io
+
+    im = Image.open(io.BytesIO(payload)).resize((new_width, new_height))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
-    """'Resize' = deterministic nearest-neighbor subsample of the
-    synthetic gray payload (a real impl swaps the inner loop for
-    PIL.Image.resize; batch shape identical)."""
+    """Resize: deterministic nearest-neighbor subsample for the
+    synthetic IMG1 format; real raster formats route through Pillow
+    (optional dep; PNG out) when installed — same batch shape."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -130,7 +199,8 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
                 if payload[:4] != b"IMG1":
-                    raise NotImplementedError("resize: only IMG1 synthetic format in this container")
+                    rows.append((mid, _resize_real(payload, new_width, new_height), new_width, new_height))
+                    continue
                 w, h = struct.unpack("<ii", payload[4:12])
                 body = payload[12:]
                 resized = bytes(
