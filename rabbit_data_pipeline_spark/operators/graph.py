@@ -191,15 +191,20 @@ def pagerank(
     stays flat instead of nesting k joins. The node count is the one
     driver scalar (graph order), same class as the PQ-training
     round-trips."""
+    # Materialize (src, dst, deg) ONCE: the input edge list is usually
+    # the tail of a fact-table join lineage, and without the checkpoint
+    # every iteration re-runs that lineage AND the degree aggregation
+    # (measured: q_pagerank sf0.1 27 s → the checkpointed edge list is
+    # the fix; same reason Spark's own PageRank examples cache edges).
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    wedges = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True)
+    nodes = wedges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     score = nodes.withColumn("score", F.lit(scale // n).cast("long"))
     for _ in range(iters):
         contrib = (
-            edges.join(score.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            wedges.join(score.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("score div deg").alias("c"))
         )
         agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -239,6 +244,8 @@ def bfs_distances(
     bounded by the graph diameter, not size. Settled set is
     localCheckpoint'ed so plans stay flat."""
     spark = edges.sparkSession
+    # One materialization; every round re-joins this, not its lineage.
+    edges = edges.localCheckpoint(eager=True)
     dist = spark.createDataFrame(
         [(s, 0) for s in sources], ["node", "dist"]
     ).localCheckpoint()
@@ -278,6 +285,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     One row out: (n_triangles). Three shuffles: degree agg, wedge
     self-join keyed by wedge center, closing semi-join keyed by the
     wedge endpoints."""
+    # edges is referenced three times (degree agg + the keyed join +
+    # the closing semi-join); materialize once so its upstream lineage
+    # runs once instead of three times.
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -325,6 +336,8 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
     the converged answer exactly.
 
     Returns (node, deg) — survivors with their in-core degree."""
+    # One materialization; every peeling round re-joins this, not its lineage.
+    edges = edges.localCheckpoint(eager=True)
     alive = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
@@ -368,6 +381,9 @@ def weighted_sssp(
 
     Returns (node, dist) for reachable nodes."""
     spark = edges.sparkSession
+    # One materialization; every relaxation round re-joins this, not
+    # its lineage.
+    edges = edges.localCheckpoint(eager=True)
     dist = spark.createDataFrame([(s, 0) for s in sources], ["node", "dist"]).localCheckpoint(
         eager=True
     )
