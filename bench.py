@@ -305,11 +305,15 @@ def main() -> None:
         # Extended probes (driver-loop-risk ops) at the primary scale
         # point — additive keys; the headline total above is untouched.
         try:
+            # Single-shot: these are scaling probes (is the iterative
+            # tier sublinear?), not noise-sensitive micro-timings, and
+            # q_pagerank alone is ~27 s at sf0.1 — repeats would put
+            # the whole bench at risk of the driver's wall budget.
             ext_stats: dict[str, dict[str, float]] = {}
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None:
-                    ext_stats[name] = _time_runs(builder, spark, sf_dir, runs=2)
+                    ext_stats[name] = _time_runs(builder, spark, sf_dir, runs=1)
             result["extended_queries"] = {n: s["min"] for n, s in ext_stats.items()}
             result["extended_stats"] = ext_stats
         except Exception as e:
@@ -339,7 +343,7 @@ def main() -> None:
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None:
-                    sf1_ext[name] = _time_runs(builder, spark, _SCALED_DIR, runs=2)["min"]
+                    sf1_ext[name] = _time_runs(builder, spark, _SCALED_DIR, runs=1)["min"]
             result.update(
                 {
                     "sf1": round(0.1 * _SCALE_FACTOR, 2),
