@@ -307,12 +307,15 @@ def main() -> None:
         try:
             # Single-shot: these are scaling probes (is the iterative
             # tier sublinear?), not noise-sensitive micro-timings, and
-            # q_pagerank alone is ~27 s at sf0.1 — repeats would put
-            # the whole bench at risk of the driver's wall budget.
+            # q_pagerank alone is ~14 s at sf0.1 — repeats would put
+            # the whole bench at risk of the driver's wall budget. A
+            # cheap sf0.001 pass first pays plan/codegen warm-up so the
+            # sf1/sf0.1 ratio compares warm plans on both sides.
             ext_stats: dict[str, dict[str, float]] = {}
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None:
+                    builder(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
                     ext_stats[name] = _time_runs(builder, spark, sf_dir, runs=1)
             result["extended_queries"] = {n: s["min"] for n, s in ext_stats.items()}
             result["extended_stats"] = ext_stats

@@ -156,6 +156,14 @@ def test_driver_path_trains_1k_merges_in_constant_jobs(spark):
     # exactness at this size too: the twin recomputes counts in full
     expected = reference_bpe([t for _, t in rows], n_merges=1000, min_pair_count=1)
     assert merges == expected
+    # ...and the Arrow encoder handles the 1000-merge table (memo +
+    # substring prefilter) identically to the twin.
+    from rabbit_data_pipeline_spark.operators.bpe import bpe_encode
+
+    sample = df.limit(3)
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(sample, merges).collect()}
+    for doc_id, text in sample.collect():
+        assert got[doc_id] == " ".join(reference_encode(text, merges))
 
 
 def test_distributed_path_batches_merges(spark):
