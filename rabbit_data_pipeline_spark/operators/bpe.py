@@ -326,15 +326,30 @@ def train_bpe(
     """Train BPE merges over a corpus; returns [(rank, left, right)].
     Stops early when no pair reaches ``min_pair_count``.
 
-    strategy: "auto" picks "driver" when the distinct-word histogram
-    has ≤ driver_max_words rows (zero Spark jobs per merge), else
-    "distributed" (batched rounds; see module docstring). All engines
-    produce bit-identical merge tables.
+    strategy:
+    - "auto": "driver" when the distinct-word histogram has
+      ≤ driver_max_words rows (zero Spark jobs per merge), else
+      "distributed".
+    - "driver" / "distributed": force an engine. All three produce
+      bit-identical merge tables over the same histogram.
+    - "driver_topm": frequency-truncate the histogram to the top
+      driver_max_words word types (count DESC, word ASC — total
+      order, deterministic) and train driver-side. This is the
+      standard single-node-tokenizer practice for histograms too big
+      to collect (rare word types contribute negligible pair mass);
+      it is a DOCUMENTED APPROXIMATION of full-histogram training,
+      unlike the other engines, but is exact BPE over the truncated
+      histogram — prefer it over "distributed" on natural-language
+      corpora, where the exact batching rule degenerates to ~1 merge
+      per round (top pairs share letters).
     """
     hist = _word_histogram(df, text_col).localCheckpoint()
     if strategy == "auto":
         n_words = hist.count()  # cheap: histogram already materialized
         strategy = "driver" if n_words <= driver_max_words else "distributed"
+    if strategy == "driver_topm":
+        hist = hist.orderBy(F.col("cnt").desc(), "word").limit(driver_max_words)
+        strategy = "driver"
     if strategy == "driver":
         rows = hist.collect()
         if stats is not None:

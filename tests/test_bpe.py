@@ -124,6 +124,21 @@ def test_encode_arrow_preserves_id_type_and_whitespace(spark):
     assert rows["d2"]["n_tokens"] == 1
 
 
+def test_driver_topm_truncates_deterministically(spark):
+    """driver_topm == exact BPE over the top-M (count DESC, word ASC)
+    word types — the documented approximation for histograms too big
+    to collect; with M ≥ vocab it equals full training."""
+    texts = ["aa aa aa bb bb cc", "aa bb zz"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    full = train_bpe(df, n_merges=5, min_pair_count=1)
+    assert train_bpe(df, n_merges=5, min_pair_count=1, strategy="driver_topm") == full
+    # M=2 keeps {aa:4, bb:3} only -> merges trained on that histogram
+    got = train_bpe(
+        df, n_merges=5, min_pair_count=1, strategy="driver_topm", driver_max_words=2
+    )
+    assert got == reference_bpe(["aa aa aa aa bb bb bb"], n_merges=5, min_pair_count=1)
+
+
 # -------------------------------------------------------------- scale gates
 
 
