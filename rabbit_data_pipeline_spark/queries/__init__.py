@@ -42,17 +42,25 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 front-load, slot budget 50 (50 used). With the queue
-    # drained in r6 (183/183 green), this round is verdict FRESHNESS
-    # (VERDICT r6 ask #4) plus the reworked-BPE re-gate (ask #1).
-    # (a) The two keys whose implementation changed this round
-    # (operators/bpe.py rework: driver/distributed trainers, Arrow
-    # encode) and the two NEW gates for the batched/Arrow engines.
+    # Round-7 front-load, slot budget 50 (52 listed; the driver's cap
+    # trims the tail, which is ordered least-risk-last). With the
+    # queue drained in r6 (183/183 green), this round is verdict
+    # FRESHNESS (VERDICT r6 ask #4) plus the reworked-BPE re-gate
+    # (ask #1).
+    # (a) Keys whose implementation changed this round: the BPE rework
+    # (operators/bpe.py: driver/distributed trainers, Arrow encode) +
+    # its two NEW engine gates, and the graph tier (operators/graph.py
+    # now materializes edge lists once per call — results bit-identical,
+    # re-verified hash-green locally, but the verdict should sit on
+    # current code).
     "text_bpe_train", "text_bpe_encode",
     "text_bpe_train_batched", "text_bpe_encode_arrow",
+    "q_pagerank", "q_shortest_path", "q_triangles", "q_kcore",
+    "q_weighted_paths",
     # (b) The 43 keys whose latest driver verdict is on r3-or-older
     # code (code unchanged since, so the verdicts stand — this re-run
-    # moves them onto current code).
+    # moves them onto current code). Tail-ordered so that if the
+    # driver cap trims anything it is the tiny invariant XML pair.
     "ann_bruteforce", "ann_lsh", "dedup_embedding", "dedup_exact",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "delete_where", "file_roundtrip", "id_gen", "multimodal_ann",
@@ -66,11 +74,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_fingerprint", "text_lang_id", "text_mix", "text_pack",
     "text_pii_redact", "text_quality", "text_tokens", "text_word_freq",
     "xml_format", "xml_parse",
-    # (c) Remaining slots: the oldest (r4) cohort's heaviest plans.
-    "q_waiting_supplier", "q_big_orders", "dedup_clusters",
 )
-# Next round: continue the freshness rotation through the rest of the
-# r4 cohort (38 keys), then r5/r6.
+# Next round: continue the freshness rotation through the r4 cohort
+# (41 keys, heaviest plans first: q_waiting_supplier, q_big_orders,
+# dedup_clusters, ...), then r5/r6.
 
 
 def registry() -> dict[str, Query]:
