@@ -40,19 +40,25 @@ Scale shape (the point of doing this on Spark):
   candidates in (count DESC, left ASC, right ASC) order and accept
   while each pair (a) shares no symbol with an already-accepted pair,
   (b) its merged token l+r is a brand-new string (not an existing
-  alphabet symbol nor another accepted pair's token), stopping the scan
-  at the first violation, whose count is c_stop; then keep only
+  alphabet symbol nor another accepted pair's token), and (c) is not
+  preceded in the batch by a SELF-pair (l == r): a self-merge's
+  residues ('ccc' → [cc, c]) create pairs like (cc, c) bounded only by
+  the self-pair's own count, so a self-pair closes its batch. The scan
+  stops at the first violation, whose count is c_stop; keep only
   accepted pairs with count > c_stop. Sketch: disjointness + brand-new
   tokens make accepted pairs' counts invariant under each other's
-  application, and every pair a merge can create or inflate contains a
-  brand-new token, so it shares a symbol with the prefix, ranks after
-  it, and is bounded by c_stop — strictly below every kept pair. Hence
-  at each sub-step the kept pair is still the global argmax. When the
-  filter empties the batch, fall back to the top-1 pair (a single
-  sequential step is trivially exact). The randomized equivalence
-  tests in tests/test_bpe.py exercise this against the pure-Python
-  twin on adversarial tiny-alphabet corpora where token collisions
-  and ties are common.
+  application, and — self-pairs excluded — every pair a merge can
+  create or inflate is bounded by the count of a pre-merge pair that
+  conflicts with the prefix, hence ranks at/after the stop candidate
+  and is ≤ c_stop, strictly below every kept pair. Hence at each
+  sub-step the kept pair is still the global argmax. When the filter
+  empties the batch, fall back to the top-1 pair (a single sequential
+  step is trivially exact). The hypothesis property suite
+  (tests/test_bpe_props.py) checks the selected batch IS the
+  sequential-argmax prefix on random histograms — it is what caught
+  the self-pair case — and the randomized equivalence tests in
+  tests/test_bpe.py exercise the full trainer against the pure-Python
+  twin on adversarial tiny-alphabet corpora.
 
 - Encoding applies merges in rank order, greedy left-to-right per word
   (the published semantics; the oracle twin is independent):
@@ -218,7 +224,7 @@ def _select_batch(
     accepted: list[tuple[int, str, str]] = []
     used: set[str] = set()
     c_stop = 0 if complete else cands[-1][0]
-    for c, left, right in cands:
+    for idx, (c, left, right) in enumerate(cands):
         tok = left + right
         if (
             c < min_pair_count
@@ -232,6 +238,20 @@ def _select_batch(
             break
         accepted.append((c, left, right))
         used.update((left, right, tok))
+        if left == right:
+            # A self-merge's residues ('ccc' → [cc, c]) create pairs
+            # like (cc, c) whose count is bounded only by THIS pair's
+            # count — not by any later candidate's — so no later
+            # candidate can be proven to stay the argmax at its
+            # sub-step. The batch closes here. (Found by the
+            # hypothesis property suite, tests/test_bpe_props.py.)
+            if idx + 1 < len(cands):
+                c_stop = cands[idx + 1][0]
+            elif not complete:
+                c_stop = cands[-1][0]
+            else:
+                c_stop = 0
+            break
     batch = [(l, r) for c, l, r in accepted if c > c_stop]
     if not batch:  # top-1 alone is a plain sequential step — always exact
         batch = [(cands[0][1], cands[0][2])]

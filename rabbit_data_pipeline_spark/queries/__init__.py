@@ -42,11 +42,9 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 front-load, slot budget 50 (52 listed; the driver's cap
-    # trims the tail, which is ordered least-risk-last). With the
-    # queue drained in r6 (183/183 green), this round is verdict
-    # FRESHNESS (VERDICT r6 ask #4) plus the reworked-BPE re-gate
-    # (ask #1).
+    # Round-7 front-load, slot budget 50 (50 used). With the queue
+    # drained in r6 (183/183 green), this round is verdict FRESHNESS
+    # (VERDICT r6 ask #4) plus the reworked-BPE re-gate (ask #1).
     # (a) Keys whose implementation changed this round: the BPE rework
     # (operators/bpe.py: driver/distributed trainers, Arrow encode) +
     # its two NEW engine gates, and the graph tier (operators/graph.py
@@ -57,10 +55,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bpe_train_batched", "text_bpe_encode_arrow",
     "q_pagerank", "q_shortest_path", "q_triangles", "q_kcore",
     "q_weighted_paths",
-    # (b) The 43 keys whose latest driver verdict is on r3-or-older
-    # code (code unchanged since, so the verdicts stand — this re-run
-    # moves them onto current code). Tail-ordered so that if the
-    # driver cap trims anything it is the tiny invariant XML pair.
+    # (b) 41 of the 43 keys whose latest driver verdict is on
+    # r3-or-older code (code unchanged since, so the verdicts stand —
+    # this re-run moves them onto current code). The tiny invariant
+    # XML pair (xml_format, xml_parse) waits for round 8 to fit the
+    # 50-key cap.
     "ann_bruteforce", "ann_lsh", "dedup_embedding", "dedup_exact",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "delete_where", "file_roundtrip", "id_gen", "multimodal_ann",
@@ -73,11 +72,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sync_scd2", "text_chunks", "text_decontaminate",
     "text_fingerprint", "text_lang_id", "text_mix", "text_pack",
     "text_pii_redact", "text_quality", "text_tokens", "text_word_freq",
-    "xml_format", "xml_parse",
 )
-# Next round: continue the freshness rotation through the r4 cohort
-# (41 keys, heaviest plans first: q_waiting_supplier, q_big_orders,
-# dedup_clusters, ...), then r5/r6.
+# Next round: xml_format + xml_parse (the last two r3-verdict keys),
+# then the r4 cohort (41 keys, heaviest plans first:
+# q_waiting_supplier, q_big_orders, dedup_clusters, ...), then r5/r6.
 
 
 def registry() -> dict[str, Query]:
