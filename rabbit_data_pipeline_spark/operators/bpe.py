@@ -483,6 +483,27 @@ def bpe_encode_arrow(
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
+# ------------------------------------------------------------- persistence
+
+
+def save_merges(spark, merges: list[tuple[int, str, str]], path: str) -> None:
+    """Persist a trained merge table as parquet (rank, left, right) —
+    the same no-pickle artifact convention as the ANN index
+    persistence (operators/similarity.py): portable across Spark
+    versions and readable by any engine."""
+    spark.createDataFrame(merges, ["rank", "left", "right"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[int, str, str]]:
+    """Load a persisted merge table, rank-ordered."""
+    return [
+        (r["rank"], r["left"], r["right"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
 # ---------------------------------------------------------------- oracle twin
 
 def reference_bpe(

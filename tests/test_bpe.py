@@ -124,6 +124,22 @@ def test_encode_arrow_preserves_id_type_and_whitespace(spark):
     assert rows["d2"]["n_tokens"] == 1
 
 
+def test_merge_table_roundtrips_through_parquet(spark, tmp_path):
+    """Train → save → load → encode must equal encoding with the
+    in-memory table (the tokenizer-as-artifact path, no pickle)."""
+    from rabbit_data_pipeline_spark.operators.bpe import load_merges, save_merges
+
+    texts = _random_corpus(11, "abc", n_words=20, max_len=6)
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=20, min_pair_count=1)
+    path = str(tmp_path / "bpe_merges.parquet")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+    a = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, merges).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, load_merges(spark, path)).collect()}
+    assert a == b
+
+
 def test_driver_topm_truncates_deterministically(spark):
     """driver_topm == exact BPE over the top-M (count DESC, word ASC)
     word types — the documented approximation for histograms too big
