@@ -124,6 +124,35 @@ def test_encode_arrow_preserves_id_type_and_whitespace(spark):
     assert rows["d2"]["n_tokens"] == 1
 
 
+def test_unicode_codepoint_symbols_agree_across_engines(spark):
+    """Spark's split(col, '') advances by CODEPOINT (astral-plane
+    emoji stay whole, matching Python list()) — pin it, since a
+    surrogate-half divergence would silently split every engine pair
+    (driver vs distributed training, fold vs arrow encode) on real
+    LLM corpora."""
+    texts = ["😀😀 a😀b a😀b", "éñé éñé 日本 日本 日本"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    expected = reference_bpe(texts, n_merges=8, min_pair_count=1)
+    assert any(any(len(c) > 0 for c in (l, r)) for _, l, r in expected)
+    assert train_bpe(df, n_merges=8, min_pair_count=1) == expected
+    assert (
+        train_bpe(df, n_merges=8, min_pair_count=1, strategy="distributed")
+        == expected
+    )
+    fold = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, expected, engine="fold").collect()}
+    arrow = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, expected, engine="arrow").collect()}
+    for i, t in enumerate(texts):
+        want = " ".join(reference_encode(t, expected))
+        assert fold[i] == arrow[i] == want
+
+
+def test_empty_and_whitespace_corpora():
+    """Degenerate inputs: no words → no merges, on the pure twin."""
+    assert reference_bpe([], n_merges=4) == []
+    assert reference_bpe(["   ", "\t\n"], n_merges=4) == []
+    assert _train_incremental([], n_merges=4, min_pair_count=1) == []
+
+
 def test_merge_table_roundtrips_through_parquet(spark, tmp_path):
     """Train → save → load → encode must equal encoding with the
     in-memory table (the tokenizer-as-artifact path, no pickle)."""
