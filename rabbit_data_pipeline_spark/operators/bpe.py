@@ -99,6 +99,18 @@ _FOLD_LIMIT = 24
 #: under any sane spark.driver.memory; beyond it, batched rounds.
 _DRIVER_MAX_WORDS = 2_000_000
 
+#: Word splitting is defined by Spark/Java's \s, which is ASCII-only
+#: ([ \t\n\x0B\f\r]). Python re's \s is Unicode-aware (NBSP, U+3000…),
+#: so Python-side paths MUST use this explicit class or the Arrow
+#: encoder would segment real web/CJK corpora differently from the
+#: fold engine and the training histogram.
+_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _split_words(text: str) -> list[str]:
+    """Python twin of Spark's split(col, '\\s+') + non-empty filter."""
+    return [w for w in _ASCII_WS.split(text) if w != ""]
+
 
 def _word_histogram(df: DataFrame, text_col: str) -> DataFrame:
     """Distinct words with counts — the one corpus-scale shuffle."""
@@ -363,6 +375,10 @@ def train_bpe(
       corpora, where the exact batching rule degenerates to ~1 merge
       per round (top pairs share letters).
     """
+    if strategy not in ("auto", "driver", "distributed", "driver_topm"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: expected auto|driver|distributed|driver_topm"
+        )
     hist = _word_histogram(df, text_col).localCheckpoint()
     if strategy == "auto":
         n_words = hist.count()  # cheap: histogram already materialized
@@ -411,20 +427,20 @@ def bpe_encode(
     if engine == "arrow":
         return bpe_encode_arrow(df, merges, text_col, id_col)
     words = F.split(F.col(text_col), r"\s+")
-    toks = F.flatten(
-        F.transform(
-            F.filter(words, lambda w: w != ""),
-            lambda w: encode_expr(w, merges),
-        )
-    )
-    per_word = F.transform(
+    # Materialize the per-word token arrays as a real column first so
+    # the chained merge folds evaluate ONCE per row — deriving both
+    # outputs from one expression tree would double codegen size and
+    # per-row work, the very thing _FOLD_LIMIT exists to bound.
+    arr = F.transform(
         F.filter(words, lambda w: w != ""),
-        lambda w: F.array_join(encode_expr(w, merges), "·"),
+        lambda w: encode_expr(w, merges),
     )
-    return df.select(
+    return df.select(F.col(id_col), arr.alias("__arr")).select(
         F.col(id_col),
-        F.array_join(per_word, " ").alias("tokens"),
-        F.size(toks).alias("n_tokens"),
+        F.array_join(
+            F.transform("__arr", lambda a: F.array_join(a, "·")), " "
+        ).alias("tokens"),
+        F.size(F.flatten("__arr")).alias("n_tokens"),
     )
 
 
@@ -446,8 +462,8 @@ def bpe_encode_arrow(
     out_schema = T.StructType(
         [
             df.schema[id_col],
-            T.StructField("tokens", T.StringType(), False),
-            T.StructField("n_tokens", T.IntegerType(), False),
+            T.StructField("tokens", T.StringType(), True),
+            T.StructField("n_tokens", T.IntegerType(), True),
         ]
     )
 
@@ -466,17 +482,22 @@ def bpe_encode_arrow(
             return hit
 
         for pdf in it:
-            toks: list[str] = []
-            counts: list[int] = []
+            toks: list[str | None] = []
+            counts: list[int | None] = []
             for text in pdf[text_col]:
-                parts = [enc_word(w) for w in re.split(r"\s+", text) if w != ""]
+                if text is None or text is pd.NA:
+                    # fold-engine parity: null text → null tokens/count
+                    toks.append(None)
+                    counts.append(None)
+                    continue
+                parts = [enc_word(w) for w in _split_words(text)]
                 toks.append(" ".join(p[0] for p in parts))
                 counts.append(sum(p[1] for p in parts))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].reset_index(drop=True),
                     "tokens": toks,
-                    "n_tokens": pd.array(counts, dtype="int32"),
+                    "n_tokens": pd.array(counts, dtype="Int32"),
                 }
             )
 
@@ -491,9 +512,9 @@ def save_merges(spark, merges: list[tuple[int, str, str]], path: str) -> None:
     the same no-pickle artifact convention as the ANN index
     persistence (operators/similarity.py): portable across Spark
     versions and readable by any engine."""
-    spark.createDataFrame(merges, ["rank", "left", "right"]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING"  # explicit: [] must persist too
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_merges(spark, path: str) -> list[tuple[int, str, str]]:
@@ -515,7 +536,11 @@ def reference_bpe(
     and the batched-equals-sequential equivalence suite."""
     hist: dict[tuple[str, ...], int] = {}
     for t in texts:
-        for w in t.split():
+        # ASCII-whitespace split (the engine's Spark/Java \s spec);
+        # Python str.split() would also split on Unicode whitespace.
+        for w in re.split("[ \t\n\x0b\f\r]+", t):
+            if not w:
+                continue
             k = tuple(w)
             hist[k] = hist.get(k, 0) + 1
     merges: list[tuple[int, str, str]] = []
@@ -551,7 +576,9 @@ def _apply(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
 
 def reference_encode(text: str, merges: list[tuple[int, str, str]]) -> list[str]:
     toks: list[str] = []
-    for w in text.split():
+    for w in re.split("[ \t\n\x0b\f\r]+", text):  # ASCII-ws spec, as above
+        if not w:
+            continue
         syms = tuple(w)
         for _, left, right in sorted(merges):
             syms = _apply(syms, left, right)

@@ -35,40 +35,68 @@ _REAL_MODELS: dict[str, Callable] = {}
 
 
 def _load_sentence_transformer(name: str) -> Callable[[pd.Series], pd.Series]:
-    """Optional-dependency embedder loader: with sentence-transformers
-    installed on the cluster, returns a batched model_fn for
-    embed_documents; without it, the documented gate."""
+    """Optional-dependency embedder loader. The returned model_fn
+    captures only the model NAME (strings pickle; a torch model would
+    either fail to serialize or ship full weights in every task
+    closure) and loads the model lazily ONCE per Python worker via a
+    function-attribute memo — the per-worker init point
+    score/embed_documents document. The import is probed eagerly so a
+    missing dep fails at load_model() on the driver, not mid-job."""
     try:
-        from sentence_transformers import SentenceTransformer  # optional dep
+        import sentence_transformers  # noqa: F401  (optional dep, probe only)
     except ImportError as e:
         raise NotImplementedError(
             f"model {name!r} needs sentence-transformers on the cluster "
             "(pip install sentence-transformers), or pass model_fn="
         ) from e
-    model = SentenceTransformer(name)
 
     def fn(texts: pd.Series) -> pd.Series:
+        model = getattr(fn, "_model", None)
+        if model is None:
+            from sentence_transformers import SentenceTransformer
+
+            model = fn._model = SentenceTransformer(name)
         vecs = model.encode(list(texts.fillna("")), show_progress_bar=False)
         return pd.Series([list(map(float, v)) for v in vecs], index=texts.index)
 
     return fn
 
 
-def _load_fasttext(path: str) -> Callable[[pd.Series], pd.Series]:
-    """Optional-dependency classifier loader: fastText-style quality
-    model returning P(label 0) per document."""
+def _load_fasttext(spec: str) -> Callable[[pd.Series], pd.Series]:
+    """Optional-dependency classifier loader for
+    ``fasttext:<path>[#<label>]``: scores every document with the
+    probability of ONE FIXED label (the ``#label`` suffix, else the
+    model's first label from get_labels()) — a top-1 probability would
+    fold confident-bad and confident-good documents onto the same
+    score and be useless as a filter threshold. The closure captures
+    only the path/label strings (picklable); the pybind model handle
+    is loaded lazily once per Python worker."""
     try:
-        import fasttext  # optional dep
+        import fasttext  # noqa: F401  (optional dep, probe only)
     except ImportError as e:
         raise NotImplementedError(
-            f"model {path!r} needs fasttext on the cluster "
+            f"model {spec!r} needs fasttext on the cluster "
             "(pip install fasttext-wheel), or pass model_fn="
         ) from e
-    model = fasttext.load_model(path.split("fasttext:", 1)[1])
+    rest = spec.split("fasttext:", 1)[1]
+    path, _, label = rest.partition("#")
 
     def fn(texts: pd.Series) -> pd.Series:
-        labels, probs = model.predict([str(t or "").replace("\n", " ") for t in texts])
-        return pd.Series([float(p[0]) for p in probs], index=texts.index)
+        state = getattr(fn, "_state", None)
+        if state is None:
+            import fasttext as ft
+
+            model = ft.load_model(path)
+            target = label or model.get_labels()[0]
+            state = fn._state = (model, target)
+        model, target = state
+        cleaned = [str(t or "").replace("\n", " ") for t in texts]
+        labels, probs = model.predict(cleaned, k=-1)
+        out = []
+        for ls, ps in zip(labels, probs):
+            by_label = dict(zip(ls, ps))
+            out.append(float(by_label.get(target, 0.0)))
+        return pd.Series(out, index=texts.index)
 
     return fn
 

@@ -98,16 +98,19 @@ def _decode_real(payload: bytes) -> dict | None:
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload)) as w:
-            # n_frames carries the sample count; width carries the
-            # rate — the schema stays fixed across modalities.
-            return {
-                "format": "WAV",
-                "width": w.getframerate(),
-                "height": None,
-                "n_frames": w.getnframes(),
-                "n_bytes": len(payload),
-            }
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                # n_frames carries the sample count; width carries the
+                # rate — the schema stays fixed across modalities.
+                return {
+                    "format": "WAV",
+                    "width": w.getframerate(),
+                    "height": None,
+                    "n_frames": w.getnframes(),
+                    "n_bytes": len(payload),
+                }
+        except Exception:
+            pass  # truncated/compressed WAV → fall through to the gate
     Image = _pil_image()
     if Image is not None:
         import io

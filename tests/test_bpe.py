@@ -146,6 +146,47 @@ def test_unicode_codepoint_symbols_agree_across_engines(spark):
         assert fold[i] == arrow[i] == want
 
 
+def test_unicode_whitespace_is_not_a_word_boundary(spark):
+    """Spark/Java \\s is ASCII-only; NBSP / ideographic space
+    (ubiquitous in web/CJK corpora) must stay INSIDE a word on every
+    engine - fold, arrow, and the pure-Python twin all segment
+    identically."""
+    text = "ab\u00a0ab cd\u3000cd ab"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = [(0, "a", "b"), (1, "c", "d")]
+    fold = bpe_encode(df, merges, engine="fold").collect()[0]
+    arrow = bpe_encode(df, merges, engine="arrow").collect()[0]
+    want = " ".join(reference_encode(text, merges))
+    assert fold["tokens"] == arrow["tokens"] == want
+    assert want == "ab\u00b7\u00a0\u00b7ab cd\u00b7\u3000\u00b7cd ab"
+    assert fold["n_tokens"] == arrow["n_tokens"] == 7
+
+
+def test_null_text_passes_through_both_encode_engines(spark):
+    """Fold emits null tokens/count for null text; arrow must match
+    instead of crashing the task."""
+    df = spark.createDataFrame([(1, "aa"), (2, None)], ["doc_id", "text"])
+    merges = [(0, "a", "a")]
+    for engine in ("fold", "arrow"):
+        rows = {r["doc_id"]: r for r in bpe_encode(df, merges, engine=engine).collect()}
+        assert rows[1]["tokens"] == "aa" and rows[1]["n_tokens"] == 1
+        assert rows[2]["tokens"] is None and rows[2]["n_tokens"] is None, engine
+
+
+def test_unknown_strategy_raises(spark):
+    df = spark.createDataFrame([(1, "aa")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown strategy"):
+        train_bpe(df, n_merges=2, strategy="Driver")
+
+
+def test_empty_merge_table_persists(spark, tmp_path):
+    from rabbit_data_pipeline_spark.operators.bpe import load_merges, save_merges
+
+    path = str(tmp_path / "empty_merges.parquet")
+    save_merges(spark, [], path)
+    assert load_merges(spark, path) == []
+
+
 def test_empty_and_whitespace_corpora():
     """Degenerate inputs: no words → no merges, on the pure twin."""
     assert reference_bpe([], n_merges=4) == []

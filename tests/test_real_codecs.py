@@ -48,6 +48,14 @@ def test_wav_decodes_end_to_end_in_spark(spark):
     assert got["w2"]["width"] == 8000 and got["w2"]["n_frames"] == 50
 
 
+def test_truncated_wav_hits_the_gate_not_a_crash():
+    """A RIFF/WAVE header with garbage after it must fall through to
+    the documented NotImplementedError, not abort the decode job with
+    a wave.Error."""
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"RIFF\x00\x00\x00\x00WAVEgarbage")
+
+
 class _FakeImage:
     format = "JPEG"
     width, height = 64, 48
@@ -94,9 +102,6 @@ def test_resize_real_roundtrips_through_pil(fake_pil):
 def test_gates_hold_without_pillow():
     """Container truth: Pillow absent → unknown magic still raises the
     documented NotImplementedError (decode and resize)."""
-    pytest.importorskip_reason = None
-    if "PIL" in sys.modules and not isinstance(sys.modules["PIL"], types.ModuleType):
-        pytest.skip("real Pillow present")
     try:
         import PIL  # noqa: F401
 
