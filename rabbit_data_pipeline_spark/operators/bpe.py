@@ -536,11 +536,10 @@ def reference_bpe(
     and the batched-equals-sequential equivalence suite."""
     hist: dict[tuple[str, ...], int] = {}
     for t in texts:
-        # ASCII-whitespace split (the engine's Spark/Java \s spec);
-        # Python str.split() would also split on Unicode whitespace.
-        for w in re.split("[ \t\n\x0b\f\r]+", t):
-            if not w:
-                continue
+        # _split_words is the shared TOKENIZATION SPEC (ASCII \s, as
+        # Spark/Java defines it); the merge algorithm below stays an
+        # independent implementation.
+        for w in _split_words(t):
             k = tuple(w)
             hist[k] = hist.get(k, 0) + 1
     merges: list[tuple[int, str, str]] = []
@@ -576,9 +575,7 @@ def _apply(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
 
 def reference_encode(text: str, merges: list[tuple[int, str, str]]) -> list[str]:
     toks: list[str] = []
-    for w in re.split("[ \t\n\x0b\f\r]+", text):  # ASCII-ws spec, as above
-        if not w:
-            continue
+    for w in _split_words(text):  # shared tokenization spec, as above
         syms = tuple(w)
         for _, left, right in sorted(merges):
             syms = _apply(syms, left, right)

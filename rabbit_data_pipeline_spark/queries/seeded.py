@@ -1527,6 +1527,12 @@ def _bpe_train_oracle() -> str:
     return f"SELECT rank, left_sym, right_sym FROM (VALUES {vals}) AS t(rank, left_sym, right_sym)"
 
 
+def _merges_df(spark: SparkSession, merges: list[tuple[int, str, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(r, l, rt) for r, l, rt in merges], ["rank", "left_sym", "right_sym"]
+    ).select(F.col("rank").cast("int"), "left_sym", "right_sym")
+
+
 @register("text_bpe_train", oracle=_bpe_train_oracle())
 def text_bpe_train_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L53 gate: the DISTRIBUTED trainer (histogram shuffle + per-merge
@@ -1538,9 +1544,7 @@ def text_bpe_train_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.createDataFrame(bpe_corpus(), ["doc_id", "text"])
     merges = train_bpe(df, n_merges=_BPE_N_MERGES)
-    return spark.createDataFrame(
-        [(r, l, rt) for r, l, rt in merges], ["rank", "left_sym", "right_sym"]
-    ).select(F.col("rank").cast("int"), "left_sym", "right_sym")
+    return _merges_df(spark, merges)
 
 
 @register("text_bpe_train_batched", oracle=_bpe_train_oracle())
@@ -1557,9 +1561,7 @@ def text_bpe_train_batched_seeded(spark: SparkSession, sf_dir: str) -> DataFrame
     merges = train_bpe(
         df, n_merges=_BPE_N_MERGES, strategy="distributed", batch_top_k=8
     )
-    return spark.createDataFrame(
-        [(r, l, rt) for r, l, rt in merges], ["rank", "left_sym", "right_sym"]
-    ).select(F.col("rank").cast("int"), "left_sym", "right_sym")
+    return _merges_df(spark, merges)
 
 
 def _bpe_encode_oracle() -> str:

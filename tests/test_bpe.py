@@ -24,7 +24,6 @@ from rabbit_data_pipeline_spark.operators.bpe import (
     reference_encode,
     train_bpe,
 )
-from pyspark.sql import functions as F
 
 
 def _random_corpus(seed: int, alphabet: str, n_words: int, max_len: int) -> list[str]:
