@@ -5,6 +5,15 @@ Each query is built fresh and fully materialized via a count-shaped
 action (``df.write.format("noop")`` keeps the whole plan, including
 project/sort, without collecting to the driver).
 
+Reporting contract (restored in round 8 — VERDICT r7 defect #1): the
+FINAL stdout line is a COMPACT JSON record (metric/value/queries/sf +
+the sf1 headline numbers) guaranteed under the driver's ~2000-char
+capture window; the full instrumentation (per-query min/med/max/
+spread, normalized plan hashes, sf1 stats, extended-probe stats) is
+diverted to a sidecar file ``BENCH_DETAIL.json`` next to this script
+and committed to the repo, so the round-over-round spread/plan-hash
+record survives without breaking the one-line contract.
+
 Second scale point: when running at the default sf0.1, the harness
 also times the same queries at a synthetic ~sf1 (10x sf0.1): each
 table is unioned with key-shifted copies so join keys stay unique and
@@ -311,11 +320,16 @@ def main() -> None:
             # the whole bench at risk of the driver's wall budget. A
             # cheap sf0.001 pass first pays plan/codegen warm-up so the
             # sf1/sf0.1 ratio compares warm plans on both sides.
+            # Warm-up dir derived from sf_dir's data root (ADVICE r7:
+            # a hardcoded /root/testdata survives no relocation);
+            # warm-up is skipped, not fatal, when no sf0.001 sibling.
+            warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
             ext_stats: dict[str, dict[str, float]] = {}
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None:
-                    builder(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+                    if os.path.isdir(warm_dir):
+                        builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
                     ext_stats[name] = _time_runs(builder, spark, sf_dir, runs=1)
             result["extended_queries"] = {n: s["min"] for n, s in ext_stats.items()}
             result["extended_stats"] = ext_stats
@@ -362,7 +376,31 @@ def main() -> None:
         except Exception as e:  # scale point is evidence, not the contract
             result["sf1_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    print(json.dumps(result))
+    # Full instrumentation → sidecar (committed to the repo so the
+    # spread / plan-hash record persists round-over-round); the FINAL
+    # stdout line stays compact so the driver's ~2000-char capture
+    # parses it (VERDICT r7 defect #1: the r7 line grew to ~7 KB and
+    # the official record got `parsed: null`).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(json.dumps({"bench_detail_error": f"{type(e).__name__}: {e}"[:200]}))
+
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("queries_stats", "plan_hashes", "sf1_stats", "extended_stats")
+    }
+    # Belt-and-braces: stay under the capture window even if the query
+    # list grows — shed the most redundant keys first (all preserved in
+    # the sidecar regardless).
+    for shed in ("sf1_extended", "extended_queries", "sf1_superlinear", "sf1_queries"):
+        if len(json.dumps(compact)) <= 1900:
+            break
+        compact.pop(shed, None)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

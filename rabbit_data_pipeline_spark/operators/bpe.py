@@ -84,6 +84,7 @@ from __future__ import annotations
 import heapq
 import re
 from collections import Counter
+from itertools import islice
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -444,6 +445,13 @@ def bpe_encode(
     )
 
 
+#: Per-partition encode-memo bound (ADVICE r7): a million distinct
+#: words × ~100 bytes ≈ 100 MB/task worst case — bounded, unlike the
+#: previous unbounded dict, which grew with distinct words per
+#: partition on exactly the production corpora this path targets.
+_ENCODE_MEMO_CAP = 1_000_000
+
+
 def bpe_encode_arrow(
     df: DataFrame,
     merges: list[tuple[int, str, str]],
@@ -455,7 +463,11 @@ def bpe_encode_arrow(
     heavily) + substring prefilter (a merge's token is a run of
     adjacent original characters, so only merges whose token is a
     substring of the word can ever fire) keep the per-distinct-word
-    cost to the handful of applicable merges, not the whole table."""
+    cost to the handful of applicable merges, not the whole table.
+    The memo is capped at _ENCODE_MEMO_CAP entries — past that the
+    oldest half is evicted (insertion order ≈ recency for a streaming
+    scan), bounding executor memory on high-distinct-word partitions
+    while keeping the Zipf head cached."""
     import pandas as pd
 
     ranked = [(left, right, left + right) for _, left, right in sorted(merges)]
@@ -478,6 +490,9 @@ def bpe_encode_arrow(
                 for left, right in cand:
                     syms = _apply(syms, left, right)
                 hit = ("·".join(syms), len(syms))
+                if len(memo) >= _ENCODE_MEMO_CAP:
+                    for k in list(islice(iter(memo), _ENCODE_MEMO_CAP // 2)):
+                        del memo[k]
                 memo[w] = hit
             return hit
 

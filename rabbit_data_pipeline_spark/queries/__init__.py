@@ -42,40 +42,40 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 front-load, slot budget 50 (50 used). With the queue
-    # drained in r6 (183/183 green), this round is verdict FRESHNESS
-    # (VERDICT r6 ask #4) plus the reworked-BPE re-gate (ask #1).
-    # (a) Keys whose implementation changed this round: the BPE rework
-    # (operators/bpe.py: driver/distributed trainers, Arrow encode) +
-    # its two NEW engine gates, and the graph tier (operators/graph.py
-    # now materializes edge lists once per call — results bit-identical,
-    # re-verified hash-green locally, but the verdict should sit on
-    # current code).
-    "text_bpe_train", "text_bpe_encode",
-    "text_bpe_train_batched", "text_bpe_encode_arrow",
-    "q_pagerank", "q_shortest_path", "q_triangles", "q_kcore",
-    "q_weighted_paths",
-    # (b) 41 of the 43 keys whose latest driver verdict is on
-    # r3-or-older code (code unchanged since, so the verdicts stand —
-    # this re-run moves them onto current code). The tiny invariant
-    # XML pair (xml_format, xml_parse) waits for round 8 to fit the
-    # 50-key cap.
-    "ann_bruteforce", "ann_lsh", "dedup_embedding", "dedup_exact",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "delete_where", "file_roundtrip", "id_gen", "multimodal_ann",
-    "pipeline_e2e", "pipeline_fanout", "pipeline_llm_prep",
-    "q_array_agg", "q_asof_join", "q_case_agg", "q_event_funnel",
-    "q_heavy_hitters", "q_interval_join", "q_market_share",
-    "q_range_window", "q_tumbling_window", "q_window_running",
-    "sink_upsert", "source_sql", "stream_session_window",
-    "sync_chunked", "sync_flag_update", "sync_insert_missing",
-    "sync_scd2", "text_chunks", "text_decontaminate",
-    "text_fingerprint", "text_lang_id", "text_mix", "text_pack",
-    "text_pii_redact", "text_quality", "text_tokens", "text_word_freq",
+    # Round-8 front-load, slot budget 50 (50 used). VERDICT r7 ask #3:
+    # finish the freshness rotation — after this round no key's latest
+    # verdict sits on pre-r5 code.
+    # (a) Keys whose implementation changed (or is new) this round:
+    # the new driver_topm BPE gate (VERDICT r7 ask #4), the Arrow
+    # encode path (memo cap, ADVICE r7), and the video tier (real
+    # AVI-container decode path landed; the synthetic gate re-runs on
+    # the reworked code).
+    "text_bpe_train_topm", "text_bpe_encode_arrow",
+    "multimodal_video_neardup",
+    # (b) ALL 43 keys whose latest driver verdict is on r4-or-older
+    # code (2 on r3: the XML pair; 41 on r4), heaviest plans early.
+    "xml_parse", "xml_format",
+    "q_waiting_supplier", "q_big_orders", "dedup_clusters",
+    "pipeline_web_prep", "ann_ivfpq", "ann_ivf", "ann_pq", "ann_range",
+    "stream_dedup", "stream_sliding_window", "stream_static_join",
+    "stream_stream_join", "stream_windowed_agg",
+    "q_ship_priority", "q_join_multiway", "q_join_broadcast",
+    "q_join_left", "q_join_semi", "q_join_full", "q_agg_pricing",
+    "q_filter_project", "q_window_rank", "q_argminmax", "q_cube",
+    "q_count_distribution", "q_nation_volume", "q_or_predicates",
+    "q_order_priority", "q_percentile", "q_returned_items",
+    "q_set_ops", "q_subquery_avg", "q_top_supplier",
+    "find_files", "line_parser_csv",
+    "text_dedup_lines", "text_gopher_quality", "text_repeated_ngrams",
+    "text_sample_exact_k", "text_tfidf", "text_url_dedup",
+    # (c) 4 spare slots → the heaviest plans of the r5 cohort (the
+    # next-oldest verdicts; the rest of r5 rotates in round 9).
+    "dedup_semantic", "dedup_incremental", "emb_decontaminate",
+    "q_salted_join",
 )
-# Next round: xml_format + xml_parse (the last two r3-verdict keys),
-# then the r4 cohort (41 keys, heaviest plans first:
-# q_waiting_supplier, q_big_orders, dedup_clusters, ...), then r5/r6.
+# Next round: the remaining 45 r5-verdict keys (layout_*, emb_*,
+# multimodal_*, stream_text_prep/stream_dedup_incremental, the
+# q_* analytics cohort), then r6.
 
 
 def registry() -> dict[str, Query]:

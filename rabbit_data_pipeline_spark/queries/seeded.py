@@ -1594,6 +1594,63 @@ def text_bpe_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=1)
+def bpe_topm_corpus() -> list[tuple[int, str]]:
+    """Corpus for the driver_topm gate (VERDICT r7 ask #4). Head: nine
+    high-frequency word types (every count ≥ 2). Tail: five rare word
+    types, ONE occurrence each, drawn from a DISJOINT character set
+    (digits) with every tail bigram globally unique — so (a) no tail
+    pair reaches min_pair_count=2, meaning full-histogram training
+    never merges one, and (b) no tail character appears in any head
+    pair, meaning dropping the tail cannot change a head pair's count
+    or tie-break. Truncating to the top-9 word types is therefore
+    PROVABLY merge-table-identical to full-histogram training — the
+    identity this gate asserts by using the full-corpus pure-Python
+    twin as the oracle. The divergence twin (a tail bigram frequent
+    enough to merge under full training but dropped by truncation) is
+    asserted in tests/test_bpe.py."""
+    return [
+        (0, "low low low low low lower lower newest newest newest"),
+        (1, "newest newest newest widest widest lowest lowest lowest"),
+        (2, "new new newer newer newer wider wider low newest wide wide"),
+        (3, "01 23 45 67 89"),
+    ]
+
+
+_BPE_TOPM_HEAD_TYPES = 9
+
+
+def _bpe_topm_oracle() -> str:
+    from rabbit_data_pipeline_spark.operators.bpe import reference_bpe
+
+    merges = reference_bpe([t for _, t in bpe_topm_corpus()], n_merges=_BPE_N_MERGES)
+    vals = ", ".join(f"({r}, '{l}', '{rt}')" for r, l, rt in merges)
+    return f"SELECT rank, left_sym, right_sym FROM (VALUES {vals}) AS t(rank, left_sym, right_sym)"
+
+
+@register("text_bpe_train_topm", oracle=_bpe_topm_oracle())
+def text_bpe_train_topm_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 gate, driver_topm engine: frequency-truncated histogram
+    training (operators/bpe.py train_bpe strategy="driver_topm" —
+    collect only the top driver_max_words word types, train
+    driver-side) must reproduce the FULL-histogram pure-Python twin's
+    merge table exactly on a corpus constructed so truncation provably
+    cannot change a merge decision (see bpe_topm_corpus). This is the
+    recommended engine for the histogram-too-big-for-the-driver AND
+    natural-language regime where the exact batched engine degenerates
+    (operators/bpe.py:374 docstring)."""
+    from rabbit_data_pipeline_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(bpe_topm_corpus(), ["doc_id", "text"])
+    merges = train_bpe(
+        df,
+        n_merges=_BPE_N_MERGES,
+        strategy="driver_topm",
+        driver_max_words=_BPE_TOPM_HEAD_TYPES,
+    )
+    return _merges_df(spark, merges)
+
+
 @register("text_bpe_encode_arrow", oracle=_bpe_encode_oracle())
 def text_bpe_encode_arrow_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L53 gate, Arrow encode engine (the production-vocab path): one

@@ -224,6 +224,52 @@ def test_driver_topm_truncates_deterministically(spark):
     assert got == reference_bpe(["aa aa aa aa bb bb bb"], n_merges=5, min_pair_count=1)
 
 
+def test_driver_topm_identity_and_divergence_corpora(spark):
+    """The VERDICT r7 ask-#4 pair. Identity: on the seeded gate corpus
+    (disjoint-alphabet singleton tail, every tail bigram unique →
+    sub-min_pair_count), truncation to the 9 head word types is
+    merge-table-identical to FULL-histogram training. Divergence: when
+    three singleton tail types share the bigram ('0','0'), full
+    training merges it but driver_topm (which drops the tail) provably
+    cannot — the documented approximation boundary, asserted in both
+    directions."""
+    from rabbit_data_pipeline_spark.queries.seeded import bpe_topm_corpus
+
+    rows = bpe_topm_corpus()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = reference_bpe([t for _, t in rows], n_merges=12)
+    got = train_bpe(df, n_merges=12, strategy="driver_topm", driver_max_words=9)
+    assert got == full
+
+    # Divergence twin: same head, but the tail shares a frequent bigram.
+    div_rows = [(i, t) for i, (_, t) in enumerate(rows[:3])] + [(3, "001 002 003")]
+    ddf = spark.createDataFrame(div_rows, ["doc_id", "text"])
+    dfull = reference_bpe([t for _, t in div_rows], n_merges=20, min_pair_count=2)
+    assert ("0", "0") in {(l, r) for _, l, r in dfull}  # full training merges the tail bigram
+    dtopm = train_bpe(
+        ddf, n_merges=20, min_pair_count=2, strategy="driver_topm", driver_max_words=9
+    )
+    assert ("0", "0") not in {(l, r) for _, l, r in dtopm}
+    assert dtopm != dfull
+    # ...and the truncated result is exact BPE over the head alone.
+    assert dtopm == reference_bpe([t for _, t in div_rows[:3]], n_merges=20, min_pair_count=2)
+
+
+def test_encode_arrow_memo_cap_evicts_and_stays_correct(spark, monkeypatch):
+    """ADVICE r7: the per-partition word memo is capped; past the cap
+    the oldest half is evicted and encoding stays token-identical to
+    the fold engine (the memo is a cache, never semantics)."""
+    from rabbit_data_pipeline_spark.operators import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "_ENCODE_MEMO_CAP", 4)
+    texts = [(i, f"w{i:03d} aa w{i:03d}") for i in range(30)]  # 31 distinct words >> cap
+    df = spark.createDataFrame(texts, ["doc_id", "text"]).coalesce(1)
+    merges = [(0, "a", "a")]
+    arrow = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in bpe_encode(df, merges, engine="arrow").collect()}
+    fold = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in bpe_encode(df, merges, engine="fold").collect()}
+    assert arrow == fold
+
+
 # -------------------------------------------------------------- scale gates
 
 
