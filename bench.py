@@ -202,6 +202,7 @@ EXTENDED = [
     "q_kcore",
     "pipeline_web_prep",
     "bpe_train_scale",
+    "bpe_train_topm_scale",
 ]
 
 
@@ -262,9 +263,17 @@ def main() -> None:
     # gate; the bench keeps timing the heavy sf-corpus pipeline.
     # bpe_train_scale is bench-only (its correctness gates are the
     # seeded registry twins).
-    from rabbit_data_pipeline_spark.queries.llm import bpe_train_scale, dedup_minhash_scale
+    from rabbit_data_pipeline_spark.queries.llm import (
+        bpe_train_scale,
+        bpe_train_topm_scale,
+        dedup_minhash_scale,
+    )
 
-    overrides = {"dedup_minhash": dedup_minhash_scale, "bpe_train_scale": bpe_train_scale}
+    overrides = {
+        "dedup_minhash": dedup_minhash_scale,
+        "bpe_train_scale": bpe_train_scale,
+        "bpe_train_topm_scale": bpe_train_topm_scale,
+    }
 
     def _builder(name):
         return overrides.get(name) or (reg[name].builder if name in reg else None)

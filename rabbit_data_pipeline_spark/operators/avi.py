@@ -1,0 +1,262 @@
+"""AVI (RIFF) video container codec — pure stdlib, no Spark.
+
+Reads and writes the public Microsoft AVI container format (a RIFF
+file with form type ``AVI ``: an ``hdrl`` LIST carrying the main and
+per-stream headers, a ``movi`` LIST carrying the frame chunks — see
+the public "AVI RIFF File Reference"). This completes the
+optional-dependency triad named in the round-7 review: the container
+layer is a fully public byte format, so it is implemented directly —
+the same precedent as the BIFF8/xlsx readers (operators/xls.py) —
+and only the per-frame codec step gates on an external library.
+
+Frame codecs:
+
+- **Uncompressed DIB** (``biCompression == 0``, 8-bit palettized or
+  24-bit BGR): decoded to row-major top-down 8-bit grayscale with
+  pure stdlib — a REAL video file flows end-to-end in this container
+  with no optional dependency at all.
+- **MJPG** (each frame chunk is a standalone JPEG): frame EXTRACTION
+  is stdlib; frame DECODE routes through Pillow when installed, else
+  raises the documented ``NotImplementedError`` gate.
+- Anything else (cvid, H.264-in-AVI, ...) raises the gate naming
+  PyAV/ffmpeg as the cluster dependency.
+
+The reference pipeline has no media support at all; this module backs
+the beyond-reference multimodal tier (SURVEY §2 L12/L51) on the Spark
+side via operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_BI_RGB = 0
+_MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
+def is_avi(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValueError(f"not a valid AVI: {msg}")
+
+
+def _chunks(buf: bytes, off: int, end: int):
+    """Yield (fourcc, body_start, body_size) for each RIFF chunk in
+    [off, end); chunks are word-aligned (odd sizes pad one byte)."""
+    while off + 8 <= end:
+        fourcc = buf[off : off + 4]
+        (size,) = struct.unpack_from("<I", buf, off + 4)
+        if off + 8 + size > end:
+            break  # truncated trailing chunk: keep what parsed
+        yield fourcc, off + 8, size
+        off += 8 + size + (size & 1)
+
+
+def _scan(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Single pass over the container: main-header fields, the video
+    stream's BITMAPINFOHEADER, and the raw frame chunks (in file
+    order, ``##db``/``##dc`` chunks of the first ``vids`` stream,
+    including any nested inside ``rec `` lists)."""
+    _require(is_avi(payload), "missing RIFF/'AVI ' signature")
+    meta: dict = {"streams": []}
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, off, size in _chunks(payload, start, end):
+            if fourcc == b"LIST":
+                walk(off + 4, off + size)  # first 4 body bytes = list type
+            elif fourcc == b"avih" and size >= 40:
+                f = struct.unpack_from("<10I", payload, off)
+                meta.update(
+                    us_per_frame=f[0], total_frames=f[4], width=f[8], height=f[9]
+                )
+            elif fourcc == b"strh" and size >= 8:
+                meta["streams"].append(payload[off : off + 4])
+            elif (
+                fourcc == b"strf"
+                and size >= 20
+                and meta["streams"]
+                and meta["streams"][-1] == b"vids"
+                and "bmi" not in meta
+            ):
+                _, bw, bh, _, bits, comp = struct.unpack_from("<IiiHHI", payload, off)
+                meta["bmi"] = {"width": bw, "height": abs(bh), "top_down": bh < 0,
+                               "bit_count": bits, "compression": comp}
+            elif len(fourcc) == 4 and fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
+                vids = [i for i, s in enumerate(meta["streams"]) if s == b"vids"]
+                if vids and int(fourcc[:2]) == vids[0]:
+                    frames.append(payload[off : off + size])
+
+    walk(12, len(payload))
+    _require("width" in meta, "no avih main header")
+    return meta, frames
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Container metadata without decoding any frame: format/codec,
+    dimensions, frame count (counted from the movi chunks; the avih
+    dwTotalFrames field is advisory and some muxers leave it 0)."""
+    meta, frames = _scan(payload)
+    comp = meta.get("bmi", {}).get("compression", _BI_RGB)
+    codec = "DIB" if comp == _BI_RGB else struct.pack("<I", comp).decode("ascii", "replace").strip()
+    return {
+        "format": "AVI",
+        "codec": codec,
+        "width": meta["width"],
+        "height": meta["height"],
+        "n_frames": len(frames) or meta.get("total_frames", 0),
+    }
+
+
+def _dib_to_gray(frame: bytes, w: int, h: int, bit_count: int, top_down: bool) -> bytes:
+    """Uncompressed DIB frame → top-down row-major grayscale bytes.
+    DIB rows are 4-byte aligned and stored bottom-up unless the header
+    declared a negative height; 24-bit pixels are BGR, folded to luma
+    with integer BT.601 weights (deterministic, no float)."""
+    if bit_count == 8:
+        row_bytes = (w + 3) & ~3
+    elif bit_count == 24:
+        row_bytes = (w * 3 + 3) & ~3
+    else:
+        raise NotImplementedError(
+            f"DIB bit depth {bit_count}: only 8-bit palettized and 24-bit BGR are implemented"
+        )
+    if len(frame) < row_bytes * h:
+        raise ValueError(f"DIB frame truncated: {len(frame)} < {row_bytes * h}")
+    out = bytearray(w * h)
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        row = frame[src_y * row_bytes : src_y * row_bytes + row_bytes]
+        if bit_count == 8:
+            out[y * w : (y + 1) * w] = row[:w]
+        else:
+            base = y * w
+            for x in range(w):
+                b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                out[base + x] = (299 * r + 587 * g + 114 * b) // 1000
+    return bytes(out)
+
+
+def _jpeg_to_gray(frame: bytes, w: int, h: int) -> bytes:
+    """MJPG frame → grayscale via Pillow (optional dep). The gate
+    mirrors operators/multimodal.py's image codec gate."""
+    try:
+        from PIL import Image  # optional dep: pip install pillow
+    except Exception as e:
+        raise NotImplementedError(
+            "AVI/MJPG frame decode needs Pillow on the cluster (pip install pillow); "
+            "frame extraction itself is stdlib (parse_avi / frame chunks)"
+        ) from e
+    import io
+
+    im = Image.open(io.BytesIO(frame)).convert("L").resize((w, h))
+    return im.tobytes()
+
+
+def avi_gray_frames(payload: bytes) -> list[bytes]:
+    """Decode every video frame to top-down row-major 8-bit grayscale
+    (w*h bytes each) — the input shape the multimodal feature and
+    fingerprint operators consume."""
+    meta, frames = _scan(payload)
+    bmi = meta.get("bmi")
+    _require(bmi is not None, "no video stream format (strf/BITMAPINFOHEADER)")
+    w, h = meta["width"], meta["height"]
+    comp = bmi["compression"]
+    if comp == _BI_RGB:
+        return [_dib_to_gray(f, w, h, bmi["bit_count"], bmi["top_down"]) for f in frames]
+    if comp == _MJPG:
+        return [_jpeg_to_gray(f, w, h) for f in frames]
+    codec = struct.pack("<I", comp).decode("ascii", "replace")
+    raise NotImplementedError(
+        f"AVI codec {codec!r}: uncompressed DIB (stdlib) and MJPG (Pillow) are "
+        "implemented; other codecs need PyAV/ffmpeg on the cluster"
+    )
+
+
+# ---------------------------------------------------------------- writer
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def write_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    codec: str = "DIB",
+    bit_count: int = 8,
+    fps: int = 25,
+) -> bytes:
+    """Mux frames into a standards-conforming single-video-stream AVI.
+
+    codec="DIB": ``frames`` are raw top-down grayscale (w*h bytes,
+    bit_count=8, written with a 256-gray palette) or top-down BGR
+    (w*h*3 bytes, bit_count=24); rows are bottom-up 4-byte-aligned in
+    the file as the DIB spec requires. codec="MJPG": ``frames`` are
+    pre-encoded JPEG blobs, stored as-is. Used by the round-trip tests
+    AND usable as a real sink-side muxer."""
+    if codec == "DIB":
+        if bit_count == 8:
+            row_bytes, px = (width + 3) & ~3, width
+        elif bit_count == 24:
+            row_bytes, px = (width * 3 + 3) & ~3, width * 3
+        else:
+            raise NotImplementedError("write_avi DIB: bit_count must be 8 or 24")
+        enc = []
+        for fr in frames:
+            if len(fr) != px * height:
+                raise ValueError(f"DIB frame must be {px * height} bytes, got {len(fr)}")
+            pad = b"\x00" * (row_bytes - px)
+            enc.append(
+                b"".join(fr[y * px : (y + 1) * px] + pad for y in range(height - 1, -1, -1))
+            )
+        comp, frame_cc = _BI_RGB, b"00db"
+        palette = (
+            b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+            if bit_count == 8
+            else b""
+        )
+        handler = b"DIB "
+    elif codec == "MJPG":
+        enc = list(frames)
+        comp, frame_cc, palette, handler, bit_count = _MJPG, b"00dc", b"", b"MJPG", 24
+    else:
+        raise NotImplementedError("write_avi: codec must be 'DIB' or 'MJPG'")
+
+    buf_size = max((len(f) for f in enc), default=0)
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // max(fps, 1), 0, 0, 0, len(enc), 0, 1, buf_size,
+            width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        b"vids" + handler
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1), 0, len(enc), buf_size, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height),
+    )
+    strf = _chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, bit_count, comp,
+            ((width * (bit_count // 8) + 3) & ~3) * height if codec == "DIB" else buf_size,
+            0, 0, 256 if palette else 0, 0,
+        )
+        + palette,
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    movi = _list(b"movi", b"".join(_chunk(frame_cc, f) for f in enc))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -87,7 +87,18 @@ def _load_fasttext(spec: str) -> Callable[[pd.Series], pd.Series]:
             import fasttext as ft
 
             model = ft.load_model(path)
+            # fasttext labels carry a '__label__' prefix; the natural
+            # user spelling 'fasttext:/m.bin#positive' omits it, which
+            # would silently score every document 0.0 (ADVICE r7) —
+            # normalize, then fail loudly if the label still isn't in
+            # the model rather than returning all-zero scores.
             target = label or model.get_labels()[0]
+            if target not in model.get_labels() and not target.startswith("__label__"):
+                target = f"__label__{target}"
+            if target not in model.get_labels():
+                raise ValueError(
+                    f"label {label!r} not in model labels {model.get_labels()[:10]}..."
+                )
             state = fn._state = (model, target)
         model, target = state
         cleaned = [str(t or "").replace("\n", " ") for t in texts]

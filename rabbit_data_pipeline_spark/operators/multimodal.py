@@ -3,10 +3,14 @@ with typed metadata, processed by Arrow-batched pandas functions.
 
 The Spark-side plumbing is real and tested: schemas, mapInPandas batch
 iteration, partition sizing. The codec step is where an image/audio
-library would be called — none ships in this container, so decode is
-implemented for a self-describing synthetic format and raises
-NotImplementedError for real codecs (clearly marked stubs, mirroring
-how the reference gates xlsx parsing on ext-xlswriter).
+library would be called — one real format per modality is implemented
+directly in stdlib (WAV via `wave`; the AVI/RIFF container incl.
+uncompressed-DIB frame decode via operators/avi.py; PNG incl. all
+five row filters via operators/png.py), Pillow-backed JPEG/WebP and
+MJPG decode is import-gated, and the rest (MP4/MKV, real models) raises
+NotImplementedError (clearly marked gates, mirroring how the
+reference gates xlsx parsing on ext-xlswriter). A self-describing
+synthetic format keeps every pipeline testable with no deps at all.
 
 Synthetic format (deterministic, used by tests):
   IMG1 | width:int32 LE | height:int32 LE | payload (w*h bytes, gray)
@@ -91,9 +95,38 @@ def _pil_image():
 
 
 def _decode_real(payload: bytes) -> dict | None:
-    """Real-codec decode: WAV via stdlib `wave` (always available),
-    raster images via Pillow when installed. Returns None when no
+    """Real-codec decode: WAV, AVI and PNG via stdlib (operators/avi.py
+    and operators/png.py implement the public byte formats directly),
+    other raster images via Pillow when installed. Returns None when no
     real codec claims the payload."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from rabbit_data_pipeline_spark.operators.png import parse_png
+
+        try:
+            m = parse_png(payload)
+        except ValueError:
+            return None  # PNG magic but malformed → the generic gate
+        return {
+            "format": "PNG",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": 1,
+            "n_bytes": len(payload),
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from rabbit_data_pipeline_spark.operators.avi import parse_avi
+
+        try:
+            m = parse_avi(payload)
+        except ValueError:
+            return None  # RIFF/AVI magic but malformed → the generic gate
+        return {
+            "format": f"AVI/{m['codec']}",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "n_bytes": len(payload),
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
@@ -167,6 +200,36 @@ def decode_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_META)
 
 
+def _image_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Shared image decode for the pixel-level operators (features,
+    perceptual hash, resize): IMG1 synthetic passes through; real PNG
+    files decode via the stdlib codec (operators/png.py — no optional
+    dep at all); other raster formats fold to grayscale via Pillow
+    when installed. Returns (width, height, row-major 8-bit gray)."""
+    if payload[:4] == b"IMG1":
+        w, h = struct.unpack("<ii", payload[4:12])
+        return w, h, payload[12:]
+    from rabbit_data_pipeline_spark.operators.png import is_png, png_gray
+
+    if is_png(payload):
+        return png_gray(payload)
+    Image = _pil_image()
+    if Image is not None:
+        import io
+
+        try:
+            im = Image.open(io.BytesIO(payload)).convert("L")
+        except Exception as e:
+            raise NotImplementedError(
+                f"image ops: no image codec recognizes payload magic {payload[:4]!r}"
+            ) from e
+        return im.width, im.height, im.tobytes()
+    raise NotImplementedError(
+        f"image ops: IMG1 synthetic or PNG (stdlib) payloads; magic "
+        f"{payload[:4]!r} (JPEG/WebP/...) needs Pillow on the cluster (pip install pillow)"
+    )
+
+
 def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
     """Real-image resize via Pillow (optional dep), re-encoded as PNG.
     Raises the documented gate when Pillow is absent."""
@@ -177,7 +240,17 @@ def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
         )
     import io
 
-    im = Image.open(io.BytesIO(payload)).resize((new_width, new_height))
+    try:
+        im = Image.open(io.BytesIO(payload))
+    except Exception as e:
+        # Pillow present but the payload isn't an image it recognizes
+        # (e.g. a WAV routed here): surface the documented gate, not a
+        # raw PIL.UnidentifiedImageError from inside the Spark task —
+        # mirroring _decode_real's unrecognized-payload path (ADVICE r7).
+        raise NotImplementedError(
+            f"resize: no image codec recognizes payload magic {payload[:4]!r}"
+        ) from e
+    im = im.resize((new_width, new_height))
     buf = io.BytesIO()
     im.save(buf, format="PNG")
     return buf.getvalue()
@@ -185,8 +258,9 @@ def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
 
 def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
     """Resize: deterministic nearest-neighbor subsample for the
-    synthetic IMG1 format; real raster formats route through Pillow
-    (optional dep; PNG out) when installed — same batch shape."""
+    synthetic IMG1 format AND for real PNGs (stdlib decode → subsample
+    → stdlib PNG out, no optional dep); other raster formats route
+    through Pillow when installed — same batch shape."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -196,29 +270,56 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
         ]
     )
 
+    def _nn(body: bytes, w: int, h: int) -> bytes:
+        return bytes(
+            body[min(int(y * h / new_height), h - 1) * w + min(int(x * w / new_width), w - 1)]
+            for y in range(new_height)
+            for x in range(new_width)
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rabbit_data_pipeline_spark.operators.png import is_png, png_gray, write_png
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:4] != b"IMG1":
-                    rows.append((mid, _resize_real(payload, new_width, new_height), new_width, new_height))
-                    continue
-                w, h = struct.unpack("<ii", payload[4:12])
-                body = payload[12:]
-                resized = bytes(
-                    body[min(int(y * h / new_height), h - 1) * w + min(int(x * w / new_width), w - 1)]
-                    for y in range(new_height)
-                    for x in range(new_width)
-                )
-                rows.append((mid, b"IMG1" + struct.pack("<ii", new_width, new_height) + resized, new_width, new_height))
+                if payload[:4] == b"IMG1":
+                    w, h = struct.unpack("<ii", payload[4:12])
+                    out = b"IMG1" + struct.pack("<ii", new_width, new_height) + _nn(payload[12:], w, h)
+                elif is_png(payload):
+                    w, h, gray = png_gray(payload)
+                    out = write_png(_nn(gray, w, h), new_width, new_height)
+                else:
+                    out = _resize_real(payload, new_width, new_height)
+                rows.append((mid, out, new_width, new_height))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
 
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _video_gray_frames(payload: bytes) -> list[bytes]:
+    """Shared video decode for the frame-level operators: VID1
+    synthetic frames pass through; real AVI containers decode via the
+    stdlib RIFF codec (operators/avi.py — DIB frames need no optional
+    dep at all, MJPG gates on Pillow). Each frame is row-major 8-bit
+    grayscale. MP4/MKV keep the documented PyAV gate."""
+    if payload[:4] == b"VID1":
+        n, fl = struct.unpack("<ii", payload[4:12])
+        return [payload[12 + f * fl : 12 + (f + 1) * fl] for f in range(n)]
+    from rabbit_data_pipeline_spark.operators.avi import avi_gray_frames, is_avi
+
+    if is_avi(payload):
+        return avi_gray_frames(payload)
+    raise NotImplementedError(
+        f"video ops: VID1 synthetic or AVI (DIB stdlib / MJPG via Pillow) payloads; "
+        f"magic {payload[:4]!r} (MP4/MKV) needs PyAV/ffmpeg on the cluster"
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame sampling for video payloads: one output row per kept frame."""
+    """Frame sampling for video payloads (VID1 or AVI): one output row
+    per kept frame."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -231,12 +332,9 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if payload[:4] != b"VID1":
-                    raise NotImplementedError("sample_frames: only VID1 synthetic format in this container")
-                n, fl = struct.unpack("<ii", payload[4:12])
-                for f in range(0, n, every_n):
-                    rows.append((mid, f, payload[12 + f * fl : 12 + (f + 1) * fl]))
+                frames = _video_gray_frames(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    rows.append((mid, f, frames[f]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, schema=out_schema)
@@ -245,13 +343,13 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     """Feature extraction: payload → dense vector (array<float>).
 
-    For the synthetic IMG1 format the 'feature' is the normalized
-    gray-level histogram (deterministic, testable); a real deployment
-    replaces the histogram with a vision-model forward pass over the
-    Arrow batch — the distributed shape (binary in, fixed-width float
-    vector out, one row per row) is exactly this. The output feeds the
-    similarity/ANN operators directly (same array<float> contract as
-    the embeddings table)."""
+    The 'feature' is the normalized gray-level histogram over IMG1 or
+    real-PNG pixels (deterministic, testable; `_image_gray` handles
+    the codec routing); a real deployment replaces the histogram with
+    a vision-model forward pass over the Arrow batch — the distributed
+    shape (binary in, fixed-width float vector out, one row per row)
+    is exactly this. The output feeds the similarity/ANN operators
+    directly (same array<float> contract as the embeddings table)."""
     from pyspark.sql.types import ArrayType, FloatType
 
     out_schema = StructType(
@@ -267,10 +365,8 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if payload[:4] != b"IMG1":
-                    raise NotImplementedError("extract_features: only IMG1 synthetic format in this container")
-                body = np.frombuffer(payload, dtype=np.uint8, offset=12)
+                _, _, gray = _image_gray(bytes(payload))
+                body = np.frombuffer(gray, dtype=np.uint8)
                 hist = np.bincount(body >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[:n_bins]
                 rows.append((mid, (hist / max(body.size, 1)).astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
@@ -339,13 +435,8 @@ def video_frame_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if payload[:4] != b"VID1":
-                    raise NotImplementedError("video_frame_features: only VID1 synthetic format in this container")
-                n, fl = struct.unpack("<ii", payload[4:12])
-                body = np.frombuffer(payload, dtype=np.uint8, offset=12)
-                for f in range(n):
-                    frame = body[f * fl : (f + 1) * fl]
+                for f, fr in enumerate(_video_gray_frames(bytes(payload))):
+                    frame = np.frombuffer(fr, dtype=np.uint8)
                     hist = np.bincount(frame >> shift, minlength=n_bins)[:n_bins]
                     rows.append((mid, f, (hist / max(frame.size, 1)).astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_id", "features"])
@@ -361,9 +452,10 @@ def repartition_for_decode(df: DataFrame, total_bytes: int, target_partition_byt
 
 
 def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
-    """Average-hash (aHash) perceptual fingerprint of IMG1 images: the
-    gray payload is nearest-neighbor subsampled to grid×grid (same
-    formula as resize_images), thresholded at its mean, and the bits
+    """Average-hash (aHash) perceptual fingerprint of IMG1 or real-PNG
+    images (`_image_gray` routes the codec): the gray pixels are
+    nearest-neighbor subsampled to grid×grid (same formula as
+    resize_images), thresholded at their mean, and the bits
     packed row-major into a 64-bit signed long — visually-identical
     images land within a few bits even when their bytes differ, which
     byte-level dedup (dedup_exact_binary) cannot see. Arrow batches
@@ -379,11 +471,7 @@ def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if payload[:4] != b"IMG1":
-                    raise NotImplementedError("perceptual_hash: only IMG1 synthetic format in this container")
-                w, h = struct.unpack("<ii", payload[4:12])
-                body = payload[12:]
+                w, h, body = _image_gray(bytes(payload))
                 px = [
                     body[min(int(y * h / grid), h - 1) * w + min(int(x * w / grid), w - 1)]
                     for y in range(grid)
@@ -465,8 +553,8 @@ def video_fingerprint(df: DataFrame) -> DataFrame:
     63 rise/fall delta bits (same shared pack as audio_fingerprint) —
     the temporal-luminance signature classic video dedup uses, robust
     to per-pixel noise because only frame-ORDER brightness changes
-    matter. Returns (media_id, vfp); requires 64-frame VID1 payloads
-    (sample_frames to 64 first for longer clips)."""
+    matter. Returns (media_id, vfp); requires 64-frame payloads (VID1
+    or AVI; sample_frames to 64 first for longer clips)."""
     out_schema = StructType(
         [StructField("media_id", StringType()), StructField("features", ArrayType(FloatType()))]
     )
@@ -477,14 +565,13 @@ def video_fingerprint(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if payload[:4] != b"VID1":
-                    raise NotImplementedError("video_fingerprint: only VID1 synthetic format in this container")
-                n, fl = struct.unpack("<ii", payload[4:12])
-                if n != 64:
+                frames = _video_gray_frames(bytes(payload))
+                if len(frames) != 64:
                     raise ValueError("video_fingerprint needs 64 frames; sample_frames first")
-                body = np.frombuffer(payload, dtype=np.uint8, offset=12).astype(np.float64)
-                means = [float(np.float32(body[f * fl : (f + 1) * fl].mean())) for f in range(n)]
+                means = [
+                    float(np.float32(np.frombuffer(fr, dtype=np.uint8).astype(np.float64).mean()))
+                    for fr in frames
+                ]
                 rows.append((mid, means))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
 

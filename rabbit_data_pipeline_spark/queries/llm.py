@@ -259,6 +259,29 @@ def bpe_train_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_topm_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 driver_topm at sf scale (VERDICT r7 ask #4's bench probe):
+    train 256 merges over the documents table with the histogram
+    frequency-truncated to the top 8192 word types — the recommended
+    engine for the histogram-too-big-for-the-driver natural-language
+    regime. Same plan shape as bpe_train_scale (one histogram shuffle
+    + a driver-side train) with a TopK in place of the full collect;
+    the correctness gate is the seeded text_bpe_train_topm twin."""
+    from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, train_bpe
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = train_bpe(
+        docs, n_merges=256, min_pair_count=2, strategy="driver_topm", driver_max_words=8192
+    )
+    enc = bpe_encode(docs, merges, engine="arrow")
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.lit(len(merges)).alias("n_merges"),
+    )
+
+
 def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 at sf scale: 64-bit SimHash over word tokens, 4×16-bit band
     buckets, hamming ≤ 3 verify. Correctness gate: queries/seeded.py."""

@@ -185,3 +185,60 @@ def test_scd2_dup_key_delta_single_open_version(spark):
     assert cur[0]["val"] == "v2"
     closed = merged.filter(~F.col("is_current")).collect()
     assert len(closed) == 1 and closed[0]["val"] == "v0"
+
+
+# --------------------------------------- 6. fasttext label normalization
+def test_fasttext_label_without_prefix_normalizes(monkeypatch):
+    """ADVICE r8: 'fasttext:/m.bin#positive' (the natural spelling,
+    no '__label__' prefix) must score against '__label__positive',
+    not silently return 0.0 for every document; an unknown label must
+    raise at first batch instead of scoring zeros."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    class _FakeModel:
+        def get_labels(self):
+            return ["__label__positive", "__label__negative"]
+
+        def predict(self, texts, k=-1):
+            return (
+                [["__label__positive", "__label__negative"]] * len(texts),
+                [[0.9, 0.1]] * len(texts),
+            )
+
+    ft = types.ModuleType("fasttext")
+    ft.load_model = lambda path: _FakeModel()
+    monkeypatch.setitem(sys.modules, "fasttext", ft)
+    from rabbit_data_pipeline_spark.operators.model import _load_fasttext
+
+    fn = _load_fasttext("fasttext:/m.bin#positive")
+    assert fn(pd.Series(["good doc"])).tolist() == [0.9]
+
+    with pytest.raises(ValueError, match="not in model labels"):
+        _load_fasttext("fasttext:/m.bin#nosuch")(pd.Series(["x"]))
+
+
+# ------------------------------------------------ 7. resize gate parity
+def test_resize_real_unrecognized_payload_gates(monkeypatch):
+    """ADVICE r8: with Pillow installed, a non-image payload routed to
+    _resize_real surfaces the documented NotImplementedError gate, not
+    a raw PIL.UnidentifiedImageError from inside the Spark task."""
+    import sys
+    import types
+
+    img_mod = types.ModuleType("PIL.Image")
+
+    def _open(fp):
+        raise OSError("cannot identify image file")
+
+    img_mod.open = _open
+    mod = types.ModuleType("PIL")
+    mod.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+    from rabbit_data_pipeline_spark.operators.multimodal import _resize_real
+
+    with pytest.raises(NotImplementedError, match="no image codec"):
+        _resize_real(b"RIFF-wav-not-an-image", 8, 8)

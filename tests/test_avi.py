@@ -1,0 +1,183 @@
+"""AVI (RIFF) container codec: pure-stdlib round trips, the real
+video end-to-end path (decode → frame features → near-dup pairs), and
+the MJPG Pillow gate. Completes the optional-dependency triad from
+the round-7 review: a REAL video file now flows through the video
+operators with no optional dependency at all (uncompressed-DIB AVI)."""
+
+from __future__ import annotations
+
+import struct
+import sys
+import types
+
+import pytest
+
+from rabbit_data_pipeline_spark.operators.avi import (
+    avi_gray_frames,
+    is_avi,
+    parse_avi,
+    write_avi,
+)
+
+W, H = 6, 5  # width 6 exercises DIB 4-byte row padding (row_bytes=8)
+
+
+def _gray_frame(seed: int) -> bytes:
+    return bytes((seed * 17 + i * 13) % 256 for i in range(W * H))
+
+
+def test_roundtrip_8bit_dib():
+    frames = [_gray_frame(s) for s in range(5)]
+    payload = write_avi(frames, W, H)
+    assert is_avi(payload)
+    meta = parse_avi(payload)
+    assert meta == {"format": "AVI", "codec": "DIB", "width": W, "height": H, "n_frames": 5}
+    assert avi_gray_frames(payload) == frames
+
+
+def test_roundtrip_24bit_dib_luma():
+    """24-bit BGR frames fold to integer BT.601 luma on decode."""
+    bgr = bytes(b for i in range(W * H) for b in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256))
+    payload = write_avi([bgr], W, H, bit_count=24)
+    (got,) = avi_gray_frames(payload)
+    expect = bytes(
+        (299 * ((i * 7) % 256) + 587 * ((i * 5) % 256) + 114 * ((i * 3) % 256)) // 1000
+        for i in range(W * H)
+    )
+    assert got == expect
+
+
+def test_odd_sized_mjpg_chunks_stay_word_aligned():
+    """RIFF chunks pad odd sizes; the walker must still find frame 2."""
+    payload = write_avi([b"\xff\xd8odd", b"\xff\xd8even!"], W, H, codec="MJPG")
+    assert parse_avi(payload)["n_frames"] == 2
+    assert parse_avi(payload)["codec"] == "MJPG"
+
+
+def test_not_avi_and_malformed():
+    assert not is_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="not a valid AVI"):
+        parse_avi(b"nope")
+    # valid signature, no headers → ValueError not a crash
+    with pytest.raises(ValueError, match="no avih"):
+        parse_avi(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+
+
+def test_unknown_codec_gates():
+    payload = write_avi([_gray_frame(0)], W, H)
+    # corrupt biCompression to 'cvid' → the documented gate
+    comp = struct.unpack("<I", b"cvid")[0]
+    idx = payload.index(b"strf") + 8 + 16
+    patched = payload[:idx] + struct.pack("<I", comp) + payload[idx + 4 :]
+    with pytest.raises(NotImplementedError, match="cvid"):
+        avi_gray_frames(patched)
+
+
+def test_mjpg_gates_without_pillow():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("real Pillow present in this environment")
+    except ImportError:
+        pass
+    payload = write_avi([b"\xff\xd8\xff-fake-jpeg"], W, H, codec="MJPG")
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        avi_gray_frames(payload)
+
+
+def test_mjpg_decodes_through_pil_contract(monkeypatch):
+    """With (a fake) Pillow importable, MJPG frames decode through
+    Image.open().convert('L').resize() — the real-JPEG flow."""
+
+    class _FakeL:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def tobytes(self):
+            w, h = self._wh
+            return bytes(range(w * h % 256)) if w * h < 256 else b"\x00" * (w * h)
+
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda fp: _FakeL()
+    mod = types.ModuleType("PIL")
+    mod.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+    payload = write_avi([b"\xff\xd8\xff-fake-jpeg"], W, H, codec="MJPG")
+    (frame,) = avi_gray_frames(payload)
+    assert len(frame) == W * H
+
+
+# ------------------------------------------------------ Spark end-to-end
+
+
+def _luma_video(seed: int, noise: int) -> bytes:
+    """64 frames whose MEAN brightness follows a seed-determined
+    ordering; per-pixel noise shifts bytes without crossing the
+    frame-order relation (fingerprint invariance)."""
+    frames = []
+    for f in range(64):
+        base = (seed * 37 + f * f * 11) % 200  # distinct rise/fall pattern per seed
+        frames.append(bytes(min(255, base + ((i * 7 + noise) % 8)) for i in range(W * H)))
+    return write_avi(frames, W, H)
+
+
+def test_real_avi_flows_to_near_pairs(spark):
+    """The round-7 ask, end to end on Spark: real AVI containers →
+    stdlib DIB decode → luminance-delta fingerprint → banded near-dup
+    join. The noise-perturbed copy pairs with its source; the
+    different-seed video pairs with neither."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from rabbit_data_pipeline_spark.operators.multimodal import (
+        decode_metadata,
+        video_near_pairs,
+    )
+
+    rows = [
+        ("a", "video", _luma_video(seed=1, noise=0)),
+        ("a_dup", "video", _luma_video(seed=1, noise=3)),
+        ("b", "video", _luma_video(seed=9, noise=0)),
+    ]
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    meta = {r["media_id"]: r for r in decode_metadata(df).collect()}
+    assert meta["a"]["format"] == "AVI/DIB"
+    assert meta["a"]["n_frames"] == 64 and meta["a"]["width"] == W
+
+    pairs = {(r["id_a"], r["id_b"]) for r in video_near_pairs(df.select("media_id", "payload"), max_hamming=3).collect()}
+    assert ("a", "a_dup") in pairs
+    assert all("b" not in p for p in pairs)
+
+
+def test_sample_frames_and_features_accept_avi(spark):
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from rabbit_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        video_frame_features,
+    )
+
+    frames = [_gray_frame(s) for s in range(6)]
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame([("v", write_avi(frames, W, H))], schema)
+    sampled = sample_frames(df, every_n=2).collect()
+    assert [(r["frame_idx"], bytes(r["frame"])) for r in sampled] == [
+        (0, frames[0]), (2, frames[2]), (4, frames[4]),
+    ]
+    feats = video_frame_features(df, n_bins=16).collect()
+    assert len(feats) == 6 and len(feats[0]["features"]) == 16
