@@ -84,7 +84,11 @@ def _scan(payload: bytes) -> tuple[dict, list[bytes]]:
             ):
                 _, bw, bh, _, bits, comp = struct.unpack_from("<IiiHHI", payload, off)
                 meta["bmi"] = {"width": bw, "height": abs(bh), "top_down": bh < 0,
-                               "bit_count": bits, "compression": comp}
+                               "bit_count": bits, "compression": comp,
+                               # RGBQUAD palette follows the 40-byte
+                               # BITMAPINFOHEADER (8-bit DIB frames are
+                               # palette INDICES, not gray values)
+                               "palette": payload[off + 40 : off + size]}
             elif len(fourcc) == 4 and fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
                 vids = [i for i, s in enumerate(meta["streams"]) if s == b"vids"]
                 if vids and int(fourcc[:2]) == vids[0]:
@@ -111,13 +115,29 @@ def parse_avi(payload: bytes) -> dict:
     }
 
 
-def _dib_to_gray(frame: bytes, w: int, h: int, bit_count: int, top_down: bool) -> bytes:
+def _dib_to_gray(
+    frame: bytes, w: int, h: int, bit_count: int, top_down: bool, palette: bytes = b""
+) -> bytes:
     """Uncompressed DIB frame → top-down row-major grayscale bytes.
     DIB rows are 4-byte aligned and stored bottom-up unless the header
     declared a negative height; 24-bit pixels are BGR, folded to luma
-    with integer BT.601 weights (deterministic, no float)."""
+    with integer BT.601 weights (deterministic, no float). 8-bit
+    pixels are palette indices — mapped through the stream's RGBQUAD
+    table (BGR0 entries) folded to luma; with no/short palette the
+    index itself is the gray value (the identity-grayscale case
+    write_avi emits)."""
     if bit_count == 8:
         row_bytes = (w + 3) & ~3
+        lut = bytes(range(256))
+        if palette:
+            n = min(len(palette) // 4, 256)
+            lut = bytes(
+                (299 * palette[4 * i + 2] + 587 * palette[4 * i + 1] + 114 * palette[4 * i])
+                // 1000
+                if i < n
+                else i
+                for i in range(256)
+            )
     elif bit_count == 24:
         row_bytes = (w * 3 + 3) & ~3
     else:
@@ -131,7 +151,7 @@ def _dib_to_gray(frame: bytes, w: int, h: int, bit_count: int, top_down: bool) -
         src_y = y if top_down else h - 1 - y
         row = frame[src_y * row_bytes : src_y * row_bytes + row_bytes]
         if bit_count == 8:
-            out[y * w : (y + 1) * w] = row[:w]
+            out[y * w : (y + 1) * w] = row[:w].translate(lut)
         else:
             base = y * w
             for x in range(w):
@@ -166,7 +186,10 @@ def avi_gray_frames(payload: bytes) -> list[bytes]:
     w, h = meta["width"], meta["height"]
     comp = bmi["compression"]
     if comp == _BI_RGB:
-        return [_dib_to_gray(f, w, h, bmi["bit_count"], bmi["top_down"]) for f in frames]
+        return [
+            _dib_to_gray(f, w, h, bmi["bit_count"], bmi["top_down"], bmi.get("palette", b""))
+            for f in frames
+        ]
     if comp == _MJPG:
         return [_jpeg_to_gray(f, w, h) for f in frames]
     codec = struct.pack("<I", comp).decode("ascii", "replace")

@@ -98,10 +98,12 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
         if ftype == 0:  # None
             cur = row
-        elif ftype == 1:  # Sub
-            cur = row.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 1:  # Sub: per-channel running sum mod 256 → cumsum
+            cur = (
+                np.cumsum(row.reshape(-1, bpp).astype(np.uint8), axis=0, dtype=np.uint8)
+                .reshape(stride)
+                .astype(np.int32)
+            )
         elif ftype == 2:  # Up
             cur = (row + prev) & 0xFF
         elif ftype == 3:  # Average
@@ -152,7 +154,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     px = _unfilter(raw, w, h, ch)
     if color == 3:
         _require(palette is not None, "palette image without PLTE")
-        px = palette[px.reshape(h, w)].reshape(h, w * 3)
+        idx = px.reshape(h, w)
+        _require(int(idx.max(initial=0)) < len(palette), "palette index out of range")
+        px = palette[idx].reshape(h, w * 3)
         ch = 3
     return w, h, ch, px.tobytes()
 

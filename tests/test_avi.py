@@ -63,6 +63,21 @@ def test_not_avi_and_malformed():
         parse_avi(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
 
 
+def test_8bit_dib_maps_through_palette():
+    """8-bit DIB pixels are palette INDICES: a non-identity RGBQUAD
+    table must map through BT.601 luma, not pass indices as gray
+    (write_avi's identity-grayscale palette folds back to the index
+    exactly, which is what the round-trip tests rely on)."""
+    frames = [_gray_frame(2)]
+    payload = write_avi(frames, W, H)
+    # replace the identity palette (i,i,i,0 as BGR0) with an inverted one
+    ident = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    inv = b"".join(struct.pack("<BBBB", 255 - i, 255 - i, 255 - i, 0) for i in range(256))
+    assert ident in payload
+    (got,) = avi_gray_frames(payload.replace(ident, inv))
+    assert got == bytes(255 - b for b in frames[0])
+
+
 def test_unknown_codec_gates():
     payload = write_avi([_gray_frame(0)], W, H)
     # corrupt biCompression to 'cvid' → the documented gate

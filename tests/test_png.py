@@ -131,6 +131,33 @@ def test_writer_validates():
         write_png(bytes(W * H * 2), W, H, channels=2)
 
 
+@pytest.mark.parametrize("channels", [1, 3])
+def test_property_random_filter_sequences(channels):
+    """Hypothesis: on arbitrary pixel content, dimensions, and per-row
+    filter choices, decode inverts the independently-implemented
+    forward filter exactly (pure Python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    color = 0 if channels == 1 else 2
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 8),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def check(w, h, seed, data):
+        n = w * h * channels
+        img = bytes((seed * 2654435761 + i * 2246822519) % 256 for i in range(n))
+        ftypes = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        payload = _raw_png(w, h, color, _forward_filter(img, w, h, channels, ftypes))
+        assert decode_png(payload) == (w, h, channels, img)
+
+    check()
+
+
 # ------------------------------------------------------ Spark end-to-end
 
 
