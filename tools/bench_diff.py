@@ -1,0 +1,51 @@
+"""Round-over-round bench comparison: plan hashes + timings.
+
+Usage: python tools/bench_diff.py BENCH_DETAIL_r07.json BENCH_DETAIL.json
+
+For each headline query, prints whether the normalized optimized-plan
+hash moved (plan change — intended or regression, attribute it) and
+the min-timing delta with the old round's spread so noise is
+distinguishable from real movement (the r7 methodology: same hash +
+delta inside the spread envelope = host noise; moved hash or a min
+shifted past the spread = investigate). Exit code 1 when any hash
+moved, so a round script can force the attribution step.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(old_path: str, new_path: str) -> int:
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    oh, nh = old.get("plan_hashes", {}), new.get("plan_hashes", {})
+    os_, ns = old.get("queries_stats", {}), new.get("queries_stats", {})
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    moved = []
+    print(f"{'query':24} {'plan':8} {'old_min':>8} {'new_min':>8} {'delta%':>7} {'old_spread%':>11}")
+    for name in sorted(set(oh) | set(nh)):
+        a, b = oh.get(name), nh.get(name)
+        plan = "same" if a == b else ("NEW" if a is None else ("GONE" if b is None else "MOVED"))
+        if plan == "MOVED":
+            moved.append(name)
+        om, nm = oq.get(name), nq.get(name)
+        delta = f"{(nm - om) / om * 100:+.1f}" if om and nm else "-"
+        spread = os_.get(name, {}).get("spread_pct", "-")
+        print(f"{name:24} {plan:8} {om or '-':>8} {nm or '-':>8} {delta:>7} {spread:>11}")
+    t_old, t_new = old.get("value"), new.get("value")
+    if t_old and t_new:
+        print(f"\ntotal: {t_old} -> {t_new} ({(t_new - t_old) / t_old * 100:+.1f}%)")
+    s_old, s_new = old.get("sf1_total"), new.get("sf1_total")
+    if s_old and s_new:
+        print(f"sf1_total: {s_old} -> {s_new} ({(s_new - s_old) / s_old * 100:+.1f}%)")
+    if moved:
+        print(f"\nplan hashes MOVED ({len(moved)}): {', '.join(moved)} — attribute each before shipping")
+    else:
+        print("\nall plan hashes unchanged")
+    return 1 if moved else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
