@@ -278,7 +278,9 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rabbit_data_pipeline_spark.operators.png import is_png, png_gray, write_png
+        import numpy as np
+
+        from rabbit_data_pipeline_spark.operators.png import decode_png, is_png, write_png
 
         for pdf in batches:
             rows = []
@@ -288,8 +290,16 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
                     w, h = struct.unpack("<ii", payload[4:12])
                     out = b"IMG1" + struct.pack("<ii", new_width, new_height) + _nn(payload[12:], w, h)
                 elif is_png(payload):
-                    w, h, gray = png_gray(payload)
-                    out = write_png(_nn(gray, w, h), new_width, new_height)
+                    # color-preserving: gray stays gray, RGB stays RGB
+                    # (alpha drops — write_png emits 1 or 3 channels);
+                    # same floor-index subsample as the IMG1 path.
+                    w, h, ch, px = decode_png(payload)
+                    a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                    a = a[:, :, :1] if ch == 2 else (a[:, :, :3] if ch == 4 else a)
+                    ys = np.minimum(np.arange(new_height) * h // new_height, h - 1)
+                    xs = np.minimum(np.arange(new_width) * w // new_width, w - 1)
+                    sub = np.ascontiguousarray(a[np.ix_(ys, xs)])
+                    out = write_png(sub.tobytes(), new_width, new_height, channels=sub.shape[2])
                 else:
                     out = _resize_real(payload, new_width, new_height)
                 rows.append((mid, out, new_width, new_height))

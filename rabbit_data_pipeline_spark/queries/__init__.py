@@ -47,11 +47,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # verdict sits on pre-r5 code.
     # (a) Keys whose implementation changed (or is new) this round:
     # the new driver_topm BPE gate (VERDICT r7 ask #4), the Arrow
-    # encode path (memo cap, ADVICE r7), and the video tier (real
-    # AVI-container decode path landed; the synthetic gate re-runs on
-    # the reworked code).
+    # encode path (memo cap, ADVICE r7), and the media tier (real
+    # AVI/PNG stdlib codecs landed — the video frame ops, image
+    # feature extraction, and perceptual hash now route through the
+    # shared _video_gray_frames/_image_gray codec helpers; the
+    # synthetic gates re-run on the reworked code).
     "text_bpe_train_topm", "text_bpe_encode_arrow",
-    "multimodal_video_neardup",
+    "multimodal_video_neardup", "multimodal_ann",
+    "multimodal_image_neardup",
     # (b) ALL 43 keys whose latest driver verdict is on r4-or-older
     # code (2 on r3: the XML pair; 41 on r4), heaviest plans early.
     "xml_parse", "xml_format",
@@ -68,10 +71,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "find_files", "line_parser_csv",
     "text_dedup_lines", "text_gopher_quality", "text_repeated_ngrams",
     "text_sample_exact_k", "text_tfidf", "text_url_dedup",
-    # (c) 4 spare slots → the heaviest plans of the r5 cohort (the
+    # (c) 2 spare slots → the heaviest plans of the r5 cohort (the
     # next-oldest verdicts; the rest of r5 rotates in round 9).
-    "dedup_semantic", "dedup_incremental", "emb_decontaminate",
-    "q_salted_join",
+    "dedup_semantic", "dedup_incremental",
 )
 # Next round: the remaining 45 r5-verdict keys (layout_*, emb_*,
 # multimodal_*, stream_text_prep/stream_dedup_incremental, the

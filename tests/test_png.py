@@ -227,3 +227,17 @@ def test_extract_features_and_resize_on_real_png(spark):
     assert got[0] == 4 and got[1] == 3
     # nearest-neighbor: every output byte exists in the source
     assert set(got[2]) <= set(px)
+
+    # color PNGs stay color (the Pillow-path parity the gray-only
+    # first cut lacked): RGB in → RGB out, exact NN sample
+    rgb = bytes(b for i in range(W * H) for b in ((i * 3) % 251, (i * 5) % 251, (i * 7) % 251))
+    df3 = spark.createDataFrame([("m3", write_png(rgb, W, H, channels=3))], ["media_id", "payload"])
+    out3 = resize_images(df3, 3, 2).collect()
+    w3, h3, ch3, px3 = decode_png(bytes(out3[0]["payload"]))
+    assert (w3, h3, ch3) == (3, 2, 3)
+    expect = b"".join(
+        rgb[3 * (min(y * H // 2, H - 1) * W + min(x * W // 3, W - 1)) :][:3]
+        for y in range(2)
+        for x in range(3)
+    )
+    assert px3 == expect
