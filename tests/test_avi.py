@@ -128,6 +128,46 @@ def test_mjpg_decodes_through_pil_contract(monkeypatch):
     assert len(frame) == W * H
 
 
+def test_property_roundtrip_random_frames():
+    """Hypothesis: arbitrary frame content, dimensions, frame counts
+    and both DIB depths round-trip bit-exactly (24-bit through the
+    integer BT.601 fold). Pure Python, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        n=st.integers(1, 4),
+        depth=st.sampled_from([8, 24]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, n, depth, seed):
+        px = w * h * (1 if depth == 8 else 3)
+        frames = [
+            bytes((seed * 2654435761 + f * 97 + i * 2246822519) % 256 for i in range(px))
+            for f in range(n)
+        ]
+        payload = write_avi(frames, w, h, bit_count=depth)
+        meta = parse_avi(payload)
+        assert (meta["width"], meta["height"], meta["n_frames"], meta["codec"]) == (w, h, n, "DIB")
+        got = avi_gray_frames(payload)
+        if depth == 8:
+            assert got == frames
+        else:
+            expect = [
+                bytes(
+                    (299 * fr[3 * i + 2] + 587 * fr[3 * i + 1] + 114 * fr[3 * i]) // 1000
+                    for i in range(w * h)
+                )
+                for fr in frames
+            ]
+            assert got == expect
+
+    check()
+
+
 # ------------------------------------------------------ Spark end-to-end
 
 
