@@ -384,12 +384,46 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _audio_pcm(payload: bytes):
+    """Shared audio decode for the feature-level operators (the audio
+    twin of _image_gray/_video_gray_frames): AUD1 synthetic pcm passes
+    through; real RIFF/WAVE files decode via stdlib `wave` (16-bit
+    PCM; multi-channel folds to mono by mean). Returns float64
+    samples. MP3/FLAC keep the documented gate."""
+    import numpy as np
+
+    if payload[:4] == b"AUD1":
+        return np.frombuffer(payload, dtype="<i2", offset=12).astype(np.float64)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                width, nch = w.getsampwidth(), w.getnchannels()
+                if width != 2:
+                    raise NotImplementedError(
+                        f"WAV {width * 8}-bit samples: only 16-bit PCM decodes stdlib-side; "
+                        "install soundfile on the cluster for other widths"
+                    )
+                frames = w.readframes(w.getnframes())
+        except wave.Error as e:  # non-PCM encodings the stdlib refuses
+            raise NotImplementedError(f"WAV decode: {e}; needs soundfile/ffmpeg on the cluster") from e
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        return pcm.reshape(-1, nch).mean(axis=1) if nch > 1 else pcm
+    raise NotImplementedError(
+        f"audio ops: AUD1 synthetic or 16-bit PCM WAV payloads; magic "
+        f"{payload[:4]!r} (MP3/FLAC/...) needs soundfile/ffmpeg on the cluster"
+    )
+
+
 def audio_energy_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
-    """Audio feature extraction: AUD1 pcm → per-window RMS energy
-    vector (array<float>, length n_windows) — the audio twin of
-    extract_features' image histogram. A real deployment swaps the RMS
-    for a wav2vec-style forward pass over the same Arrow batch; the
-    output feeds the ANN/similarity operators directly."""
+    """Audio feature extraction: AUD1 or real-WAV pcm (`_audio_pcm`
+    routes the codec) → per-window RMS energy vector (array<float>,
+    length n_windows) — the audio twin of extract_features' image
+    histogram. A real deployment swaps the RMS for a wav2vec-style
+    forward pass over the same Arrow batch; the output feeds the
+    ANN/similarity operators directly."""
     from pyspark.sql.types import ArrayType, FloatType
 
     out_schema = StructType(
@@ -405,10 +439,7 @@ def audio_energy_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if payload[:4] != b"AUD1":
-                    raise NotImplementedError("audio_energy_features: only AUD1 synthetic pcm in this container")
-                pcm = np.frombuffer(payload, dtype="<i2", offset=12).astype(np.float64)
+                pcm = _audio_pcm(bytes(payload))
                 win = max(1, pcm.size // n_windows)
                 feats = [
                     float(np.sqrt(np.mean(np.square(pcm[i * win : (i + 1) * win])) or 0.0))

@@ -54,7 +54,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # synthetic gates re-run on the reworked code).
     "text_bpe_train_topm", "text_bpe_encode_arrow",
     "multimodal_video_neardup", "multimodal_ann",
-    "multimodal_image_neardup",
+    "multimodal_image_neardup", "multimodal_audio_neardup",
     # (b) ALL 43 keys whose latest driver verdict is on r4-or-older
     # code (2 on r3: the XML pair; 41 on r4), heaviest plans early.
     "xml_parse", "xml_format",
@@ -71,9 +71,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "find_files", "line_parser_csv",
     "text_dedup_lines", "text_gopher_quality", "text_repeated_ngrams",
     "text_sample_exact_k", "text_tfidf", "text_url_dedup",
-    # (c) 2 spare slots → the heaviest plans of the r5 cohort (the
+    # (c) 1 spare slot → the heaviest plan of the r5 cohort (the
     # next-oldest verdicts; the rest of r5 rotates in round 9).
-    "dedup_semantic", "dedup_incremental",
+    "dedup_semantic",
 )
 # Next round: the remaining 45 r5-verdict keys (layout_*, emb_*,
 # multimodal_*, stream_text_prep/stream_dedup_incremental, the

@@ -48,6 +48,72 @@ def test_wav_decodes_end_to_end_in_spark(spark):
     assert got["w2"]["width"] == 8000 and got["w2"]["n_frames"] == 50
 
 
+def _energy_wav(seed: int, noise: int, windows: int = 64, win_len: int = 32) -> bytes:
+    """Mono 16-bit WAV whose per-window RMS ORDER follows the seed;
+    small per-sample noise must not flip any window-to-window energy
+    relation (the fingerprint's invariance)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = []
+        for f in range(windows):
+            amp = 200 + ((seed * 37 + f * f * 11) % 200) * 80  # distinct rise/fall per seed
+            samples += [amp + ((i * 7 + noise) % 16) for i in range(win_len)]
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_wav_flows_to_near_pairs(spark):
+    """Real WAV files end to end: stdlib pcm decode → per-window RMS →
+    energy-delta fingerprint → banded near-dup join. The
+    noise-perturbed copy pairs with its source; the different-seed
+    audio pairs with neither."""
+    from rabbit_data_pipeline_spark.operators.multimodal import audio_near_pairs
+
+    rows = [
+        ("a", _energy_wav(seed=1, noise=0)),
+        ("a_dup", _energy_wav(seed=1, noise=5)),
+        ("b", _energy_wav(seed=9, noise=0)),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_pairs(df, max_hamming=3).collect()
+    }
+    assert ("a", "a_dup") in pairs
+    assert all("b" not in p for p in pairs)
+
+
+def test_stereo_wav_folds_to_mono_and_gates_hold():
+    """Multi-channel WAV folds to mono by mean; 8-bit samples and
+    non-AUD1/WAV magics hit the documented gates."""
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _audio_pcm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<hh", i * 10, i * 30) for i in range(5)))
+    pcm = _audio_pcm(buf.getvalue())
+    assert np.allclose(pcm, [i * 20.0 for i in range(5)])
+
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(16))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _audio_pcm(buf8.getvalue())
+    with pytest.raises(NotImplementedError, match="MP3/FLAC"):
+        _audio_pcm(b"ID3\x04mp3-frame-data")
+
+
 def test_truncated_wav_hits_the_gate_not_a_crash():
     """A RIFF/WAVE header with garbage after it must fall through to
     the documented NotImplementedError, not abort the decode job with
