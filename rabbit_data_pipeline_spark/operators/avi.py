@@ -101,11 +101,19 @@ def _scan(payload: bytes) -> tuple[dict, list[bytes]]:
 
 def parse_avi(payload: bytes) -> dict:
     """Container metadata without decoding any frame: format/codec,
-    dimensions, frame count (counted from the movi chunks; the avih
-    dwTotalFrames field is advisory and some muxers leave it 0)."""
+    dimensions, frame count (counted from the movi chunks — including
+    0-byte dropped-frame markers, which hold a timeline position; the
+    avih dwTotalFrames field is advisory and some muxers leave it 0).
+    An AVI with no video stream format reports codec "none" rather
+    than fabricating DIB."""
     meta, frames = _scan(payload)
-    comp = meta.get("bmi", {}).get("compression", _BI_RGB)
-    codec = "DIB" if comp == _BI_RGB else struct.pack("<I", comp).decode("ascii", "replace").strip()
+    bmi = meta.get("bmi")
+    if bmi is None:
+        codec = "none"
+    elif bmi["compression"] == _BI_RGB:
+        codec = "DIB"
+    else:
+        codec = struct.pack("<I", bmi["compression"]).decode("ascii", "replace").strip()
     return {
         "format": "AVI",
         "codec": codec,
@@ -146,18 +154,27 @@ def _dib_to_gray(
         )
     if len(frame) < row_bytes * h:
         raise ValueError(f"DIB frame truncated: {len(frame)} < {row_bytes * h}")
-    out = bytearray(w * h)
-    for y in range(h):
-        src_y = y if top_down else h - 1 - y
-        row = frame[src_y * row_bytes : src_y * row_bytes + row_bytes]
-        if bit_count == 8:
+    if bit_count == 8:
+        out = bytearray(w * h)
+        for y in range(h):
+            src_y = y if top_down else h - 1 - y
+            row = frame[src_y * row_bytes : src_y * row_bytes + row_bytes]
             out[y * w : (y + 1) * w] = row[:w].translate(lut)
-        else:
-            base = y * w
-            for x in range(w):
-                b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-                out[base + x] = (299 * r + 587 * g + 114 * b) // 1000
-    return bytes(out)
+        return bytes(out)
+    # 24-bit: vectorized BT.601 fold (the per-pixel Python loop was
+    # the decode hot spot — same numpy expression png.py uses)
+    import numpy as np
+
+    a = (
+        np.frombuffer(frame, np.uint8, count=row_bytes * h)
+        .reshape(h, row_bytes)[:, : w * 3]
+        .reshape(h, w, 3)
+        .astype(np.int32)
+    )
+    luma = (299 * a[:, :, 2] + 587 * a[:, :, 1] + 114 * a[:, :, 0]) // 1000
+    if not top_down:
+        luma = luma[::-1]
+    return luma.astype(np.uint8).tobytes()
 
 
 def _jpeg_to_gray(frame: bytes, w: int, h: int) -> bytes:
@@ -176,27 +193,43 @@ def _jpeg_to_gray(frame: bytes, w: int, h: int) -> bytes:
     return im.tobytes()
 
 
-def avi_gray_frames(payload: bytes) -> list[bytes]:
-    """Decode every video frame to top-down row-major 8-bit grayscale
+def avi_gray_frames(payload: bytes, step: int = 1) -> list[bytes]:
+    """Decode video frames to top-down row-major 8-bit grayscale
     (w*h bytes each) — the input shape the multimodal feature and
-    fingerprint operators consume."""
+    fingerprint operators consume. ``step`` decodes only every
+    step-th frame (frame sampling never pays codec work for frames it
+    discards). 0-byte frame chunks — the dropped-frame markers real
+    capture muxers emit — repeat the previous frame, decoded once."""
     meta, frames = _scan(payload)
     bmi = meta.get("bmi")
     _require(bmi is not None, "no video stream format (strf/BITMAPINFOHEADER)")
     w, h = meta["width"], meta["height"]
     comp = bmi["compression"]
     if comp == _BI_RGB:
-        return [
-            _dib_to_gray(f, w, h, bmi["bit_count"], bmi["top_down"], bmi.get("palette", b""))
-            for f in frames
-        ]
-    if comp == _MJPG:
-        return [_jpeg_to_gray(f, w, h) for f in frames]
-    codec = struct.pack("<I", comp).decode("ascii", "replace")
-    raise NotImplementedError(
-        f"AVI codec {codec!r}: uncompressed DIB (stdlib) and MJPG (Pillow) are "
-        "implemented; other codecs need PyAV/ffmpeg on the cluster"
-    )
+        def dec(f: bytes) -> bytes:
+            return _dib_to_gray(f, w, h, bmi["bit_count"], bmi["top_down"], bmi.get("palette", b""))
+    elif comp == _MJPG:
+        def dec(f: bytes) -> bytes:
+            return _jpeg_to_gray(f, w, h)
+    else:
+        codec = struct.pack("<I", comp).decode("ascii", "replace")
+        raise NotImplementedError(
+            f"AVI codec {codec!r}: uncompressed DIB (stdlib) and MJPG (Pillow) are "
+            "implemented; other codecs need PyAV/ffmpeg on the cluster"
+        )
+
+    cache: dict[int, bytes] = {}
+
+    def at(i: int) -> bytes:
+        j = i
+        while j >= 0 and not frames[j]:  # dropped-frame marker → previous
+            j -= 1
+        _require(j >= 0, "leading empty frame chunk with no prior frame")
+        if j not in cache:
+            cache[j] = dec(frames[j])
+        return cache[j]
+
+    return [at(i) for i in range(0, len(frames), step)]
 
 
 # ---------------------------------------------------------------- writer

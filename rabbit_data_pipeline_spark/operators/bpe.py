@@ -452,6 +452,32 @@ def bpe_encode(
 _ENCODE_MEMO_CAP = 1_000_000
 
 
+def _make_word_encoder(ranked: list[tuple[str, str, str]]):
+    """Per-partition word encoder with the LRU-capped memo (unit-
+    tested directly in tests/test_bpe.py — the eviction policy is
+    observable there without driving Spark)."""
+    memo: dict[str, tuple[str, int]] = {}
+
+    def enc_word(w: str) -> tuple[str, int]:
+        hit = memo.pop(w, None)
+        if hit is None:
+            cand = [(l, r) for l, r, tok in ranked if tok in w]
+            syms = tuple(w)
+            for left, right in cand:
+                syms = _apply(syms, left, right)
+            hit = ("·".join(syms), len(syms))
+            if len(memo) >= _ENCODE_MEMO_CAP:
+                # dict order is recency (hits re-insert below), so
+                # the first half is the LRU half
+                for k in list(islice(iter(memo), _ENCODE_MEMO_CAP // 2)):
+                    del memo[k]
+        memo[w] = hit  # (re-)insert at the live end: order = recency
+        return hit
+
+    enc_word._memo = memo  # test hook: inspect cache state
+    return enc_word
+
+
 def bpe_encode_arrow(
     df: DataFrame,
     merges: list[tuple[int, str, str]],
@@ -464,10 +490,13 @@ def bpe_encode_arrow(
     adjacent original characters, so only merges whose token is a
     substring of the word can ever fire) keep the per-distinct-word
     cost to the handful of applicable merges, not the whole table.
-    The memo is capped at _ENCODE_MEMO_CAP entries — past that the
-    oldest half is evicted (insertion order ≈ recency for a streaming
-    scan), bounding executor memory on high-distinct-word partitions
-    while keeping the Zipf head cached."""
+    The memo is capped at _ENCODE_MEMO_CAP entries with LRU eviction:
+    a hit re-inserts its key, so dict order IS recency and evicting
+    the first half drops the least-recently-used entries — bounding
+    executor memory on high-distinct-word partitions while keeping the
+    Zipf head cached (head words re-hit constantly, so they keep
+    migrating to the live end; plain first-seen insertion order would
+    evict exactly those head words first)."""
     import pandas as pd
 
     ranked = [(left, right, left + right) for _, left, right in sorted(merges)]
@@ -480,21 +509,7 @@ def bpe_encode_arrow(
     )
 
     def run(it):
-        memo: dict[str, tuple[str, int]] = {}
-
-        def enc_word(w: str) -> tuple[str, int]:
-            hit = memo.get(w)
-            if hit is None:
-                cand = [(l, r) for l, r, tok in ranked if tok in w]
-                syms = tuple(w)
-                for left, right in cand:
-                    syms = _apply(syms, left, right)
-                hit = ("·".join(syms), len(syms))
-                if len(memo) >= _ENCODE_MEMO_CAP:
-                    for k in list(islice(iter(memo), _ENCODE_MEMO_CAP // 2)):
-                        del memo[k]
-                memo[w] = hit
-            return hit
+        enc_word = _make_word_encoder(ranked)
 
         for pdf in it:
             toks: list[str | None] = []

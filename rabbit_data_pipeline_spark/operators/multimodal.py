@@ -212,7 +212,14 @@ def _image_gray(payload: bytes) -> tuple[int, int, bytes]:
     from rabbit_data_pipeline_spark.operators.png import is_png, png_gray
 
     if is_png(payload):
-        return png_gray(payload)
+        try:
+            return png_gray(payload)
+        except NotImplementedError:
+            # PNG variant past the stdlib codec (16-bit, interlaced):
+            # fall through to Pillow below rather than telling a user
+            # with Pillow installed to install Pillow.
+            if _pil_image() is None:
+                raise
     Image = _pil_image()
     if Image is not None:
         import io
@@ -256,11 +263,37 @@ def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
     return buf.getvalue()
 
 
+def _resize_png(payload: bytes, new_width: int, new_height: int) -> bytes | None:
+    """Stdlib PNG resize: color-preserving nearest-neighbor (gray
+    stays gray, RGB stays RGB, alpha drops — write_png emits 1 or 3
+    channels), same floor-index subsample as the IMG1 path. Returns
+    None for PNG variants past the stdlib codec (16-bit, interlaced)
+    so the caller can fall through to Pillow instead of telling a
+    user with Pillow installed to install Pillow."""
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.png import decode_png, write_png
+
+    try:
+        w, h, ch, px = decode_png(payload)
+    except NotImplementedError:
+        return None
+    if ch in (2, 4) and _pil_image() is not None:
+        return None  # Pillow preserves alpha; the stdlib path drops it
+    a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+    a = a[:, :, :1] if ch == 2 else (a[:, :, :3] if ch == 4 else a)
+    ys = np.minimum(np.arange(new_height) * h // new_height, h - 1)
+    xs = np.minimum(np.arange(new_width) * w // new_width, w - 1)
+    sub = np.ascontiguousarray(a[np.ix_(ys, xs)])
+    return write_png(sub.tobytes(), new_width, new_height, channels=sub.shape[2])
+
+
 def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
     """Resize: deterministic nearest-neighbor subsample for the
     synthetic IMG1 format AND for real PNGs (stdlib decode → subsample
-    → stdlib PNG out, no optional dep); other raster formats route
-    through Pillow when installed — same batch shape."""
+    → stdlib PNG out, no optional dep); other raster formats — and
+    PNG variants past the stdlib codec — route through Pillow when
+    installed, same batch shape."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -278,9 +311,7 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from rabbit_data_pipeline_spark.operators.png import decode_png, is_png, write_png
+        from rabbit_data_pipeline_spark.operators.png import is_png
 
         for pdf in batches:
             rows = []
@@ -289,17 +320,8 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
                 if payload[:4] == b"IMG1":
                     w, h = struct.unpack("<ii", payload[4:12])
                     out = b"IMG1" + struct.pack("<ii", new_width, new_height) + _nn(payload[12:], w, h)
-                elif is_png(payload):
-                    # color-preserving: gray stays gray, RGB stays RGB
-                    # (alpha drops — write_png emits 1 or 3 channels);
-                    # same floor-index subsample as the IMG1 path.
-                    w, h, ch, px = decode_png(payload)
-                    a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
-                    a = a[:, :, :1] if ch == 2 else (a[:, :, :3] if ch == 4 else a)
-                    ys = np.minimum(np.arange(new_height) * h // new_height, h - 1)
-                    xs = np.minimum(np.arange(new_width) * w // new_width, w - 1)
-                    sub = np.ascontiguousarray(a[np.ix_(ys, xs)])
-                    out = write_png(sub.tobytes(), new_width, new_height, channels=sub.shape[2])
+                elif is_png(payload) and (png_resized := _resize_png(payload, new_width, new_height)) is not None:
+                    out = png_resized
                 else:
                     out = _resize_real(payload, new_width, new_height)
                 rows.append((mid, out, new_width, new_height))
@@ -308,19 +330,21 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
-def _video_gray_frames(payload: bytes) -> list[bytes]:
+def _video_gray_frames(payload: bytes, step: int = 1) -> list[bytes]:
     """Shared video decode for the frame-level operators: VID1
     synthetic frames pass through; real AVI containers decode via the
     stdlib RIFF codec (operators/avi.py — DIB frames need no optional
     dep at all, MJPG gates on Pillow). Each frame is row-major 8-bit
-    grayscale. MP4/MKV keep the documented PyAV gate."""
+    grayscale; ``step`` returns every step-th frame WITHOUT paying
+    codec work for the discarded ones (frame k of the result is
+    source frame k*step). MP4/MKV keep the documented PyAV gate."""
     if payload[:4] == b"VID1":
         n, fl = struct.unpack("<ii", payload[4:12])
-        return [payload[12 + f * fl : 12 + (f + 1) * fl] for f in range(n)]
+        return [payload[12 + f * fl : 12 + (f + 1) * fl] for f in range(0, n, step)]
     from rabbit_data_pipeline_spark.operators.avi import avi_gray_frames, is_avi
 
     if is_avi(payload):
-        return avi_gray_frames(payload)
+        return avi_gray_frames(payload, step=step)
     raise NotImplementedError(
         f"video ops: VID1 synthetic or AVI (DIB stdlib / MJPG via Pillow) payloads; "
         f"magic {payload[:4]!r} (MP4/MKV) needs PyAV/ffmpeg on the cluster"
@@ -329,7 +353,8 @@ def _video_gray_frames(payload: bytes) -> list[bytes]:
 
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video payloads (VID1 or AVI): one output row
-    per kept frame."""
+    per kept frame. The stride pushes into the codec — skipped frames
+    are never decoded (per-frame JPEG/DIB work only for survivors)."""
     out_schema = StructType(
         [
             StructField("media_id", StringType()),
@@ -342,9 +367,8 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = _video_gray_frames(bytes(payload))
-                for f in range(0, len(frames), every_n):
-                    rows.append((mid, f, frames[f]))
+                for k, frame in enumerate(_video_gray_frames(bytes(payload), step=every_n)):
+                    rows.append((mid, k * every_n, frame))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, schema=out_schema)

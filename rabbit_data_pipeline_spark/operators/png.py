@@ -150,7 +150,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         elif ctype == b"IDAT":
             idat.append(body)
     _require(bool(idat), "no IDAT")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # the error contract is ValueError/NotImplementedError, never a
+        # raw codec exception out of a Spark task (the ADVICE r7 rule)
+        raise ValueError(f"not a valid PNG: corrupt IDAT ({e})") from e
     px = _unfilter(raw, w, h, ch)
     if color == 3:
         _require(palette is not None, "palette image without PLTE")

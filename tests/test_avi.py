@@ -78,6 +78,52 @@ def test_8bit_dib_maps_through_palette():
     assert got == bytes(255 - b for b in frames[0])
 
 
+def _with_dropped_frame(payload: bytes, at_start: bool) -> bytes:
+    """Splice a 0-byte '00db' chunk (the dropped-frame marker real
+    capture muxers emit) into an AVI's movi list, fixing the RIFF and
+    LIST sizes — built from the writer's own output so only the marker
+    is hand-made."""
+    marker = b"00db" + struct.pack("<I", 0)
+    movi_at = payload.index(b"movi")
+    if at_start:
+        pos = movi_at + 4
+    else:  # between the first and second real frame chunks
+        pos = payload.index(b"00db", payload.index(b"00db", movi_at) + 1)
+    out = payload[:pos] + marker + payload[pos:]
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    (list_size,) = struct.unpack_from("<I", out, movi_at - 4)
+    return out[: movi_at - 4] + struct.pack("<I", list_size + 8) + out[movi_at:]
+
+
+def test_dropped_frame_markers_repeat_previous():
+    """0-byte frame chunks repeat the previous frame (decoded once);
+    a leading marker with no prior frame raises cleanly; parse_avi
+    counts markers as frames (they hold a timeline position)."""
+    f0, f1 = _gray_frame(0), _gray_frame(1)
+    dropped = _with_dropped_frame(write_avi([f0, f1], W, H), at_start=False)
+    assert parse_avi(dropped)["n_frames"] == 3
+    assert avi_gray_frames(dropped) == [f0, f0, f1]
+
+    leading = _with_dropped_frame(write_avi([], W, H), at_start=True)
+    with pytest.raises(ValueError, match="leading empty"):
+        avi_gray_frames(leading)
+
+
+def test_strided_decode_matches_full_decode():
+    frames = [_gray_frame(s) for s in range(7)]
+    payload = write_avi(frames, W, H)
+    assert avi_gray_frames(payload, step=3) == [frames[0], frames[3], frames[6]]
+
+
+def test_no_video_stream_reports_codec_none():
+    """An AVI without a vids strf must say so, not fabricate DIB."""
+    payload = write_avi([_gray_frame(0)], W, H)
+    patched = payload.replace(b"vids", b"auds")
+    assert parse_avi(patched)["codec"] == "none"
+    with pytest.raises(ValueError, match="no video stream"):
+        avi_gray_frames(patched)
+
+
 def test_unknown_codec_gates():
     payload = write_avi([_gray_frame(0)], W, H)
     # corrupt biCompression to 'cvid' → the documented gate

@@ -255,6 +255,24 @@ def test_driver_topm_identity_and_divergence_corpora(spark):
     assert dtopm == reference_bpe([t for _, t in div_rows[:3]], n_merges=20, min_pair_count=2)
 
 
+def test_encode_memo_is_lru_not_first_seen(monkeypatch):
+    """The eviction must drop the LEAST-RECENTLY-USED half, not the
+    first-seen half: a Zipf-head word that re-hits constantly has to
+    survive every eviction (first-seen order would evict exactly the
+    head words, inverting the cache's purpose). Pure Python via the
+    extracted encoder."""
+    from rabbit_data_pipeline_spark.operators import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "_ENCODE_MEMO_CAP", 4)
+    enc = bpe_mod._make_word_encoder([("a", "a", "aa")])
+    enc("head")  # the hot word, inserted FIRST
+    for i in range(40):  # a stream of one-off tail words...
+        enc(f"tail{i:02d}")
+        enc("head")  # ...with the head re-hitting between each
+        assert "head" in enc._memo  # survives every eviction
+    assert len(enc._memo) <= 4
+
+
 def test_encode_arrow_memo_cap_evicts_and_stays_correct(spark, monkeypatch):
     """ADVICE r7: the per-partition word memo is capped; past the cap
     the oldest half is evicted and encoding stays token-identical to

@@ -105,6 +105,61 @@ def test_palette_expands_to_rgb():
     assert decode_png(payload) == (W, H, 3, expect)
 
 
+def test_corrupt_idat_is_valueerror_not_zlib_error():
+    """The error contract is ValueError/NotImplementedError — a
+    corrupt deflate stream must not leak a raw zlib.error out of a
+    Spark task."""
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0))
+    bad = _SIG + ihdr + _chunk(b"IDAT", b"\xde\xad\xbe\xef") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(bad)
+
+
+def test_stdlib_gated_png_falls_through_to_pillow(monkeypatch):
+    """A PNG past the stdlib codec (16-bit) must try Pillow when it's
+    installed — not tell the user to install an already-installed
+    package — in both the pixel helper and the resize path; without
+    Pillow, the stdlib gate stands."""
+    import sys
+    import types
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _image_gray, _resize_png
+
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 16, 0, 0, 0, 0))
+    deep = _SIG + ihdr + _chunk(b"IDAT", zlib.compress(b"\x00" * (H * (W * 2 + 1)))) + _chunk(b"IEND", b"")
+
+    # stdlib resize helper declines (returns None) so the caller can route to Pillow
+    assert _resize_png(deep, 4, 3) is None
+
+    class _FakeIm:
+        width, height = W, H
+
+        def convert(self, mode):
+            return self
+
+        def tobytes(self):
+            return bytes(W * H)
+
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda fp: _FakeIm()
+    mod = types.ModuleType("PIL")
+    mod.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+    assert _image_gray(deep) == (W, H, bytes(W * H))
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("real Pillow present in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="16-bit|Pillow"):
+        _image_gray(deep)
+
+
 def test_gates_and_malformed():
     with pytest.raises(ValueError, match="not a valid PNG"):
         parse_png(b"nope")
