@@ -1,4 +1,6 @@
-"""AVI (RIFF) video container codec — pure stdlib, no Spark.
+"""AVI (RIFF) video container codec — stdlib + numpy, no Spark, no
+optional deps (numpy is a hard dependency of the package; png.py and
+the Arrow operators already import it unconditionally).
 
 Reads and writes the public Microsoft AVI container format (a RIFF
 file with form type ``AVI ``: an ``hdrl`` LIST carrying the main and
@@ -12,9 +14,10 @@ and only the per-frame codec step gates on an external library.
 Frame codecs:
 
 - **Uncompressed DIB** (``biCompression == 0``, 8-bit palettized or
-  24-bit BGR): decoded to row-major top-down 8-bit grayscale with
-  pure stdlib — a REAL video file flows end-to-end in this container
-  with no optional dependency at all.
+  24-bit BGR): decoded to row-major top-down 8-bit grayscale (8-bit
+  via bytes.translate, 24-bit via a vectorized numpy BT.601 fold) — a
+  REAL video file flows end-to-end in this container with no
+  OPTIONAL dependency at all.
 - **MJPG** (each frame chunk is a standalone JPEG): frame EXTRACTION
   is stdlib; frame DECODE routes through Pillow when installed, else
   raises the documented ``NotImplementedError`` gate.
@@ -218,12 +221,19 @@ def avi_gray_frames(payload: bytes, step: int = 1) -> list[bytes]:
             "implemented; other codecs need PyAV/ffmpeg on the cluster"
         )
 
+    # one forward pass maps every index to its last REAL frame (a run
+    # of m dropped-frame markers stays O(n), not O(m^2) of walk-backs)
+    last_real = []
+    cur = -1
+    for i, f in enumerate(frames):
+        if f:
+            cur = i
+        last_real.append(cur)
+
     cache: dict[int, bytes] = {}
 
     def at(i: int) -> bytes:
-        j = i
-        while j >= 0 and not frames[j]:  # dropped-frame marker → previous
-            j -= 1
+        j = last_real[i]  # dropped-frame marker → previous real frame
         _require(j >= 0, "leading empty frame chunk with no prior frame")
         if j not in cache:
             cache[j] = dec(frames[j])

@@ -263,6 +263,13 @@ def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
     return buf.getvalue()
 
 
+def _nn_index(dst: int, src: int) -> list[int]:
+    """Nearest-neighbor source index per destination position — THE
+    floor-index subsample rule, defined once (resize for IMG1 and
+    PNG, and perceptual_hash's grid draw all share it)."""
+    return [min(int(i * src / dst), src - 1) for i in range(dst)]
+
+
 def _resize_png(payload: bytes, new_width: int, new_height: int) -> bytes | None:
     """Stdlib PNG resize: color-preserving nearest-neighbor (gray
     stays gray, RGB stays RGB, alpha drops — write_png emits 1 or 3
@@ -282,9 +289,7 @@ def _resize_png(payload: bytes, new_width: int, new_height: int) -> bytes | None
         return None  # Pillow preserves alpha; the stdlib path drops it
     a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
     a = a[:, :, :1] if ch == 2 else (a[:, :, :3] if ch == 4 else a)
-    ys = np.minimum(np.arange(new_height) * h // new_height, h - 1)
-    xs = np.minimum(np.arange(new_width) * w // new_width, w - 1)
-    sub = np.ascontiguousarray(a[np.ix_(ys, xs)])
+    sub = np.ascontiguousarray(a[np.ix_(_nn_index(new_height, h), _nn_index(new_width, w))])
     return write_png(sub.tobytes(), new_width, new_height, channels=sub.shape[2])
 
 
@@ -304,11 +309,8 @@ def resize_images(df: DataFrame, new_width: int, new_height: int) -> DataFrame:
     )
 
     def _nn(body: bytes, w: int, h: int) -> bytes:
-        return bytes(
-            body[min(int(y * h / new_height), h - 1) * w + min(int(x * w / new_width), w - 1)]
-            for y in range(new_height)
-            for x in range(new_width)
-        )
+        ys, xs = _nn_index(new_height, h), _nn_index(new_width, w)
+        return bytes(body[y * w + x] for y in ys for x in xs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from rabbit_data_pipeline_spark.operators.png import is_png
@@ -431,8 +433,17 @@ def _audio_pcm(payload: bytes):
                         "install soundfile on the cluster for other widths"
                     )
                 frames = w.readframes(w.getnframes())
-        except wave.Error as e:  # non-PCM encodings the stdlib refuses
-            raise NotImplementedError(f"WAV decode: {e}; needs soundfile/ffmpeg on the cluster") from e
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            # non-PCM encodings raise wave.Error, but malformed chunk
+            # structure raises bare RuntimeError/EOFError from the
+            # stdlib Chunk parser — the error contract is the
+            # documented gate, never a raw codec exception out of a
+            # Spark task (mirrors _decode_one's WAV branch).
+            raise NotImplementedError(
+                f"WAV decode: {e or type(e).__name__}; needs soundfile/ffmpeg on the cluster"
+            ) from e
         pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
         return pcm.reshape(-1, nch).mean(axis=1) if nch > 1 else pcm
     raise NotImplementedError(
@@ -465,9 +476,12 @@ def audio_energy_features(df: DataFrame, n_windows: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 pcm = _audio_pcm(bytes(payload))
                 win = max(1, pcm.size // n_windows)
+                # audio shorter than n_windows samples leaves trailing
+                # windows EMPTY — mean(empty) is NaN and `NaN or 0.0`
+                # is NaN (truthy), so guard on size, not on the value
+                segs = [pcm[i * win : (i + 1) * win] for i in range(n_windows)]
                 feats = [
-                    float(np.sqrt(np.mean(np.square(pcm[i * win : (i + 1) * win])) or 0.0))
-                    for i in range(n_windows)
+                    float(np.sqrt(np.mean(np.square(s)))) if s.size else 0.0 for s in segs
                 ]
                 rows.append((mid, np.asarray(feats, dtype=np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
@@ -537,11 +551,8 @@ def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, body = _image_gray(bytes(payload))
-                px = [
-                    body[min(int(y * h / grid), h - 1) * w + min(int(x * w / grid), w - 1)]
-                    for y in range(grid)
-                    for x in range(grid)
-                ]
+                ys, xs = _nn_index(grid, h), _nn_index(grid, w)
+                px = [body[y * w + x] for y in ys for x in xs]
                 mean = sum(px) / len(px)
                 bits = 0
                 for i, p in enumerate(px):

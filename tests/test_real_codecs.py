@@ -114,6 +114,51 @@ def test_stereo_wav_folds_to_mono_and_gates_hold():
         _audio_pcm(b"ID3\x04mp3-frame-data")
 
 
+def test_malformed_wav_chunk_structure_gates_not_runtimeerror():
+    """stdlib wave raises bare RuntimeError/EOFError (not wave.Error)
+    on malformed chunk structure — _audio_pcm must surface the
+    documented gate, never a raw codec exception out of a Spark task."""
+    from rabbit_data_pipeline_spark.operators.multimodal import _audio_pcm
+
+    with pytest.raises(NotImplementedError, match="WAV decode"):
+        _audio_pcm(b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"garbage-here-more")
+
+
+def test_short_wav_windows_are_zero_not_nan():
+    """Audio shorter than n_windows samples leaves trailing windows
+    empty: their RMS must be 0.0, not NaN (NaN is truthy, so the old
+    `mean(...) or 0.0` guard never fired) — NaN here silently corrupts
+    fingerprints downstream."""
+    import math
+
+    from rabbit_data_pipeline_spark.operators import multimodal as mm
+
+    # drive the mapInPandas closure logic via the public op on Spark-less
+    # plumbing: replicate the window slicing on a 50-sample decode
+    pcm = mm._audio_pcm(_wav_bytes(8000, 50))
+    assert pcm.size == 50
+    import numpy as np
+
+    win = max(1, pcm.size // 64)
+    segs = [pcm[i * win : (i + 1) * win] for i in range(64)]
+    feats = [float(np.sqrt(np.mean(np.square(s)))) if s.size else 0.0 for s in segs]
+    assert not any(math.isnan(f) for f in feats)
+    assert feats[50:] == [0.0] * 14
+
+
+def test_short_wav_through_spark_features_no_nan(spark):
+    """The same guard through the real operator: a 50-sample WAV in a
+    64-window feature pass yields finite features."""
+    import math
+
+    from rabbit_data_pipeline_spark.operators.multimodal import audio_energy_features
+
+    df = spark.createDataFrame([("s1", _wav_bytes(8000, 50))], ["media_id", "payload"])
+    (row,) = audio_energy_features(df, n_windows=64).collect()
+    assert len(row["features"]) == 64
+    assert all(not math.isnan(f) for f in row["features"])
+
+
 def test_truncated_wav_hits_the_gate_not_a_crash():
     """A RIFF/WAVE header with garbage after it must fall through to
     the documented NotImplementedError, not abort the decode job with
