@@ -137,14 +137,15 @@ def _dib_to_gray(
     table (BGR0 entries) folded to luma; with no/short palette the
     index itself is the gray value (the identity-grayscale case
     write_avi emits)."""
+    from rabbit_data_pipeline_spark.operators.png import bt601_luma
+
     if bit_count == 8:
         row_bytes = (w + 3) & ~3
         lut = bytes(range(256))
         if palette:
             n = min(len(palette) // 4, 256)
             lut = bytes(
-                (299 * palette[4 * i + 2] + 587 * palette[4 * i + 1] + 114 * palette[4 * i])
-                // 1000
+                bt601_luma(palette[4 * i + 2], palette[4 * i + 1], palette[4 * i])
                 if i < n
                 else i
                 for i in range(256)
@@ -165,7 +166,7 @@ def _dib_to_gray(
             out[y * w : (y + 1) * w] = row[:w].translate(lut)
         return bytes(out)
     # 24-bit: vectorized BT.601 fold (the per-pixel Python loop was
-    # the decode hot spot — same numpy expression png.py uses)
+    # the decode hot spot — the shared png.bt601_luma fold)
     import numpy as np
 
     a = (
@@ -174,7 +175,7 @@ def _dib_to_gray(
         .reshape(h, w, 3)
         .astype(np.int32)
     )
-    luma = (299 * a[:, :, 2] + 587 * a[:, :, 1] + 114 * a[:, :, 0]) // 1000
+    luma = bt601_luma(a[:, :, 2], a[:, :, 1], a[:, :, 0])
     if not top_down:
         luma = luma[::-1]
     return luma.astype(np.uint8).tobytes()

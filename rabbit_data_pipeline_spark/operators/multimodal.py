@@ -272,11 +272,14 @@ def _nn_index(dst: int, src: int) -> list[int]:
 
 def _resize_png(payload: bytes, new_width: int, new_height: int) -> bytes | None:
     """Stdlib PNG resize: color-preserving nearest-neighbor (gray
-    stays gray, RGB stays RGB, alpha drops — write_png emits 1 or 3
-    channels), same floor-index subsample as the IMG1 path. Returns
-    None for PNG variants past the stdlib codec (16-bit, interlaced)
-    so the caller can fall through to Pillow instead of telling a
-    user with Pillow installed to install Pillow."""
+    stays gray, RGB stays RGB, alpha DROPS — write_png emits 1 or 3
+    channels), same floor-index subsample as the IMG1 path. Every
+    stdlib-decodable PNG takes this path regardless of whether Pillow
+    is installed, so resize output is deterministic across
+    environments (Pillow's resampling varies by version). Returns
+    None only for PNG variants past the stdlib codec (16-bit,
+    interlaced) so the caller can fall through to Pillow instead of
+    telling a user with Pillow installed to install Pillow."""
     import numpy as np
 
     from rabbit_data_pipeline_spark.operators.png import decode_png, write_png
@@ -285,8 +288,6 @@ def _resize_png(payload: bytes, new_width: int, new_height: int) -> bytes | None
         w, h, ch, px = decode_png(payload)
     except NotImplementedError:
         return None
-    if ch in (2, 4) and _pil_image() is not None:
-        return None  # Pillow preserves alpha; the stdlib path drops it
     a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
     a = a[:, :, :1] if ch == 2 else (a[:, :, :3] if ch == 4 else a)
     sub = np.ascontiguousarray(a[np.ix_(_nn_index(new_height, h), _nn_index(new_width, w))])
@@ -442,7 +443,7 @@ def _audio_pcm(payload: bytes):
             # documented gate, never a raw codec exception out of a
             # Spark task (mirrors _decode_one's WAV branch).
             raise NotImplementedError(
-                f"WAV decode: {e or type(e).__name__}; needs soundfile/ffmpeg on the cluster"
+                f"WAV decode: {str(e) or type(e).__name__}; needs soundfile/ffmpeg on the cluster"
             ) from e
         pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
         return pcm.reshape(-1, nch).mean(axis=1) if nch > 1 else pcm

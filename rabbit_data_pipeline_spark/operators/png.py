@@ -36,6 +36,14 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def bt601_luma(r, g, b):
+    """Integer BT.601 grayscale fold — ONE definition shared by the
+    PNG decode, the AVI 24-bit DIB fold and the AVI palette LUT
+    (operators/avi.py) so cross-codec gray output can never drift.
+    Works on numpy arrays and plain ints alike."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
 def is_png(payload: bytes) -> bool:
     return payload[: len(_SIG)] == _SIG
 
@@ -173,12 +181,10 @@ def png_gray(payload: bytes) -> tuple[int, int, bytes]:
     alpha is dropped (features compare luminance, not transparency)."""
     w, h, ch, pixels = decode_png(payload)
     a = np.frombuffer(pixels, dtype=np.uint8).reshape(h * w, ch).astype(np.int32)
-    if ch == 1:
-        gray = a[:, 0]
-    elif ch == 2:  # gray + alpha
+    if ch in (1, 2):  # gray / gray+alpha
         gray = a[:, 0]
     else:  # RGB / RGBA
-        gray = (299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]) // 1000
+        gray = bt601_luma(a[:, 0], a[:, 1], a[:, 2])
     return w, h, gray.astype(np.uint8).tobytes()
 
 
