@@ -193,7 +193,14 @@ def _jpeg_to_gray(frame: bytes, w: int, h: int) -> bytes:
         ) from e
     import io
 
-    im = Image.open(io.BytesIO(frame)).convert("L").resize((w, h))
+    im = Image.open(io.BytesIO(frame)).convert("L")
+    if im.size != (w, h):
+        # A frame whose JPEG dimensions disagree with the container
+        # header is conformed to the header — but only then, and with
+        # an EXPLICIT filter: Pillow's default resample has changed
+        # across versions, and the deterministic-output rationale used
+        # for the PNG resize path applies here too (ADVICE r8).
+        im = im.resize((w, h), resample=getattr(Image, "Resampling", Image).NEAREST)
     return im.tobytes()
 
 

@@ -413,6 +413,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "auto",
+    memo_cap: int | None = None,
 ) -> DataFrame:
     """Tokenize documents: per-word greedy merge application, tokens
     rejoined in document order with '·' marking in-word boundaries.
@@ -421,12 +422,14 @@ def bpe_encode(
     engine: "fold" = chained codegen folds (depth grows with vocab —
     right up to _FOLD_LIMIT merges); "arrow" = one mapInPandas pass
     with the merge table in the closure (production vocabs); "auto"
-    picks by len(merges). Identical output either way.
+    picks by len(merges). Identical output either way. ``memo_cap``
+    overrides the arrow engine's per-partition encode-memo bound
+    (default _ENCODE_MEMO_CAP; the fold engine has no memo).
     """
     if engine == "auto":
         engine = "fold" if len(merges) <= _FOLD_LIMIT else "arrow"
     if engine == "arrow":
-        return bpe_encode_arrow(df, merges, text_col, id_col)
+        return bpe_encode_arrow(df, merges, text_col, id_col, memo_cap=memo_cap)
     words = F.split(F.col(text_col), r"\s+")
     # Materialize the per-word token arrays as a real column first so
     # the chained merge folds evaluate ONCE per row — deriving both
@@ -452,10 +455,14 @@ def bpe_encode(
 _ENCODE_MEMO_CAP = 1_000_000
 
 
-def _make_word_encoder(ranked: list[tuple[str, str, str]]):
+def _make_word_encoder(ranked: list[tuple[str, str, str]], memo_cap: int | None = None):
     """Per-partition word encoder with the LRU-capped memo (unit-
     tested directly in tests/test_bpe.py — the eviction policy is
-    observable there without driving Spark)."""
+    observable there without driving Spark). ``memo_cap`` is captured
+    BY VALUE so a caller-supplied cap survives the closure's pickle
+    round-trip into Spark's Python workers (ADVICE r8: a monkeypatched
+    module global never reaches the re-imported executor module)."""
+    cap = _ENCODE_MEMO_CAP if memo_cap is None else memo_cap
     memo: dict[str, tuple[str, int]] = {}
 
     def enc_word(w: str) -> tuple[str, int]:
@@ -466,10 +473,10 @@ def _make_word_encoder(ranked: list[tuple[str, str, str]]):
             for left, right in cand:
                 syms = _apply(syms, left, right)
             hit = ("·".join(syms), len(syms))
-            if len(memo) >= _ENCODE_MEMO_CAP:
+            if len(memo) >= cap:
                 # dict order is recency (hits re-insert below), so
                 # the first half is the LRU half
-                for k in list(islice(iter(memo), _ENCODE_MEMO_CAP // 2)):
+                for k in list(islice(iter(memo), cap // 2)):
                     del memo[k]
         memo[w] = hit  # (re-)insert at the live end: order = recency
         return hit
@@ -483,6 +490,7 @@ def bpe_encode_arrow(
     merges: list[tuple[int, str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    memo_cap: int | None = None,
 ) -> DataFrame:
     """Arrow encode path: merge ranks ride the closure into one
     mapInPandas pass. Per-partition word memo (corpora repeat words
@@ -509,7 +517,9 @@ def bpe_encode_arrow(
     )
 
     def run(it):
-        enc_word = _make_word_encoder(ranked)
+        # memo_cap rides the closure by value: the executor-side
+        # re-import of this module must not reset a caller's cap.
+        enc_word = _make_word_encoder(ranked, memo_cap)
 
         for pdf in it:
             toks: list[str | None] = []

@@ -277,16 +277,22 @@ def _resize_png(payload: bytes, new_width: int, new_height: int) -> bytes | None
     stdlib-decodable PNG takes this path regardless of whether Pillow
     is installed, so resize output is deterministic across
     environments (Pillow's resampling varies by version). Returns
-    None only for PNG variants past the stdlib codec (16-bit,
-    interlaced) so the caller can fall through to Pillow instead of
-    telling a user with Pillow installed to install Pillow."""
+    None for PNG variants past the stdlib codec (16-bit, interlaced)
+    and for corrupt PNGs so the caller can fall through to Pillow
+    instead of telling a user with Pillow installed to install
+    Pillow."""
     import numpy as np
 
     from rabbit_data_pipeline_spark.operators.png import decode_png, write_png
 
     try:
         w, h, ch, px = decode_png(payload)
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # NotImplementedError: PNG variant past the stdlib codec
+        # (16-bit, interlaced). ValueError: PNG magic but corrupt
+        # structure/IDAT — _decode_real treats that payload as
+        # unrecognized, and a Pillow fallback may still decode it
+        # (ADVICE r8), so fall through rather than raising here.
         return None
     a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
     a = a[:, :, :1] if ch == 2 else (a[:, :, :3] if ch == 4 else a)
@@ -436,15 +442,24 @@ def _audio_pcm(payload: bytes):
                 frames = w.readframes(w.getnframes())
         except NotImplementedError:
             raise
+        except wave.Error as e:
+            # wave.Error splits two ways (VERDICT r8 ask #4, mirroring
+            # the PNG path's corrupt-IDAT ValueError): "unknown format"
+            # is a non-PCM ENCODING the stdlib genuinely can't decode —
+            # that's the missing-library gate; every other wave.Error
+            # (not a WAVE file, fmt/data chunk missing, bad header
+            # fields) means the DATA is broken, not the cluster.
+            if str(e).startswith("unknown format"):
+                raise NotImplementedError(
+                    f"WAV decode: {e}; needs soundfile/ffmpeg on the cluster"
+                ) from e
+            raise ValueError(f"not a valid WAV: {e}") from e
         except Exception as e:
-            # non-PCM encodings raise wave.Error, but malformed chunk
-            # structure raises bare RuntimeError/EOFError from the
-            # stdlib Chunk parser — the error contract is the
-            # documented gate, never a raw codec exception out of a
-            # Spark task (mirrors _decode_one's WAV branch).
-            raise NotImplementedError(
-                f"WAV decode: {str(e) or type(e).__name__}; needs soundfile/ffmpeg on the cluster"
-            ) from e
+            # malformed chunk structure raises bare RuntimeError/
+            # EOFError/struct.error from the stdlib Chunk parser —
+            # broken data, never a raw codec exception out of a Spark
+            # task, and never blamed on a missing library.
+            raise ValueError(f"not a valid WAV: {str(e) or type(e).__name__}") from e
         pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
         return pcm.reshape(-1, nch).mean(axis=1) if nch > 1 else pcm
     raise NotImplementedError(

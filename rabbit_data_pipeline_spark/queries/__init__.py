@@ -42,42 +42,44 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 front-load, slot budget 50 (50 used). VERDICT r7 ask #3:
+    # Round-9 front-load, slot budget 50 (50 used). VERDICT r8 ask #2:
     # finish the freshness rotation — after this round no key's latest
-    # verdict sits on pre-r5 code.
-    # (a) Keys whose implementation changed (or is new) this round:
-    # the new driver_topm BPE gate (VERDICT r7 ask #4), the Arrow
-    # encode path (memo cap, ADVICE r7), and the media tier (real
-    # AVI/PNG stdlib codecs landed — the video frame ops, image
-    # feature extraction, and perceptual hash now route through the
-    # shared _video_gray_frames/_image_gray codec helpers; the
-    # synthetic gates re-run on the reworked code).
-    "text_bpe_train_topm", "text_bpe_encode_arrow",
-    "multimodal_video_neardup", "multimodal_ann",
-    "multimodal_image_neardup", "multimodal_audio_neardup",
-    # (b) ALL 43 keys whose latest driver verdict is on r4-or-older
-    # code (2 on r3: the XML pair; 41 on r4), heaviest plans early.
-    "xml_parse", "xml_format",
-    "q_waiting_supplier", "q_big_orders", "dedup_clusters",
-    "pipeline_web_prep", "ann_ivfpq", "ann_ivf", "ann_pq", "ann_range",
-    "stream_dedup", "stream_sliding_window", "stream_static_join",
-    "stream_stream_join", "stream_windowed_agg",
-    "q_ship_priority", "q_join_multiway", "q_join_broadcast",
-    "q_join_left", "q_join_semi", "q_join_full", "q_agg_pricing",
-    "q_filter_project", "q_window_rank", "q_argminmax", "q_cube",
-    "q_count_distribution", "q_nation_volume", "q_or_predicates",
-    "q_order_priority", "q_percentile", "q_returned_items",
-    "q_set_ops", "q_subquery_avg", "q_top_supplier",
-    "find_files", "line_parser_csv",
-    "text_dedup_lines", "text_gopher_quality", "text_repeated_ngrams",
-    "text_sample_exact_k", "text_tfidf", "text_url_dedup",
-    # (c) 1 spare slot → the heaviest plan of the r5 cohort (the
-    # next-oldest verdicts; the rest of r5 rotates in round 9).
-    "dedup_semantic",
+    # verdict sits on pre-r6 code.
+    # (a) Keys whose implementation changed this round: the Arrow BPE
+    # encode path (memo_cap now rides the closure by value, ADVICE
+    # r8) and its dispatcher, the WAV error-contract split in
+    # _audio_pcm (VERDICT r8 ask #4), and the AVI MJPG frame path
+    # (conditional deterministic resize, ADVICE r8).
+    "text_bpe_encode_arrow", "text_bpe_encode",
+    "multimodal_audio_neardup", "multimodal_video_neardup",
+    # (b) ALL 45 keys whose latest driver verdict is on r5 code,
+    # heaviest plans early (layout/dedup/embedding/stream tiers, then
+    # the q_* analytics pack, then the text ops).
+    "layout_bucketed_join", "layout_compacted_roundtrip",
+    "layout_partitioned_read", "layout_zorder_read",
+    "dedup_incremental", "emb_decontaminate", "emb_pq_codes",
+    "emb_rp_project", "emb_outliers", "q_salted_join",
+    "stream_dedup_incremental", "stream_text_prep",
+    "sync_deleted_keys", "source_jsonl", "corpus_diff",
+    "q_anomaly", "q_event_paths", "q_funnel", "q_retention",
+    "q_grouping_sets", "q_regression", "q_stats_moments",
+    "q_ts_similarity", "q_histogram", "q_not_in_nulls",
+    "q_null_funcs", "q_regexp_extract", "q_date_parts",
+    "q_distinct", "q_forecast_revenue", "q_having", "q_time_bucket",
+    "q_topn", "q_union",
+    "text_remove_passages", "text_dsir", "text_c4_clean",
+    "text_data_card", "text_dedup_lines_within", "text_domain_filter",
+    "text_normalize", "text_normalize_lines", "text_sentiment",
+    "text_snippets", "text_split",
+    # (c) 1 spare slot → the heaviest plan of the r6 cohort (the
+    # next-oldest verdicts; the rest of r6 rotates in round 10).
+    "pipeline_search_index",
 )
-# Next round: the remaining 45 r5-verdict keys (layout_*, emb_*,
-# multimodal_*, stream_text_prep/stream_dedup_incremental, the
-# q_* analytics cohort), then r6.
+# Next round: the remaining 42 r6-verdict keys (layout_orc_roundtrip,
+# rollup_incremental, sync_incremental, stream_attribution,
+# stream_rollup, q_sessionize + digest twins, the q_* analytics pack,
+# text_bm25/bloom/collocations/inverted_index/nb_*/perplexity), then
+# the r7 cohort.
 
 
 def registry() -> dict[str, Query]:

@@ -15,6 +15,8 @@ something real to find and the oracle can mirror the construction.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1435,3 +1437,94 @@ def text_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     bench = d.filter(F.col("doc_id") % 250 == 0)
     return bloom_decontaminate(d, bench, k=8, m_bits=1 << 20, n_hashes=3)
+
+
+# --------------------------------------------- codec-tier bench probe
+
+
+@_lru_cache(maxsize=1)
+def _codec_corpus():
+    """Deterministic real-format payloads for the codec bench probe
+    (VERDICT r8 ask #5): a FIXED byte budget of stdlib-decodable
+    PNG / AVI-DIB / WAV files, generated once per process and cached,
+    so the probe times decode→features codec work, not generation.
+    Random pixel/sample content is deliberately incompressible — the
+    decode cost the probe tracks is the worst-case (real) one."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.avi import write_avi
+    from rabbit_data_pipeline_spark.operators.png import write_png
+
+    rng = np.random.default_rng(90210)
+    pngs = [
+        (
+            f"png{i:04d}",
+            write_png(rng.integers(0, 256, 64 * 64 * 3, dtype=np.uint8).tobytes(), 64, 64, channels=3),
+        )
+        for i in range(240)
+    ]
+    avis = []
+    for i in range(48):
+        frames = [rng.integers(0, 256, 48 * 48, dtype=np.uint8).tobytes() for _ in range(64)]
+        avis.append((f"avi{i:03d}", write_avi(frames, 48, 48, codec="DIB", bit_count=8)))
+    wavs = []
+    for i in range(160):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(rng.integers(-2000, 2000, 16000).astype("<i2").tobytes())
+        wavs.append((f"wav{i:03d}", buf.getvalue()))
+    return pngs, avis, wavs
+
+
+def multimodal_codec_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only codec-tier probe (VERDICT r8 ask #5): real PNG /
+    AVI-DIB / WAV payloads flow through the same decode→feature
+    operators the multimodal registry gates verify (stdlib codecs,
+    zero optional deps), at a FIXED byte budget — ~3 MB of PNG images
+    (240 × 64×64 RGB), ~7 MB of AVI video (48 × 64 frames of 48×48
+    gray) and ~5 MB of WAV audio (160 × 1 s @ 16 kHz) — so the
+    Python-side codec cost gets a round-over-round trend line like
+    every other tier. sf_dir is intentionally ignored (the probe is
+    scale-invariant; bench.py skips its sf1 twin). Correctness gates:
+    the seeded multimodal_* registry keys."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from rabbit_data_pipeline_spark.operators.multimodal import (
+        audio_energy_features,
+        extract_features,
+        video_fingerprint,
+    )
+
+    pngs, avis, wavs = _codec_corpus()
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+
+    def mk(rows):
+        # 16 partitions per modality: enough parallelism for local[32]
+        # without per-task payload counts dropping to 1-2 (the probe
+        # measures codec throughput, not scheduler overhead).
+        return spark.createDataFrame(rows, schema).repartition(16)
+
+    img = extract_features(mk(pngs)).agg(
+        F.lit("png_features").alias("tier"),
+        F.count("*").alias("n"),
+        F.sum(F.element_at("features", 1)).cast("double").alias("chk"),
+    )
+    vid = video_fingerprint(mk(avis)).agg(
+        F.lit("avi_fingerprint").alias("tier"),
+        F.count("*").alias("n"),
+        F.sum((F.col("vfp") % F.lit(1000003)).cast("double")).alias("chk"),
+    )
+    aud = audio_energy_features(mk(wavs)).agg(
+        F.lit("wav_features").alias("tier"),
+        F.count("*").alias("n"),
+        F.sum(F.element_at("features", 1)).cast("double").alias("chk"),
+    )
+    return img.unionByName(vid).unionByName(aud)

@@ -242,3 +242,60 @@ def test_resize_real_unrecognized_payload_gates(monkeypatch):
 
     with pytest.raises(NotImplementedError, match="no image codec"):
         _resize_real(b"RIFF-wav-not-an-image", 8, 8)
+
+
+# ------------------------------------------- r9: bench compact line
+
+
+def test_bench_compact_line_sheds_to_the_floor():
+    """ADVICE r8: the compact stdout line must stay ≤1900 chars even
+    when the per-query dict alone exceeds the window — after the fixed
+    shed keys it drops 'queries' itself (everything lives in the
+    sidecar). metric/value/sf always survive."""
+    import bench
+
+    many = {f"q_generated_{i:03d}": 1.2345 for i in range(200)}
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": 9.99,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": many,
+        "queries_stats": {k: {"min": 1, "med": 1, "max": 1, "spread_pct": 0} for k in many},
+        "plan_hashes": {k: "abc123" for k in many},
+        "sf1_queries": dict(many),
+        "sf1_extended": {"q_pagerank": 20.0},
+        "extended_queries": {"q_pagerank": 13.0},
+        "extended_plan_hashes": {"q_pagerank": "def456"},
+        "sf1_superlinear": {},
+        "sf1_total": 23.0,
+    }
+    import json as _json
+
+    line = bench._compact_line(result)
+    assert len(line) <= 1900
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["value"] == 9.99 and parsed["sf1_total"] == 23.0
+    # detail-only keys never appear regardless of size
+    assert "queries_stats" not in parsed and "plan_hashes" not in parsed
+    assert "extended_plan_hashes" not in parsed
+
+    # a normal-size result sheds nothing
+    small = {"metric": "m", "value": 1.0, "queries": {"q1": 0.5}, "plan_hashes": {"q1": "x"}}
+    parsed_small = _json.loads(bench._compact_line(small))
+    assert parsed_small["queries"] == {"q1": 0.5}
+
+
+def test_codec_probe_materializes_all_three_tiers(spark):
+    """The codec bench probe (VERDICT r8 ask #5) decodes its full fixed
+    corpus through the real stdlib codecs: 240 PNGs, 48 AVIs, 160 WAVs
+    — one aggregate row per tier, non-null checksums (a decode that
+    silently dropped payloads would move n)."""
+    from rabbit_data_pipeline_spark.queries.llm import multimodal_codec_scale
+
+    rows = {r["tier"]: r for r in multimodal_codec_scale(spark, "unused").collect()}
+    assert rows["png_features"]["n"] == 240
+    assert rows["avi_fingerprint"]["n"] == 48
+    assert rows["wav_features"]["n"] == 160
+    assert all(r["chk"] is not None for r in rows.values())

@@ -148,30 +148,49 @@ def test_mjpg_gates_without_pillow():
 
 def test_mjpg_decodes_through_pil_contract(monkeypatch):
     """With (a fake) Pillow importable, MJPG frames decode through
-    Image.open().convert('L').resize() — the real-JPEG flow."""
+    Image.open().convert('L') — the real-JPEG flow. A frame whose
+    JPEG size already matches the container header is NOT resized
+    (ADVICE r8: an unconditional resize both ran Pillow's version-
+    varying default resample on every frame and masked header/frame
+    size disagreements); a mismatched frame is conformed to the
+    header with an EXPLICIT deterministic filter."""
 
     class _FakeL:
+        def __init__(self, size):
+            self.size = size
+            self.resized_with = None
+
         def convert(self, mode):
             assert mode == "L"
             return self
 
-        def resize(self, wh):
-            self._wh = wh
+        def resize(self, wh, resample=None):
+            self.resized_with = (wh, resample)
+            self.size = wh
             return self
 
         def tobytes(self):
-            w, h = self._wh
-            return bytes(range(w * h % 256)) if w * h < 256 else b"\x00" * (w * h)
+            w, h = self.size
+            return b"\x00" * (w * h)
 
     img_mod = types.ModuleType("PIL.Image")
-    img_mod.open = lambda fp: _FakeL()
+    img_mod.NEAREST = 0  # pre-Resampling Pillow spelling
+    made: list[_FakeL] = []
+
+    def _open(fp, _sizes=iter([(W, H), (W + 2, H + 1)])):
+        made.append(_FakeL(next(_sizes)))
+        return made[-1]
+
+    img_mod.open = _open
     mod = types.ModuleType("PIL")
     mod.Image = img_mod
     monkeypatch.setitem(sys.modules, "PIL", mod)
     monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
-    payload = write_avi([b"\xff\xd8\xff-fake-jpeg"], W, H, codec="MJPG")
-    (frame,) = avi_gray_frames(payload)
-    assert len(frame) == W * H
+    payload = write_avi([b"\xff\xd8\xff-fake-jpeg", b"\xff\xd8\xff-other"], W, H, codec="MJPG")
+    frames = avi_gray_frames(payload)
+    assert [len(f) for f in frames] == [W * H, W * H]
+    assert made[0].resized_with is None  # size matches header: untouched
+    assert made[1].resized_with == ((W, H), img_mod.NEAREST)  # conformed, explicit filter
 
 
 def test_property_roundtrip_random_frames():

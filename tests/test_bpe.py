@@ -255,7 +255,7 @@ def test_driver_topm_identity_and_divergence_corpora(spark):
     assert dtopm == reference_bpe([t for _, t in div_rows[:3]], n_merges=20, min_pair_count=2)
 
 
-def test_encode_memo_is_lru_not_first_seen(monkeypatch):
+def test_encode_memo_is_lru_not_first_seen():
     """The eviction must drop the LEAST-RECENTLY-USED half, not the
     first-seen half: a Zipf-head word that re-hits constantly has to
     survive every eviction (first-seen order would evict exactly the
@@ -263,8 +263,7 @@ def test_encode_memo_is_lru_not_first_seen(monkeypatch):
     extracted encoder."""
     from rabbit_data_pipeline_spark.operators import bpe as bpe_mod
 
-    monkeypatch.setattr(bpe_mod, "_ENCODE_MEMO_CAP", 4)
-    enc = bpe_mod._make_word_encoder([("a", "a", "aa")])
+    enc = bpe_mod._make_word_encoder([("a", "a", "aa")], memo_cap=4)
     enc("head")  # the hot word, inserted FIRST
     for i in range(40):  # a stream of one-off tail words...
         enc(f"tail{i:02d}")
@@ -273,17 +272,18 @@ def test_encode_memo_is_lru_not_first_seen(monkeypatch):
     assert len(enc._memo) <= 4
 
 
-def test_encode_arrow_memo_cap_evicts_and_stays_correct(spark, monkeypatch):
+def test_encode_arrow_memo_cap_evicts_and_stays_correct(spark):
     """ADVICE r7: the per-partition word memo is capped; past the cap
     the oldest half is evicted and encoding stays token-identical to
-    the fold engine (the memo is a cache, never semantics)."""
-    from rabbit_data_pipeline_spark.operators import bpe as bpe_mod
-
-    monkeypatch.setattr(bpe_mod, "_ENCODE_MEMO_CAP", 4)
+    the fold engine (the memo is a cache, never semantics). The cap
+    rides the mapInPandas CLOSURE by value (ADVICE r8): Spark's Python
+    workers re-import operators/bpe.py, so a monkeypatched module
+    global never reaches the executor and the old form of this test
+    silently exercised the default 1M cap (no eviction at 31 words)."""
     texts = [(i, f"w{i:03d} aa w{i:03d}") for i in range(30)]  # 31 distinct words >> cap
     df = spark.createDataFrame(texts, ["doc_id", "text"]).coalesce(1)
     merges = [(0, "a", "a")]
-    arrow = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in bpe_encode(df, merges, engine="arrow").collect()}
+    arrow = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in bpe_encode(df, merges, engine="arrow", memo_cap=4).collect()}
     fold = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in bpe_encode(df, merges, engine="fold").collect()}
     assert arrow == fold
 

