@@ -182,6 +182,14 @@ def _plan_hash(df, rules: str = PLAN_HASH_RULES) -> str:
             s = je.optimizedPlan().toString()
     except Exception as e:  # plan fingerprint is evidence, not the contract
         return f"err:{type(e).__name__}"
+    return hashlib.sha256(_normalize_plan(s, rules).encode()).hexdigest()[:12]
+
+
+def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
+    """The normalization behind _plan_hash, exposed so its rules are
+    unit-testable on synthetic explain text (tests/test_advice_fixes.py
+    pins the newline containment of every rule — a pattern that eats
+    past its line erases real plan operators from the hash input)."""
     s = re.sub(r"#\d+L?", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"Location[^\n]*", "Location", s)
@@ -193,12 +201,15 @@ def _plan_hash(df, rules: str = PLAN_HASH_RULES) -> str:
         # RDD id (session-monotonic) AND its call-site: the reflective
         # frame name flips from NativeMethodAccessorImpl.java:0 to
         # <unknown>:0 once the JVM inflates the accessor — same plan.
-        s = re.sub(r"RDD\[\d+\] at \S+ at [^,]*", "RDD[] at callsite", s)
+        # [^,\n]*, not [^,]*: a negated class matches newlines, and a
+        # call-site with no comma on its line would swallow the
+        # following plan operators out of the hash input.
+        s = re.sub(r"RDD\[\d+\] at \S+ at [^,\n]*", "RDD[] at callsite", s)
         s = re.sub(r"RDD\[\d+\]", "RDD[]", s)
         # JVM identity hashes (e.g. a literal array rendered as
         # UnsafeArrayData@e4ee577e): new hex every JVM, same plan.
         s = re.sub(r"@[0-9a-f]{6,16}\b", "@", s)
-    return hashlib.sha256(s.encode()).hexdigest()[:12]
+    return s
 
 
 HEADLINE = [

@@ -475,8 +475,11 @@ def _make_word_encoder(ranked: list[tuple[str, str, str]], memo_cap: int | None 
             hit = ("·".join(syms), len(syms))
             if len(memo) >= cap:
                 # dict order is recency (hits re-insert below), so
-                # the first half is the LRU half
-                for k in list(islice(iter(memo), cap // 2)):
+                # the first half is the LRU half; max(1, ...) keeps
+                # eviction real at cap<=1 (cap//2 == 0 would insert
+                # without evicting — unbounded growth through the
+                # public memo_cap kwarg)
+                for k in list(islice(iter(memo), max(1, cap // 2))):
                     del memo[k]
         memo[w] = hit  # (re-)insert at the live end: order = recency
         return hit

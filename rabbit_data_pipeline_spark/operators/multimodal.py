@@ -214,10 +214,13 @@ def _image_gray(payload: bytes) -> tuple[int, int, bytes]:
     if is_png(payload):
         try:
             return png_gray(payload)
-        except NotImplementedError:
-            # PNG variant past the stdlib codec (16-bit, interlaced):
-            # fall through to Pillow below rather than telling a user
-            # with Pillow installed to install Pillow.
+        except (NotImplementedError, ValueError):
+            # NotImplementedError: PNG variant past the stdlib codec
+            # (16-bit, interlaced). ValueError: PNG magic but corrupt
+            # structure/IDAT. Either way fall through to Pillow below
+            # (it may decode what the stdlib codec can't) rather than
+            # telling a user with Pillow installed to install Pillow —
+            # same contract as _resize_png/_decode_real (ADVICE r8).
             if _pil_image() is None:
                 raise
     Image = _pil_image()
@@ -417,6 +420,20 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _wav_format_tag(payload: bytes) -> int | None:
+    """Format tag of a RIFF/WAVE payload's fmt chunk, read directly
+    off the bytes (1 = PCM, anything else = compressed/extended
+    encoding). None when the chunk structure is unparseable — i.e.
+    the file is corrupt, not merely unsupported."""
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if payload[pos : pos + 4] == b"fmt " and pos + 10 <= end:
+            return int.from_bytes(payload[pos + 8 : pos + 10], "little")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
 def _audio_pcm(payload: bytes):
     """Shared audio decode for the feature-level operators (the audio
     twin of _image_gray/_video_gray_frames): AUD1 synthetic pcm passes
@@ -444,14 +461,19 @@ def _audio_pcm(payload: bytes):
             raise
         except wave.Error as e:
             # wave.Error splits two ways (VERDICT r8 ask #4, mirroring
-            # the PNG path's corrupt-IDAT ValueError): "unknown format"
-            # is a non-PCM ENCODING the stdlib genuinely can't decode —
-            # that's the missing-library gate; every other wave.Error
-            # (not a WAVE file, fmt/data chunk missing, bad header
-            # fields) means the DATA is broken, not the cluster.
-            if str(e).startswith("unknown format"):
+            # the PNG path's corrupt-IDAT ValueError): a non-PCM
+            # ENCODING the stdlib genuinely can't decode is the
+            # missing-library gate; every other wave.Error (not a
+            # WAVE file, fmt/data chunk missing, bad header fields)
+            # means the DATA is broken, not the cluster. The split
+            # keys off the fmt chunk's format tag parsed from the
+            # bytes, not the stdlib's message text — a CPython
+            # rewording must not flip the classification.
+            tag = _wav_format_tag(payload)
+            if tag is not None and tag != 1:
                 raise NotImplementedError(
-                    f"WAV decode: {e}; needs soundfile/ffmpeg on the cluster"
+                    f"WAV decode: non-PCM encoding (format tag {tag}); "
+                    "needs soundfile/ffmpeg on the cluster"
                 ) from e
             raise ValueError(f"not a valid WAV: {e}") from e
         except Exception as e:

@@ -299,3 +299,115 @@ def test_codec_probe_materializes_all_three_tiers(spark):
     assert rows["avi_fingerprint"]["n"] == 48
     assert rows["wav_features"]["n"] == 160
     assert all(r["chk"] is not None for r in rows.values())
+
+
+def test_plan_normalization_rules_stay_on_their_line():
+    """r9 self-review: the v2 RDD call-site rule used [^,]* — a negated
+    class matches newlines, so a call-site line with no trailing comma
+    swallowed the FOLLOWING plan operators out of the hash input, and
+    two plans differing only there hashed identical ('same plan, host
+    noise' for a real regression). Every normalization must stay on
+    its own line; distinct downstream operators must stay distinct."""
+    import bench
+
+    text_a = (
+        "Arguments: MapPartitionsRDD[778] at rddFoo at <unknown>:0\n"
+        "(2) Filter\nCondition: (a# > 5)\n(3) Project [a#, b#]"
+    )
+    text_b = text_a.replace("(a# > 5)", "(a# > 7)")
+    na, nb = bench._normalize_plan(text_a), bench._normalize_plan(text_b)
+    assert na != nb  # the differing filter must survive normalization
+    assert "Filter" in na and "(3) Project" in na
+    # the session-dependent parts are still gone
+    assert "778" not in na and "<unknown>" not in na
+    # and the comma-terminated spelling normalizes to the same token
+    with_comma = bench._normalize_plan(
+        "Arguments: MapPartitionsRDD[9] at rddFoo at NativeMethodAccessorImpl.java:0, ExistingRDD"
+    )
+    assert "RDD[] at callsite" in with_comma and "RDD[] at callsite" in na
+
+
+def test_encode_memo_cap_one_still_bounded():
+    """r9 self-review: memo_cap=1 made cap//2 == 0, so eviction deleted
+    nothing and the memo grew without bound through the public kwarg —
+    exactly the unbounded-executor-memory hole the cap exists to
+    close. Eviction must always remove at least one entry."""
+    from rabbit_data_pipeline_spark.operators import bpe as bpe_mod
+
+    enc = bpe_mod._make_word_encoder([("a", "a", "aa")], memo_cap=1)
+    for i in range(100):
+        enc(f"w{i:03d}")
+        assert len(enc._memo) <= 1
+
+
+def test_image_gray_corrupt_png_falls_through_like_resize(monkeypatch):
+    """r9 self-review: the corrupt-PNG Pillow fall-through (ADVICE r8)
+    was applied to _resize_png but not the shared _image_gray helper,
+    so extract_features/perceptual_hash crashed on a payload
+    resize_images recovered. Same payload, same contract: with Pillow
+    installed the fallback tries; without it, ValueError (the data is
+    corrupt — not a missing library)."""
+    import struct
+    import sys
+    import types
+    import zlib
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _image_gray
+
+    def _chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body))
+
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+    bad = b"\x89PNG\r\n\x1a\n" + ihdr + _chunk(b"IDAT", b"\xde\xad\xbe\xef") + _chunk(b"IEND", b"")
+
+    class _FakeIm:
+        width, height = 4, 3
+
+        def convert(self, mode):
+            return self
+
+        def tobytes(self):
+            return bytes(12)
+
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda fp: _FakeIm()
+    mod = types.ModuleType("PIL")
+    mod.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+    assert _image_gray(bad) == (4, 3, bytes(12))  # Pillow fallback decodes it
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("real Pillow present in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        _image_gray(bad)
+
+
+def test_wav_format_tag_parses_off_the_bytes():
+    """r9 self-review: the WAV gate-vs-corrupt split must not key off
+    the stdlib's error message text. The fmt chunk's format tag is
+    parsed from the RIFF bytes directly: PCM (1) → structural errors
+    are corrupt data; anything else → the missing-codec gate; an
+    unparseable chunk walk → None (corrupt)."""
+    import struct
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _wav_format_tag
+
+    def wav_with_tag(tag):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 16)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert _wav_format_tag(wav_with_tag(1)) == 1
+    assert _wav_format_tag(wav_with_tag(85)) == 85
+    assert _wav_format_tag(wav_with_tag(0xFFFE)) == 0xFFFE
+    assert _wav_format_tag(b"RIFF\x24\x00\x00\x00WAVEgarbage-here") is None

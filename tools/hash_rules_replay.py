@@ -90,4 +90,7 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if a != "--execute"]
-    sys.exit(main(argv[0], *argv[1:2], execute="--execute" in sys.argv))
+    if not argv or len(argv) > 2:
+        print("usage: python tools/hash_rules_replay.py OLD_SIDECAR.json [sf_dir] [--execute]")
+        sys.exit(2)
+    sys.exit(main(*argv, execute="--execute" in sys.argv))
