@@ -208,7 +208,10 @@ def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
         s = re.sub(r"RDD\[\d+\]", "RDD[]", s)
         # JVM identity hashes (e.g. a literal array rendered as
         # UnsafeArrayData@e4ee577e): new hex every JVM, same plan.
-        s = re.sub(r"@[0-9a-f]{6,16}\b", "@", s)
+        # {1,16}, not {6,16}: Integer.toHexString drops leading
+        # zeros, so ~1 in 2000 identity hashes is shorter than 6
+        # digits and would flap the hash across JVMs.
+        s = re.sub(r"@[0-9a-f]{1,16}\b", "@", s)
     return s
 
 

@@ -227,13 +227,22 @@ def _image_gray(payload: bytes) -> tuple[int, int, bytes]:
     if Image is not None:
         import io
 
+        # The open/decode split IS the error contract: open() parses
+        # only the header, so open failing = no codec recognizes the
+        # format (the gate); open succeeding but the pixel decode
+        # failing = recognized format, broken data (ValueError — the
+        # cluster has its library; "install pillow" would be wrong).
         try:
-            im = Image.open(io.BytesIO(payload)).convert("L")
+            im = Image.open(io.BytesIO(payload))
         except Exception as e:
             raise NotImplementedError(
                 f"image ops: no image codec recognizes payload magic {payload[:4]!r}"
             ) from e
-        return im.width, im.height, im.tobytes()
+        try:
+            im = im.convert("L")
+            return im.width, im.height, im.tobytes()
+        except Exception as e:
+            raise ValueError(f"not a valid image: {str(e) or type(e).__name__}") from e
     raise NotImplementedError(
         f"image ops: IMG1 synthetic or PNG (stdlib) payloads; magic "
         f"{payload[:4]!r} (JPEG/WebP/...) needs Pillow on the cluster (pip install pillow)"
@@ -260,10 +269,18 @@ def _resize_real(payload: bytes, new_width: int, new_height: int) -> bytes:
         raise NotImplementedError(
             f"resize: no image codec recognizes payload magic {payload[:4]!r}"
         ) from e
-    im = im.resize((new_width, new_height))
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    return buf.getvalue()
+    try:
+        # open() is lazy (header only); the pixel decode happens at
+        # resize/save. A failure HERE means recognized format, broken
+        # data (e.g. corrupt IDAT routed over by _resize_png) — the
+        # corrupt-data ValueError, never a raw PIL OSError out of the
+        # Spark task, and never "install pillow" when it's installed.
+        im = im.resize((new_width, new_height))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+    except Exception as e:
+        raise ValueError(f"not a valid image: {str(e) or type(e).__name__}") from e
 
 
 def _nn_index(dst: int, src: int) -> list[int]:

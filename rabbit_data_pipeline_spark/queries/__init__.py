@@ -47,11 +47,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # verdict sits on pre-r6 code.
     # (a) Keys whose implementation changed this round: the Arrow BPE
     # encode path (memo_cap now rides the closure by value, ADVICE
-    # r8) and its dispatcher, the WAV error-contract split in
-    # _audio_pcm (VERDICT r8 ask #4), and the AVI MJPG frame path
-    # (conditional deterministic resize, ADVICE r8).
-    "text_bpe_encode_arrow", "text_bpe_encode",
+    # r8; the fold-engine text_bpe_encode gate is untouched), the WAV
+    # error-contract split in _audio_pcm (VERDICT r8 ask #4), the AVI
+    # MJPG frame path (conditional deterministic resize, ADVICE r8),
+    # and the shared _image_gray helper (corrupt-PNG fall-through +
+    # open/decode error split) behind the image feature/hash gates.
+    "text_bpe_encode_arrow",
     "multimodal_audio_neardup", "multimodal_video_neardup",
+    "multimodal_image_neardup", "multimodal_ann",
     # (b) ALL 45 keys whose latest driver verdict is on r5 code,
     # heaviest plans early (layout/dedup/embedding/stream tiers, then
     # the q_* analytics pack, then the text ops).
@@ -71,15 +74,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_data_card", "text_dedup_lines_within", "text_domain_filter",
     "text_normalize", "text_normalize_lines", "text_sentiment",
     "text_snippets", "text_split",
-    # (c) 1 spare slot → the heaviest plan of the r6 cohort (the
-    # next-oldest verdicts; the rest of r6 rotates in round 10).
-    "pipeline_search_index",
 )
-# Next round: the remaining 42 r6-verdict keys (layout_orc_roundtrip,
-# rollup_incremental, sync_incremental, stream_attribution,
-# stream_rollup, q_sessionize + digest twins, the q_* analytics pack,
-# text_bm25/bloom/collocations/inverted_index/nb_*/perplexity), then
-# the r7 cohort.
+# Next round: the full 43-key r6-verdict cohort (layout_orc_roundtrip,
+# pipeline_search_index, rollup_incremental, sync_incremental,
+# stream_attribution, stream_rollup, q_sessionize + digest twins, the
+# q_* analytics pack, text_bm25/bloom/collocations/inverted_index/
+# nb_*/perplexity), then the r7 cohort (which includes
+# text_bpe_encode, whose fold engine round 9 did not touch).
 
 
 def registry() -> dict[str, Query]:

@@ -411,3 +411,50 @@ def test_wav_format_tag_parses_off_the_bytes():
     assert _wav_format_tag(wav_with_tag(85)) == 85
     assert _wav_format_tag(wav_with_tag(0xFFFE)) == 0xFFFE
     assert _wav_format_tag(b"RIFF\x24\x00\x00\x00WAVEgarbage-here") is None
+
+
+def test_pillow_open_vs_decode_split_is_the_error_contract(monkeypatch):
+    """r9 self-review pass 2: Pillow's open() is lazy (header only), so
+    a corrupt-but-recognized payload fails at pixel-decode time —
+    previously that leaked a raw PIL OSError out of resize_images'
+    Spark task, and _image_gray blamed a missing library with the
+    library installed. open-fails → NotImplementedError (no codec
+    recognizes the format); open-succeeds-decode-fails → ValueError
+    (your data is corrupt)."""
+    import sys
+    import types
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _image_gray, _resize_real
+
+    class _LazyBroken:
+        """Header parses; pixel decode explodes, like corrupt IDAT."""
+
+        width, height = 8, 6
+
+        def convert(self, mode):
+            raise OSError("broken data stream when reading image file")
+
+        def resize(self, wh, resample=None):
+            raise OSError("broken data stream when reading image file")
+
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda fp: _LazyBroken()
+    mod = types.ModuleType("PIL")
+    mod.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+
+    with pytest.raises(ValueError, match="not a valid image"):
+        _resize_real(b"\xff\xd8\xff-corrupt-jpeg", 4, 4)
+    with pytest.raises(ValueError, match="not a valid image"):
+        _image_gray(b"\xff\xd8\xff-corrupt-jpeg")
+
+    # unrecognized format keeps the gate
+    def _open_fail(fp):
+        raise OSError("cannot identify image file")
+
+    img_mod.open = _open_fail
+    with pytest.raises(NotImplementedError, match="no image codec recognizes"):
+        _resize_real(b"WEIRD-format", 4, 4)
+    with pytest.raises(NotImplementedError, match="no image codec recognizes"):
+        _image_gray(b"WEIRD-format")

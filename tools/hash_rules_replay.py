@@ -64,16 +64,21 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
         if execute:
             df.write.format("noop").mode("overwrite").save()
 
-    # Replay the r8 sequence: warm-up built q_filter_project once, then
-    # each headline query was built 5 (timed) + 1 (hashed) times.
+    # Replay the old round's sequence: warm-up built q_filter_project
+    # once, then each headline query was built runs_per_query (timed)
+    # + 1 (hashed) times — read the run count from the sidecar itself:
+    # v1 hashes depend on the exact number of prior builder calls, so
+    # replaying a hardcoded 5 against a runs=3 sidecar would shift
+    # every lambda counter and report phantom plan moves.
+    runs = int(old.get("runs_per_query", 5))
     _run(_builder("q_filter_project")(spark, sf_dir))
     mismatched = []
-    print(f"{'query':24} {'r8 (v1)':>14} {'replayed v1':>14} {'verdict'}")
+    print(f"{'query':24} {'old (v1)':>14} {'replayed v1':>14} {'verdict'}")
     for name in bench.HEADLINE:
         b = _builder(name)
         if b is None:
             continue
-        for _ in range(5):
+        for _ in range(runs):
             _run(b(spark, sf_dir))
         h = bench._plan_hash(b(spark, sf_dir), rules="v1")
         ref = old_hashes.get(name, "-")
