@@ -418,7 +418,14 @@ def main() -> None:
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None:
-                    if os.path.isdir(warm_dir) and name not in _EXT_SF_INVARIANT:
+                    if name in _EXT_SF_INVARIANT:
+                        # sf-invariant probes warm on themselves (no
+                        # cheaper scale exists): one untimed run pays
+                        # corpus generation + codec JIT so both timed
+                        # runs measure the steady state and the spread
+                        # is a noise instrument, not a warm-up echo.
+                        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    elif os.path.isdir(warm_dir):
                         builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
                     ext_stats[name] = _time_runs(builder, spark, sf_dir, runs=2)
                     # Fresh builder call, hashed BEFORE execution —

@@ -458,3 +458,49 @@ def test_pillow_open_vs_decode_split_is_the_error_contract(monkeypatch):
         _resize_real(b"WEIRD-format", 4, 4)
     with pytest.raises(NotImplementedError, match="no image codec recognizes"):
         _image_gray(b"WEIRD-format")
+
+
+def test_wav_format_tag_agrees_with_stdlib_wave_property():
+    """Property gate for the bytes-level fmt-tag walk: for arbitrary
+    wave-module-written PCM files (any rate/channel/length, extra
+    leading chunks), _wav_format_tag finds tag 1 exactly where the
+    stdlib parser succeeds — the two walkers must agree on where the
+    fmt chunk lives or the gate-vs-corrupt split drifts from what
+    wave.open actually decodes."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _wav_format_tag
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(1, 192000),
+        nch=st.integers(1, 4),
+        n=st.integers(0, 64),
+        pre_chunk=st.binary(min_size=0, max_size=9),
+    )
+    def check(rate, nch, n, pre_chunk):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * (n * nch))
+        payload = buf.getvalue()
+        assert _wav_format_tag(payload) == 1
+        if pre_chunk:
+            # splice an unknown (word-aligned) chunk before fmt — real
+            # muxers emit LIST/INFO there; both walkers must skip it
+            body = pre_chunk + b"\x00" * (len(pre_chunk) & 1)
+            extra = b"JUNK" + struct.pack("<I", len(pre_chunk)) + body
+            spliced = payload[:12] + extra + payload[12:]
+            spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+            assert _wav_format_tag(spliced) == 1
+            with wave.open(io.BytesIO(spliced)) as w2:  # stdlib agrees it's PCM
+                assert w2.getnchannels() == nch
+
+    check()
