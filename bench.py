@@ -208,10 +208,16 @@ def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
         s = re.sub(r"RDD\[\d+\]", "RDD[]", s)
         # JVM identity hashes (e.g. a literal array rendered as
         # UnsafeArrayData@e4ee577e): new hex every JVM, same plan.
-        # {1,16}, not {6,16}: Integer.toHexString drops leading
-        # zeros, so ~1 in 2000 identity hashes is shorter than 6
-        # digits and would flap the hash across JVMs.
-        s = re.sub(r"@[0-9a-f]{1,16}\b", "@", s)
+        # The 6-digit floor is deliberate: Integer.toHexString drops
+        # leading zeros, so ~1 in 2000 identity hashes is shorter and
+        # WILL flap the hash for one round (a loud false MOVED the
+        # replay machinery attributes) — but widening to {1,16} would
+        # strip legitimate short '@'+hex fragments in plan literals
+        # (e.g. a filter on 'a@b2'), silently hashing genuinely
+        # different plans identical (a false "same" that buries a
+        # real regression as host noise). False-loud beats
+        # false-silent for a regression instrument.
+        s = re.sub(r"@[0-9a-f]{6,16}\b", "@", s)
     return s
 
 

@@ -445,7 +445,13 @@ def _wav_format_tag(payload: bytes) -> int | None:
     pos, end = 12, len(payload)
     while pos + 8 <= end:
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        if payload[pos : pos + 4] == b"fmt " and pos + 10 <= end:
+        if payload[pos : pos + 4] == b"fmt ":
+            # a fmt chunk DECLARING fewer than 2 bytes can't hold a
+            # format tag — reading on would return the next chunk's
+            # bytes as the "tag" and blame a missing codec for what
+            # is corrupt data; that's a None (corrupt), not a tag
+            if size < 2 or pos + 10 > end:
+                return None
             return int.from_bytes(payload[pos + 8 : pos + 10], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     return None

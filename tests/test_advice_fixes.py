@@ -504,3 +504,86 @@ def test_wav_format_tag_agrees_with_stdlib_wave_property():
                 assert w2.getnchannels() == nch
 
     check()
+
+
+def test_bench_diff_sections_and_exit_codes(capsys, tmp_path):
+    """tools/bench_diff.py is the round-over-round gate: MOVED hashes
+    must set exit 1, NEW/GONE/never-hashed must not, extended probes
+    get their own section, and a cross-rule-version comparison prints
+    the replay pointer. Pinned on synthetic sidecars so a refactor
+    can't silently stop flagging regressions."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    def run(old, new):
+        po, pn = str(tmp_path / "bd_old.json"), str(tmp_path / "bd_new.json")
+        json.dump(old, open(po, "w"))
+        json.dump(new, open(pn, "w"))
+        code = bd.main(po, pn)
+        return code, capsys.readouterr().out
+
+    base_old = {
+        "plan_hashes": {"q_a": "aaa", "q_b": "bbb"},
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+        "queries_stats": {"q_a": {"spread_pct": 50.0}, "q_b": {"spread_pct": 10.0}},
+        "extended_plan_hashes": {"q_ext": "eee"},
+        "extended_queries": {"q_ext": 5.0},
+        "extended_stats": {"q_ext": {"spread_pct": 20.0}},
+        "value": 3.0,
+        "plan_hash_rules": "v2",
+    }
+    # identical → exit 0, nothing moved
+    code, out = run(base_old, base_old)
+    assert code == 0 and "all plan hashes unchanged" in out
+
+    # a moved HEADLINE hash → exit 1 and named
+    new = json.loads(json.dumps(base_old))
+    new["plan_hashes"]["q_a"] = "zzz"
+    code, out = run(base_old, new)
+    assert code == 1 and "MOVED (1): q_a" in out
+
+    # a moved EXTENDED hash must also gate (that's the r9 point)
+    new = json.loads(json.dumps(base_old))
+    new["extended_plan_hashes"]["q_ext"] = "zzz"
+    code, out = run(base_old, new)
+    assert code == 1 and "q_ext" in out and "[extended sf0.1]" in out
+
+    # NEW keys (a probe added this round) must NOT gate
+    new = json.loads(json.dumps(base_old))
+    new["extended_plan_hashes"]["q_new"] = "nnn"
+    new["extended_queries"]["q_new"] = 1.0
+    code, out = run(base_old, new)
+    assert code == 0 and "NEW" in out
+
+    # cross-rule-version comparison prints the replay pointer
+    old_v1 = json.loads(json.dumps(base_old))
+    old_v1["plan_hash_rules"] = "v1"
+    code, out = run(old_v1, base_old)
+    assert "hash rules differ" in out and "hash_rules_replay" in out
+
+
+def test_wav_format_tag_degenerate_fmt_size_is_corrupt_not_gate():
+    """r9 self-review pass 3: a fmt chunk DECLARING size<2 can't hold a
+    format tag — the walker must return None (corrupt) instead of
+    reading the following chunk's id bytes as a tag, which would
+    misreport corrupt data as 'non-PCM encoding (format tag 24932);
+    needs soundfile/ffmpeg'."""
+    import struct
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _audio_pcm, _wav_format_tag
+
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 0)  # declares ZERO fmt bytes
+        + b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _wav_format_tag(payload) == None  # noqa: E711 — explicit None, not falsy
+    with pytest.raises(ValueError, match="not a valid WAV"):
+        _audio_pcm(payload)
