@@ -587,3 +587,31 @@ def test_wav_format_tag_degenerate_fmt_size_is_corrupt_not_gate():
     assert _wav_format_tag(payload) == None  # noqa: E711 — explicit None, not falsy
     with pytest.raises(ValueError, match="not a valid WAV"):
         _audio_pcm(payload)
+
+
+def test_verdict_freshness_invariants_hold():
+    """tools/verdict_freshness.py institutionalizes the rotation
+    bookkeeping: every registered key must have a driver verdict, and
+    every key's LATEST verdict must pass. Running it against the live
+    artifacts enforces exactly the two invariants the rotation exists
+    to keep — if a future round breaks one, this failing loudly is
+    the point."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verdict_freshness",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "verdict_freshness.py"),
+    )
+    vf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vf)
+
+    # the driver's pass predicate, pinned on every verdict shape
+    assert vf._passed({"rows_match": True, "schema_match": True, "hash_match": True, "err": None})
+    assert vf._passed({"rows_match": True, "schema_match": True, "hash_match": None, "err": None})
+    assert not vf._passed({"rows_match": True, "schema_match": True, "hash_match": False, "err": None})
+    assert not vf._passed({"rows_match": False, "schema_match": True, "hash_match": True, "err": None})
+    assert not vf._passed({"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"})
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert vf.main(repo) == 0  # all keys verified, all latest verdicts pass
