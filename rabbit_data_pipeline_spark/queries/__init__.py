@@ -42,45 +42,51 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 front-load, slot budget 50 (50 used). VERDICT r8 ask #2:
-    # finish the freshness rotation — after this round no key's latest
-    # verdict sits on pre-r6 code.
-    # (a) Keys whose implementation changed this round: the Arrow BPE
-    # encode path (memo_cap now rides the closure by value, ADVICE
-    # r8; the fold-engine text_bpe_encode gate is untouched), the WAV
-    # error-contract split in _audio_pcm (VERDICT r8 ask #4), the AVI
-    # MJPG frame path (conditional deterministic resize, ADVICE r8),
-    # and the shared _image_gray helper (corrupt-PNG fall-through +
-    # open/decode error split) behind the image feature/hash gates.
-    "text_bpe_encode_arrow",
-    "multimodal_audio_neardup", "multimodal_video_neardup",
-    "multimodal_image_neardup", "multimodal_ann",
-    # (b) ALL 45 keys whose latest driver verdict is on r5 code,
-    # heaviest plans early (layout/dedup/embedding/stream tiers, then
-    # the q_* analytics pack, then the text ops).
-    "layout_bucketed_join", "layout_compacted_roundtrip",
-    "layout_partitioned_read", "layout_zorder_read",
-    "dedup_incremental", "emb_decontaminate", "emb_pq_codes",
-    "emb_rp_project", "emb_outliers", "q_salted_join",
-    "stream_dedup_incremental", "stream_text_prep",
-    "sync_deleted_keys", "source_jsonl", "corpus_diff",
-    "q_anomaly", "q_event_paths", "q_funnel", "q_retention",
-    "q_grouping_sets", "q_regression", "q_stats_moments",
-    "q_ts_similarity", "q_histogram", "q_not_in_nulls",
-    "q_null_funcs", "q_regexp_extract", "q_date_parts",
-    "q_distinct", "q_forecast_revenue", "q_having", "q_time_bucket",
-    "q_topn", "q_union",
-    "text_remove_passages", "text_dsir", "text_c4_clean",
-    "text_data_card", "text_dedup_lines_within", "text_domain_filter",
-    "text_normalize", "text_normalize_lines", "text_sentiment",
-    "text_snippets", "text_split",
+    # Round-10 front-load, slot budget 50 (50 used). VERDICT r9 ask #1:
+    # rotate the full 43-key r6-verdict cohort, backfilled to 50 from
+    # the r7 cohort heaviest-plans-first — after this round no key's
+    # latest verdict sits on pre-r7 code.
+    # (a) Key whose implementation changed this round: the audio
+    # decode gate in _audio_pcm now requires a parseable data chunk
+    # before blaming a missing codec (ADVICE r9 #3) — the only
+    # registry key riding that code path is the audio near-dup.
+    "multimodal_audio_neardup",
+    # (b) ALL 43 keys whose latest driver verdict is on r6 code —
+    # composed pipelines / sync / stream / layout tiers first, then
+    # the q_* analytics pack, then sessionization + digest twins,
+    # then the text/search ops.
+    "pipeline_search_index", "rollup_incremental", "sync_incremental",
+    "stream_attribution", "stream_rollup", "layout_orc_roundtrip",
+    "q_expectations", "q_record_linkage", "q_entity_resolution",
+    "q_market_basket", "q_min_cost_supplier", "q_product_profit",
+    "q_important_stock", "q_promo_revenue", "q_supplier_count",
+    "q_potential_promotion", "q_idle_customers", "q_gap_fill",
+    "q_skyline", "q_attribution", "q_profile", "q_stickiness",
+    "q_mode", "q_experiment", "q_join_anti", "q_string_funcs",
+    "q_pivot", "q_rollup", "q_json_extract", "q_window_distribution",
+    "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
+    "q_sessionize_dg_val", "q_sessionize_dg_start",
+    "q_sessionize_dg_end",
+    "text_inverted_index", "text_bm25", "text_collocations",
+    "text_perplexity", "text_nb_train", "text_nb_classify",
+    "text_bloom_decontaminate",
+    # (c) Backfill to 50 from the r7 cohort, heaviest plans first:
+    # the iterative graph tier + the banding dedup pipeline.
+    "q_pagerank", "q_kcore", "q_weighted_paths", "q_shortest_path",
+    "q_triangles", "dedup_minhash",
 )
-# Next round: the full 43-key r6-verdict cohort (layout_orc_roundtrip,
-# pipeline_search_index, rollup_incremental, sync_incremental,
-# stream_attribution, stream_rollup, q_sessionize + digest twins, the
-# q_* analytics pack, text_bm25/bloom/collocations/inverted_index/
-# nb_*/perplexity), then the r7 cohort (which includes
-# text_bpe_encode, whose fold engine round 9 did not touch).
+# Next round (r11): the remaining 42-key r7-verdict cohort —
+# dedup_exact/simhash/embedding/ngram_jaccard, ann_bruteforce/ann_lsh,
+# pipeline_llm_prep/e2e/fanout, the sync/sink family (source_sql,
+# id_gen, file_roundtrip, sync_insert_missing, sink_upsert,
+# sync_flag_update, delete_where, sync_scd2, sync_chunked),
+# q_asof/interval/heavy_hitters/range_window/event_funnel/
+# tumbling_window/window_running/case_agg/market_share/array_agg,
+# stream_session_window, and the text tier (tokens, quality, lang_id,
+# fingerprint, pii_redact, chunks, word_freq, decontaminate, mix,
+# pack, bpe_train, bpe_train_batched, bpe_encode) — then the r8
+# cohort behind it. tools/verdict_freshness.py prints the ordered
+# 91-key list ready to paste.
 
 
 def registry() -> dict[str, Query]:
