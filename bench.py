@@ -126,18 +126,21 @@ def _ensure_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> tuple[floa
         f.write(fingerprint)
     return round(time.perf_counter() - t0, 2), False
 
-def _time_runs(builder, spark, sf_dir: str, runs: int) -> dict[str, float]:
-    """Time `runs` full materializations; report min/median/max and
-    max-over-min spread. The min is the steady-state plan cost; the
+def _time_runs(builder, spark, sf_dir: str, runs: int) -> dict:
+    """Time `runs` full materializations; report min/median/max,
+    max-over-min spread, AND the per-run list in execution order
+    (VERDICT r9 ask #3: min-of-2 extended probes showed ~20% same-code
+    swings, so round-over-round comparison needs the real distribution,
+    not just its envelope). The min is the steady-state plan cost; the
     spread is the shared-host-noise instrument the r5/r6 drift asks
     demanded — identical code with spread_pct ~30 says noisy neighbor,
     a moved MIN says plan regression."""
-    times: list[float] = []
+    raw: list[float] = []
     for _ in range(runs):
         t0 = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times.append(time.perf_counter() - t0)
-    times.sort()
+        raw.append(time.perf_counter() - t0)
+    times = sorted(raw)
     n = len(times)
     med = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
     return {
@@ -145,13 +148,27 @@ def _time_runs(builder, spark, sf_dir: str, runs: int) -> dict[str, float]:
         "med": round(med, 4),
         "max": round(times[-1], 4),
         "spread_pct": round(100.0 * (times[-1] - times[0]) / max(times[0], 1e-9), 1),
+        "runs": [round(t, 4) for t in raw],
     }
 
 
 #: Hash-rule version, published in the sidecar: bump it whenever the
 #: normalization below changes, so a round-over-round diff can tell
 #: "plan moved" from "rule moved" mechanically.
-PLAN_HASH_RULES = "v2"
+PLAN_HASH_RULES = "v3"
+
+
+def _plan_text(df) -> str:
+    """Raw formatted explain text (falls back to the optimized plan's
+    toString). Exposed separately from _plan_hash so the replay tool
+    can inspect the UNnormalized plan (e.g. for ExistingRDD scans,
+    whose v1 hashes only reproduce under --execute)."""
+    je = df._jdf.queryExecution()
+    try:
+        mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return je.explainString(mode)
+    except Exception:
+        return je.optimizedPlan().toString()
 
 
 def _plan_hash(df, rules: str = PLAN_HASH_RULES) -> str:
@@ -169,17 +186,24 @@ def _plan_hash(df, rules: str = PLAN_HASH_RULES) -> str:
     hash depend on CALL ORDER within the bench process rather than on
     the plan: stable only as long as bench.py's query sequence never
     changed — exactly the trap the extended-probe instrumentation
-    (VERDICT r8 ask #1) stepped on. The v1 computation stays callable
-    for cross-version attribution (tools/bench_diff.py + SCALING.md
-    use it to prove an r8→r9 hash move is the rule change, not a plan
-    change)."""
+    (VERDICT r8 ask #1) stepped on.
+
+    v3 (round 10, ADVICE r9 #2) anchors the JVM-identity-hash rule to
+    its actual context: v2's bare `@[0-9a-f]{6,16}` stripped ANY ≥6
+    hex run after '@' — including a genuine plan literal like a
+    filter on 'user@deadbee' — hashing genuinely different plans
+    identical (a false-"same" that buries a real plan change as host
+    noise). v3 requires a Java-class-like token before the '@'
+    (Integer.toHexString output only ever follows `ClassName@` in
+    explain text) and keeps the class name. On every committed plan
+    the v3-normalized text is byte-identical to v2's (verified by
+    tools/hash_rules_replay.py), so r9→r10 hashes are directly
+    comparable despite the version bump. Old rule versions stay
+    callable for cross-version attribution (tools/bench_diff.py +
+    SCALING.md use the replay to prove a cross-rules hash move is the
+    rule change, not a plan change)."""
     try:
-        je = df._jdf.queryExecution()
-        try:
-            mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            s = je.explainString(mode)
-        except Exception:
-            s = je.optimizedPlan().toString()
+        s = _plan_text(df)
     except Exception as e:  # plan fingerprint is evidence, not the contract
         return f"err:{type(e).__name__}"
     return hashlib.sha256(_normalize_plan(s, rules).encode()).hexdigest()[:12]
@@ -196,7 +220,7 @@ def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
     s = re.sub(r"file:[^\s,\]\)]+", "path", s)
     s = re.sub(r"Statistics\([^)]*\)", "Stats", s)
     s = re.sub(r"size=\d+", "size=", s)
-    if rules == "v2":
+    if rules in ("v2", "v3"):
         s = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_", s)
         # RDD id (session-monotonic) AND its call-site: the reflective
         # frame name flips from NativeMethodAccessorImpl.java:0 to
@@ -217,7 +241,15 @@ def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
         # different plans identical (a false "same" that buries a
         # real regression as host noise). False-loud beats
         # false-silent for a regression instrument.
-        s = re.sub(r"@[0-9a-f]{6,16}\b", "@", s)
+        if rules == "v2":
+            s = re.sub(r"@[0-9a-f]{6,16}\b", "@", s)
+        else:
+            # v3 (ADVICE r9 #2): anchor to the identity-hash context —
+            # a Java-class-like token must precede the '@' and is kept,
+            # so a quoted plan literal like 'user@deadbee' survives
+            # normalization (lowercase prefix ≠ a class name) instead
+            # of hashing two different plans identical.
+            s = re.sub(r"([A-Z][A-Za-z0-9_$]*)@[0-9a-f]{6,16}\b", r"\1@", s)
     return s
 
 
@@ -259,6 +291,12 @@ EXTENDED = [
 # sf0.1 block's numbers ARE the probe (VERDICT r8 ask #5's codec
 # probe does a fixed ~15 MB of stdlib PNG/AVI/WAV decode work).
 _EXT_SF_INVARIANT = {"multimodal_codec_scale"}
+
+# Iterative graph probes get a third timed run (VERDICT r9 ask #3:
+# their min-of-2 envelopes showed ~20% same-code swings — pagerank sf1
+# control 17.4 vs record 20.9 — too weak to call a regression). Budget
+# ~+35 s at sf1; everything else stays min-of-2 + run lists.
+_EXT_MIN3 = {"q_pagerank", "q_kcore"}
 
 
 def _stream_probe(spark, seconds: float = 8.0) -> float:
@@ -320,16 +358,24 @@ _DETAIL_ONLY = (
 def _compact_line(result: dict) -> str:
     """The ONE-json-line stdout contract: guaranteed ≤1900 chars (the
     driver's capture window is ~2000). Detail-only keys never appear;
-    then redundant summary keys shed most-redundant-first; and as the
-    last resort (ADVICE r8) the per-query dict itself goes — it grows
-    with every headline query added, so it's the one key that can
-    still bust the window after everything else shed. Every shed
+    then redundant summary keys shed most-redundant-first; then
+    (ADVICE r8) the per-query dict itself; and finally (ADVICE r9 —
+    the named sheds alone guaranteed nothing once error strings and
+    new scalar keys accumulated) a hard backstop drops the remaining
+    non-contract keys largest-first until the line fits. The four
+    contract keys (metric/value/unit/sf) total well under the window,
+    so the guarantee is enforced, not asserted in prose. Every shed
     number is preserved in BENCH_DETAIL.json."""
     compact = {k: v for k, v in result.items() if k not in _DETAIL_ONLY}
     for shed in ("sf1_extended", "extended_queries", "sf1_superlinear", "sf1_queries", "queries"):
         if len(json.dumps(compact)) <= 1900:
             break
         compact.pop(shed, None)
+    while len(json.dumps(compact)) > 1900:
+        sheddable = [k for k in compact if k not in ("metric", "value", "unit", "sf")]
+        if not sheddable:
+            break  # unreachable: the 4 contract keys serialize <100 chars
+        compact.pop(max(sheddable, key=lambda k: len(json.dumps({k: compact[k]}))))
     return json.dumps(compact)
 
 
@@ -433,7 +479,9 @@ def main() -> None:
                         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     elif os.path.isdir(warm_dir):
                         builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
-                    ext_stats[name] = _time_runs(builder, spark, sf_dir, runs=2)
+                    ext_stats[name] = _time_runs(
+                        builder, spark, sf_dir, runs=3 if name in _EXT_MIN3 else 2
+                    )
                     # Fresh builder call, hashed BEFORE execution —
                     # identical methodology to the headline hashes (an
                     # executed AQE plan explains differently, which
@@ -475,7 +523,9 @@ def main() -> None:
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None and name not in _EXT_SF_INVARIANT:
-                    s = _time_runs(builder, spark, _SCALED_DIR, runs=2)
+                    s = _time_runs(
+                        builder, spark, _SCALED_DIR, runs=3 if name in _EXT_MIN3 else 2
+                    )
                     sf1_ext[name] = s["min"]
                     sf1_ext_stats[name] = s
             result.update(

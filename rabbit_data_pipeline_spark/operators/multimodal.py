@@ -457,6 +457,24 @@ def _wav_format_tag(payload: bytes) -> int | None:
     return None
 
 
+def _wav_has_data_chunk(payload: bytes) -> bool:
+    """True when the RIFF chunk walk reaches a 'data' chunk — the
+    other half of the missing-codec classification (ADVICE r9 #3): a
+    non-PCM format tag only proves the ENCODING is exotic; without a
+    data chunk there is nothing any codec could decode, so the file
+    is corrupt regardless of what the fmt tag claims. Declared size
+    is deliberately not checked against the payload length: streamed
+    WAVs legally carry a placeholder size, and truncation is the
+    decoder's call, not the classifier's."""
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        if payload[pos : pos + 4] == b"data":
+            return True
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return False
+
+
 def _audio_pcm(payload: bytes):
     """Shared audio decode for the feature-level operators (the audio
     twin of _image_gray/_video_gray_frames): AUD1 synthetic pcm passes
@@ -491,9 +509,13 @@ def _audio_pcm(payload: bytes):
             # means the DATA is broken, not the cluster. The split
             # keys off the fmt chunk's format tag parsed from the
             # bytes, not the stdlib's message text — a CPython
-            # rewording must not flip the classification.
+            # rewording must not flip the classification. The gate
+            # additionally requires a data chunk to exist (ADVICE r9
+            # #3): a non-PCM tag in a file with no audio payload is
+            # doubly broken — no codec anywhere could decode it, so
+            # it reports corrupt data, not a missing library.
             tag = _wav_format_tag(payload)
-            if tag is not None and tag != 1:
+            if tag is not None and tag != 1 and _wav_has_data_chunk(payload):
                 raise NotImplementedError(
                     f"WAV decode: non-PCM encoding (format tag {tag}); "
                     "needs soundfile/ffmpeg on the cluster"

@@ -1482,6 +1482,46 @@ def _codec_corpus():
     return pngs, avis, wavs
 
 
+#: Parquet staging dir for the codec probe corpus — /tmp persists
+#: across rounds like the bench's scaled sf1 copy; the marker content
+#: versions the generator so a corpus change invalidates the stage.
+_CODEC_STAGE_DIR = "/tmp/rdps_codec_corpus"
+_CODEC_STAGE_VERSION = "v1:240png/48avi/160wav/seed90210"
+
+
+def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
+    """Stage the generated codec corpus to parquet once and read it
+    back (VERDICT r9 ask #5): the probe previously shipped ~15 MB
+    through spark.createDataFrame every bench run, so its trend line
+    measured driver serialization along with codec work. Reading the
+    staged parquet makes the probed plan a parquet scan → decode, the
+    shape a real media pipeline has. The post-scan repartition(16)
+    stays: the files are small enough that maxPartitionBytes would
+    pack them into 1-2 input partitions, and the probe measures codec
+    throughput at local[32] parallelism, not scheduler packing (the
+    ~15 MB shuffle it costs is noise against seconds of decode)."""
+    import os
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
+    )
+    marker = os.path.join(_CODEC_STAGE_DIR, "_BUILT")
+    if not (os.path.exists(marker) and open(marker).read() == _CODEC_STAGE_VERSION):
+        pngs, avis, wavs = _codec_corpus()
+        for mod, rows in (("png", pngs), ("avi", avis), ("wav", wavs)):
+            spark.createDataFrame(rows, schema).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(_CODEC_STAGE_DIR, f"{mod}.parquet"))
+        with open(marker, "w") as f:
+            f.write(_CODEC_STAGE_VERSION)
+    return {
+        mod: spark.read.parquet(os.path.join(_CODEC_STAGE_DIR, f"{mod}.parquet")).repartition(16)
+        for mod in ("png", "avi", "wav")
+    }
+
+
 def multimodal_codec_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only codec-tier probe (VERDICT r8 ask #5): real PNG /
     AVI-DIB / WAV payloads flow through the same decode→feature
@@ -1490,39 +1530,37 @@ def multimodal_codec_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (240 × 64×64 RGB), ~7 MB of AVI video (48 × 64 frames of 48×48
     gray) and ~5 MB of WAV audio (160 × 1 s @ 16 kHz) — so the
     Python-side codec cost gets a round-over-round trend line like
-    every other tier. sf_dir is intentionally ignored (the probe is
-    scale-invariant; bench.py skips its sf1 twin). Correctness gates:
-    the seeded multimodal_* registry keys."""
-    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
-
+    every other tier. The corpus is staged to parquet on first use
+    (VERDICT r9 ask #5 — trend line restarts in round 10; see
+    SCALING.md) so the probe times scan → decode → features, not
+    driver createDataFrame serialization. sf_dir is intentionally
+    ignored (the probe is scale-invariant; bench.py skips its sf1
+    twin). Correctness gates: the seeded multimodal_* registry keys."""
     from rabbit_data_pipeline_spark.operators.multimodal import (
         audio_energy_features,
         extract_features,
         video_fingerprint,
     )
 
-    pngs, avis, wavs = _codec_corpus()
-    schema = StructType(
-        [StructField("media_id", StringType()), StructField("payload", BinaryType())]
-    )
+    staged = _codec_corpus_staged(spark)
 
-    def mk(rows):
+    def mk(mod):
         # 16 partitions per modality: enough parallelism for local[32]
         # without per-task payload counts dropping to 1-2 (the probe
         # measures codec throughput, not scheduler overhead).
-        return spark.createDataFrame(rows, schema).repartition(16)
+        return staged[mod]
 
-    img = extract_features(mk(pngs)).agg(
+    img = extract_features(mk("png")).agg(
         F.lit("png_features").alias("tier"),
         F.count("*").alias("n"),
         F.sum(F.element_at("features", 1)).cast("double").alias("chk"),
     )
-    vid = video_fingerprint(mk(avis)).agg(
+    vid = video_fingerprint(mk("avi")).agg(
         F.lit("avi_fingerprint").alias("tier"),
         F.count("*").alias("n"),
         F.sum((F.col("vfp") % F.lit(1000003)).cast("double")).alias("chk"),
     )
-    aud = audio_energy_features(mk(wavs)).agg(
+    aud = audio_energy_features(mk("wav")).agg(
         F.lit("wav_features").alias("tier"),
         F.count("*").alias("n"),
         F.sum(F.element_at("features", 1)).cast("double").alias("chk"),

@@ -1,34 +1,41 @@
-"""One-shot attribution for the v1→v2 plan-hash rule change (round 9).
+"""Mechanical attribution for plan-hash RULE changes across rounds.
 
-Round 9 strengthened bench._plan_hash's normalization (rules "v2"):
-lambda-variable names (`lambda x_3` — a session-global counter), RDD
-ids + call-sites (`MapPartitionsRDD[778] at localCheckpoint at
-NativeMethodAccessorImpl.java:0` — monotonic id, and the reflective
-frame name flips once the JVM inflates the accessor) and JVM identity
-hashes (`UnsafeArrayData@e4ee577e`) are stripped. Under v1 those made
-the hash depend on the bench process's CALL ORDER, not the plan —
-stable only while bench.py's query sequence never changed.
+bench._plan_hash's normalization is versioned (v1 → v2 in round 9,
+v2 → v3 in round 10); when two rounds' sidecars carry different rule
+versions, a hash difference can be the rule change rather than a plan
+change. This script closes that attribution mechanically: it REPLAYS
+the old bench's exact builder-call sequence (1 warm-up build, then
+runs_per_query + 1 builds per headline query in HEADLINE order —
+builds only; execution allocates no expression ids) computing hashes
+under the OLD round's rules, and compares them to the old sidecar. A
+query whose replayed old-rules hash equals its sidecar hash has a
+byte-identical old-rules-normalized plan — so any difference under
+the new rules is the rule change alone, not a plan change.
 
-Consequence: some r9 hashes differ from r8's even though no plan
-moved. This script closes that attribution mechanically: it REPLAYS
-the r8 bench's exact builder-call sequence (1 warm-up build, then 6
-builds per headline query in HEADLINE order — 5 timed + 1 hashed —
-builds only; execution allocates no expression ids) computing v1
-hashes, and compares them to the r8 sidecar. A query whose replayed
-v1 hash equals its r8 hash has a byte-identical v1-normalized plan —
-so any v2 difference for it is the rule change alone, not a plan
-change.
+History: round 9's v1→v2 strip of lambda names / RDD ids+call-sites
+(`MapPartitionsRDD[778] at localCheckpoint at
+NativeMethodAccessorImpl.java:0`) / JVM identity hashes
+(`UnsafeArrayData@e4ee577e`) removed v1's dependence on the bench
+process's CALL ORDER. Round 10's v2→v3 anchored the identity-hash
+rule to a class-like token so quoted plan literals (e.g. a filter on
+'user@deadbee') survive normalization; on every committed plan the
+v3 text is byte-identical to v2's, which this script proves by
+replaying a v2 sidecar.
 
-Usage: python tools/hash_rules_replay.py BENCH_DETAIL_r08.json [sf_dir] [--execute]
-Exit 1 if any replayed v1 hash differs from the old sidecar (a REAL
-plan move, attribute it the usual way).
+Usage: python tools/hash_rules_replay.py BENCH_DETAIL_r09.json [sf_dir] [--execute]
+Exit 1 if any replayed old-rules hash differs from the old sidecar (a
+REAL plan move, attribute it the usual way).
 
---execute: also EXECUTE the warm-up and the 5 timed runs per query
+--execute: also EXECUTE the warm-up and the timed runs per query
 (noop sink), exactly like bench.main — needed for queries whose plan
-embeds a localCheckpoint ExistingRDD (dedup_minhash): the v1 text
-keeps the RDD id, and RDD ids count every job run earlier in the
-session, so only an executed replay reproduces them. Build-only (the
-default) is enough for every scan-lineage plan and runs in seconds.
+embeds a localCheckpoint ExistingRDD (dedup_minhash) when replaying
+v1 rules: the v1 text keeps the RDD id, and RDD ids count every job
+run earlier in the session, so only an executed replay reproduces
+them. Build-only (the default) is enough for every scan-lineage plan
+— and for ALL plans under v2+ rules (RDD ids are normalized away) —
+and runs in seconds. A build-only mismatch on a v1 ExistingRDD plan
+prints a re-run hint instead of being trusted as a real move
+(VERDICT r9 ask #4).
 """
 
 from __future__ import annotations
@@ -40,6 +47,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cheap_mode_hint(name: str, plan_text: str, rules: str, execute: bool) -> str | None:
+    """The loud-before-wrong guard on build-only replays (VERDICT r9
+    ask #4): under v1 rules an ExistingRDD scan keeps its session-
+    monotonic RDD id in the hashed text, so a NON-executed replay
+    mismatch on such a plan is expected, not evidence of a plan move.
+    Returns the hint line to print, or None when the mismatch stands
+    on its own (executed replay, v2+ rules, or no ExistingRDD)."""
+    if execute or rules != "v1" or "ExistingRDD" not in plan_text:
+        return None
+    return (
+        f"  hint: {name}'s plan embeds an ExistingRDD and v1 keeps RDD ids — "
+        "re-run with --execute before calling this a real plan move"
+    )
+
+
 def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = False) -> int:
     import bench
     from rabbit_data_pipeline_spark.queries import registry
@@ -48,8 +70,12 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
 
     old = json.load(open(old_path))
     old_hashes = old.get("plan_hashes", {})
-    if old.get("plan_hash_rules", "v1") != "v1":
-        print(f"{old_path} already carries {old['plan_hash_rules']} hashes; nothing to replay")
+    rules = old.get("plan_hash_rules", "v1")
+    if rules == bench.PLAN_HASH_RULES:
+        print(
+            f"{old_path} already carries the current rules ({rules}); "
+            "compare sidecars directly with tools/bench_diff.py"
+        )
         return 0
 
     spark = get_spark("hash-replay")
@@ -73,13 +99,14 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
     runs = int(old.get("runs_per_query", 5))
     _run(_builder("q_filter_project")(spark, sf_dir))
     mismatched = []
-    print(f"{'query':24} {'old (v1)':>14} {'replayed v1':>14} {'verdict'}")
+    hints = []
+    print(f"{'query':24} {'old (' + rules + ')':>14} {'replayed':>14} {'verdict'}")
     # Iterate only queries the OLD round actually hashed: a query
     # added to HEADLINE since then was never built in the old bench,
     # so building it here would shift the session-global lambda/RDD
     # counters and cascade phantom "PLAN MOVED" verdicts onto every
     # later query (assumes HEADLINE only ever grows in place — true
-    # for r1..r9; a reordering would need the old round's list).
+    # for r1..r10; a reordering would need the old round's list).
     skipped = [n for n in bench.HEADLINE if n not in old_hashes]
     for name in bench.HEADLINE:
         if name in skipped:
@@ -89,18 +116,36 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
             continue
         for _ in range(runs):
             _run(b(spark, sf_dir))
-        h = bench._plan_hash(b(spark, sf_dir), rules="v1")
+        df = b(spark, sf_dir)
+        try:
+            text = bench._plan_text(df)
+        except Exception as e:
+            text = f"err:{type(e).__name__}"
+        import hashlib
+
+        h = hashlib.sha256(bench._normalize_plan(text, rules).encode()).hexdigest()[:12]
         ref = old_hashes[name]
         ok = h == ref
         if not ok:
             mismatched.append(name)
+            hint = _cheap_mode_hint(name, text, rules, execute)
+            if hint:
+                hints.append(hint)
         print(f"{name:24} {ref:>14} {h:>14} {'plan unchanged' if ok else 'PLAN MOVED'}")
     if skipped:
         print(f"skipped (absent from the old sidecar): {', '.join(skipped)}")
     if mismatched:
-        print(f"\nv1 replay mismatch ({len(mismatched)}): {', '.join(mismatched)} — real plan moves, attribute them")
+        print(
+            f"\n{rules} replay mismatch ({len(mismatched)}): {', '.join(mismatched)} — "
+            "real plan moves, attribute them"
+        )
+        for hint in hints:
+            print(hint)
     else:
-        print("\nall v1 hashes reproduce the old sidecar: every v2 difference is the rule change, not a plan change")
+        print(
+            f"\nall {rules} hashes reproduce the old sidecar: every "
+            f"{bench.PLAN_HASH_RULES} difference is the rule change, not a plan change"
+        )
     return 1 if mismatched else 0
 
 
