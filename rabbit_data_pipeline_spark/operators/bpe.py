@@ -90,6 +90,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rabbit_data_pipeline_spark.functions.checkpoints import release_local_checkpoint
+
 #: Above this many merges, bpe_encode(engine="auto") switches from
 #: chained fold expressions to the Arrow map pass — fold depth is
 #: per-merge, and codegen degrades well before a real vocab size.
@@ -337,7 +339,13 @@ def _train_distributed(
         for left, right in batch:
             merges.append((len(merges), left, right))
             alphabet.add(left + right)
-        vocab = _apply_merges_arrow(vocab, batch).localCheckpoint()
+        new_vocab = _apply_merges_arrow(vocab, batch).localCheckpoint()
+        # eager checkpoint (default) → the superseded histogram is
+        # dead; release it instead of holding every round's vocab in
+        # executor storage until the ContextCleaner runs (see
+        # functions/checkpoints.py for the safety contract).
+        release_local_checkpoint(vocab)
+        vocab = new_vocab
     if stats is not None:
         stats.update(strategy="distributed", rounds=rounds)
     return merges

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rabbit_data_pipeline_spark.functions.checkpoints import release_local_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -80,6 +82,12 @@ def connected_components(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        # The probe was the superseded round's last consumer and the
+        # new round is eager-materialized: free its blocks NOW instead
+        # of leaving up to max_iter node-vectors to the ContextCleaner
+        # (round 1's `labels` is a derived plan, not a checkpoint — a
+        # no-op for the helper).
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
@@ -127,7 +135,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = E.select(F.col("u").alias("id")).unionAll(E.select("v")).distinct()
+    # Eager: the return path joins `nodes`, and the initial E it
+    # derives from is released the moment the first star round
+    # supersedes it — a lazy nodes plan would read freed blocks.
+    nodes = (
+        E.select(F.col("u").alias("id"))
+        .unionAll(E.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         # large-star over the symmetrized graph
         sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -153,6 +169,11 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         changed = ss.exceptAll(E).limit(1).count() + E.exceptAll(ss).limit(1).count()
+        # `ss` is eager-materialized and the fixpoint probe was the old
+        # edge set's last read — free it (the star rounds SHRINK the
+        # edge list, so the superseded copies are the biggest blocks
+        # this loop holds).
+        release_local_checkpoint(E)
         E = ss
         if changed == 0:
             comp = E.select(F.col("u").alias("id"), F.col("v").alias("component"))
@@ -190,7 +211,18 @@ def pagerank(
     across all iterations, scores are localCheckpoint'ed so the plan
     stays flat instead of nesting k joins. The node count is the one
     driver scalar (graph order), same class as the PQ-training
-    round-trips."""
+    round-trips.
+
+    Unlike the peeling/frontier loops (kcore, BFS, SSSP, connected
+    components — which run a per-round probe anyway and so release
+    superseded checkpoints deterministically, see
+    functions/checkpoints.py), pagerank's rounds are LAZY by design:
+    building the result runs zero jobs and one final action
+    materializes the whole chain, so no round is provably dead before
+    that action completes. The cost is bounded — `iters` superseded
+    score vectors (node-sized, tiny next to the edge list) reclaimed
+    by the ContextCleaner — and the benefit is that callers that only
+    explain/plan the result never execute the iterations at all."""
     # Materialize (src, dst, deg) ONCE: the input edge list is usually
     # the tail of a fact-table join lineage, and without the checkpoint
     # every iteration re-runs that lineage AND the degree aggregation
@@ -248,20 +280,30 @@ def bfs_distances(
     edges = edges.localCheckpoint(eager=True)
     dist = spark.createDataFrame(
         [(s, 0) for s in sources], ["node", "dist"]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True)
     frontier = dist
     for _ in range(max_hops):
+        # Eager rounds (was lazy): the isEmpty probe only proved SOME
+        # partition non-empty, leaving block materialization smeared
+        # across later rounds — which made it unsafe to ever release a
+        # superseded round. Eager + deterministic release bounds the
+        # loop's executor storage at {edges + dist + 2 frontiers}
+        # regardless of hop count.
         new = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .join(dist, "node", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=True)
         )
         if new.isEmpty():
             break
-        dist = dist.unionAll(new).localCheckpoint()
+        new_dist = dist.unionAll(new).localCheckpoint(eager=True)
+        release_local_checkpoint(dist)  # folded into new_dist (materialized)
+        if frontier is not dist:
+            release_local_checkpoint(frontier)  # consumed building `new`
+        dist = new_dist
         frontier = new
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
@@ -354,10 +396,17 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
         n_next = deg.count()
         if n_next == n_alive:
             return deg.select(F.col("src").alias("node"), "deg")
-        alive = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+        new_alive = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+        # new_alive is materialized and the count probe ran: the
+        # superseded survivor set and this round's degree table are
+        # both dead (the n_alive == 0 return below reads deg, so it
+        # is released only after that check).
+        release_local_checkpoint(alive)
+        alive = new_alive
         n_alive = n_next
         if n_alive == 0:
             return deg.select(F.col("src").alias("node"), "deg")
+        release_local_checkpoint(deg)
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
 
 
@@ -403,11 +452,19 @@ def weighted_sssp(
         )
         if improved.isEmpty():
             return dist
-        dist = (
+        new_dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionAll(improved)
             .localCheckpoint(eager=True)
         )
+        # new_dist is materialized: the superseded distance vector and
+        # the consumed frontier (last round's `improved`) are dead —
+        # without the release a long relaxation holds every round's
+        # vector until the ContextCleaner runs.
+        release_local_checkpoint(dist)
+        if frontier is not dist:
+            release_local_checkpoint(frontier)
+        dist = new_dist
         frontier = improved
     # converged iff one more relaxation changes nothing
     cand = (

@@ -1,0 +1,105 @@
+"""Deterministic release of superseded localCheckpoints (round 10).
+
+The iterative graph/BPE loops cut lineage with per-round
+localCheckpoints; without an explicit unpersist the superseded
+rounds' blocks sit in executor storage until the ContextCleaner
+happens to run — up to max_iter node-vectors of waste (an OOM vector
+at 100 TB, GC noise locally). These tests pin (a) the helper's
+contract — releases exactly a checkpoint's blocks, refuses derived
+plans, never breaks live data — and (b) the loops' storage bound:
+finishing a multi-round iteration leaves only the blocks the result
+still needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rabbit_data_pipeline_spark.functions.checkpoints import release_local_checkpoint
+
+
+def _persistent_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it, ids = m.iterator(), set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def test_release_frees_checkpoint_blocks(spark):
+    before = _persistent_ids(spark)
+    ckpt = spark.range(100).selectExpr("id", "id * 2 AS y").localCheckpoint(eager=True)
+    created = _persistent_ids(spark) - before
+    assert len(created) == 1  # the checkpoint persisted exactly one RDD
+    assert release_local_checkpoint(ckpt) is True
+    assert not (created & _persistent_ids(spark))  # blocks gone immediately
+
+
+def test_release_refuses_derived_plans(spark):
+    ckpt = spark.range(50).localCheckpoint(eager=True)
+    derived = ckpt.filter(F.col("id") > 10)  # root is Filter, not LogicalRDD
+    assert release_local_checkpoint(derived) is False
+    assert derived.count() == 39  # the underlying checkpoint is untouched
+    release_local_checkpoint(ckpt)
+
+
+def test_connected_components_storage_stays_bounded(spark):
+    """A 9-node chain forces ~4 pointer-jump rounds; without the
+    per-round release the loop would leave edges + every round's
+    labels persisted (6+ RDDs). With it: edges + final labels only."""
+    from rabbit_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    before = _persistent_ids(spark)
+    comp = connected_components(pairs)
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    assert set(rows.values()) == {0} and len(rows) == 10  # one chain, min label
+    leaked = _persistent_ids(spark) - before
+    assert len(leaked) <= 2, f"superseded rounds left persisted: {sorted(leaked)}"
+
+
+def test_kcore_storage_stays_bounded(spark):
+    """A triangle with a pendant chain peels over ≥2 rounds; the loop
+    must leave only {edges, final deg, final alive} persisted."""
+    from rabbit_data_pipeline_spark.operators.graph import kcore
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    before = _persistent_ids(spark)
+    result = {r["node"] for r in kcore(edges, k=2).collect()}
+    assert result == {0, 1, 2}  # the triangle survives, the chain peels
+    leaked = _persistent_ids(spark) - before
+    assert len(leaked) <= 3, f"superseded rounds left persisted: {sorted(leaked)}"
+
+
+def test_bfs_eager_rounds_release_and_agree(spark):
+    """BFS rounds are now eager + released; distances are unchanged
+    and a 6-hop path leaves only {edges, final dist, last frontier}."""
+    from rabbit_data_pipeline_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(6)], ["src", "dst"]
+    )
+    before = _persistent_ids(spark)
+    dist = {r["node"]: r["dist"] for r in bfs_distances(edges, ["0"]).collect()}
+    assert dist == {str(i): i for i in range(7)}
+    leaked = _persistent_ids(spark) - before
+    assert len(leaked) <= 4, f"superseded rounds left persisted: {sorted(leaked)}"
+
+
+def test_weighted_sssp_releases_and_agrees(spark):
+    from rabbit_data_pipeline_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 1), ("a", "c", 9), ("c", "d", 2)],
+        ["src", "dst", "w"],
+    )
+    before = _persistent_ids(spark)
+    dist = {r["node"]: r["dist"] for r in weighted_sssp(edges, ["a"]).collect()}
+    assert dist == {"a": 0, "b": 5, "c": 6, "d": 8}
+    leaked = _persistent_ids(spark) - before
+    assert len(leaked) <= 4, f"superseded rounds left persisted: {sorted(leaked)}"
