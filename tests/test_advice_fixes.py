@@ -790,3 +790,55 @@ def test_codec_probe_plan_scans_parquet(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "parquet" in plan.lower()
     assert "ExistingRDD" not in plan
+
+
+def test_bench_diff_uniform_shift_detector(capsys, tmp_path):
+    """Round-10 throttled-host lesson, mechanized: when ~all same-plan
+    queries move the same direction by a similar magnitude, bench_diff
+    must print the UNIFORM SHIFT warning (host condition) — and must
+    NOT print it for a single-query regression or a quiet round."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    # the detector itself
+    assert bd._uniform_shift([30.0] * 12) is not None       # all up 30%
+    assert bd._uniform_shift([30.0] * 5) is None            # too few rows
+    assert bd._uniform_shift([2.0] * 12) is None            # below the floor
+    assert bd._uniform_shift([30.0] * 6 + [-30.0] * 6) is None  # mixed signs
+    down = bd._uniform_shift([-25.0] * 12)
+    assert down and "-25%" in down
+
+    # end-to-end: a uniformly +35% round trips the warning, exit stays 0
+    def run(old, new):
+        po, pn = str(tmp_path / "us_old.json"), str(tmp_path / "us_new.json")
+        json.dump(old, open(po, "w"))
+        json.dump(new, open(pn, "w"))
+        code = bd.main(po, pn)
+        return code, capsys.readouterr().out
+
+    names = [f"q_{i}" for i in range(12)]
+    old = {
+        "plan_hashes": {n: f"h{n}" for n in names},
+        "queries": {n: 1.0 for n in names},
+        "queries_stats": {n: {"spread_pct": 10.0} for n in names},
+        "value": 12.0,
+        "plan_hash_rules": "v3",
+    }
+    new = json.loads(json.dumps(old))
+    new["queries"] = {n: 1.35 for n in names}
+    new["value"] = 16.2
+    code, out = run(old, new)
+    assert code == 0 and "UNIFORM SHIFT" in out and "host-condition" in out
+
+    # one genuine regression among flat rows: no uniform-shift claim
+    new2 = json.loads(json.dumps(old))
+    new2["queries"]["q_3"] = 3.0
+    code, out = run(old, new2)
+    assert code == 0 and "UNIFORM SHIFT" not in out

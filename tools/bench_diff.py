@@ -18,8 +18,10 @@ import json
 import sys
 
 
-def _section(title, oh, nh, os_, oq, nq) -> list[str]:
-    """Print one hash+timing table; returns the MOVED names."""
+def _section(title, oh, nh, os_, oq, nq, deltas_out=None) -> list[str]:
+    """Print one hash+timing table; returns the MOVED names. When
+    `deltas_out` is given, every unmoved row's delta% is appended to
+    it for the uniform-shift detector below."""
     moved = []
     print(f"\n[{title}]")
     print(f"{'query':24} {'plan':8} {'old_min':>8} {'new_min':>8} {'delta%':>7} {'old_spread%':>11}")
@@ -35,7 +37,32 @@ def _section(title, oh, nh, os_, oq, nq) -> list[str]:
         delta = f"{(nm - om) / om * 100:+.1f}" if om and nm else "-"
         spread = os_.get(name, {}).get("spread_pct", "-")
         print(f"{name:24} {plan:8} {om or '-':>8} {nm or '-':>8} {delta:>7} {spread:>11}")
+        if deltas_out is not None and plan != "MOVED" and om and nm:
+            deltas_out.append((nm - om) / om * 100)
     return moved
+
+
+def _uniform_shift(deltas: list[float], min_rows: int = 10, floor_pct: float = 15.0) -> str | None:
+    """The round-10 throttled-host lesson, mechanized: when nearly
+    every SAME-plan query moves in the same direction by a similar
+    magnitude, the cause is a host condition (CPU budget, noisy
+    neighbor, thermal), not a plan regression — a regression moves
+    specific plans, a throttle moves all of them. Returns the warning
+    line, or None when the deltas don't fit the pattern."""
+    if len(deltas) < min_rows:
+        return None
+    med = sorted(deltas)[len(deltas) // 2]
+    if abs(med) < floor_pct:
+        return None
+    same_sign = sum(1 for d in deltas if (d > 0) == (med > 0) and abs(d) > 5.0)
+    if same_sign / len(deltas) < 0.8:
+        return None
+    return (
+        f"UNIFORM SHIFT: {same_sign}/{len(deltas)} same-plan queries moved "
+        f"{'+' if med > 0 else ''}{med:.0f}% (median) in the same direction — "
+        "the signature of a host-condition change, not a plan regression; "
+        "re-run on an idle host before reading the totals as real"
+    )
 
 
 def main(old_path: str, new_path: str) -> int:
@@ -47,6 +74,7 @@ def main(old_path: str, new_path: str) -> int:
             f"NOTE: hash rules differ ({o_rules} vs {n_rules}) — a MOVED row may be the rule "
             "change, not a plan change; run tools/hash_rules_replay.py to attribute mechanically"
         )
+    deltas: list[float] = []
     moved = _section(
         "headline sf0.1",
         old.get("plan_hashes", {}),
@@ -54,6 +82,7 @@ def main(old_path: str, new_path: str) -> int:
         old.get("queries_stats", {}),
         old.get("queries", {}),
         new.get("queries", {}),
+        deltas_out=deltas,
     )
     # sf1 timings share the sf0.1 plan hashes (same builders, same
     # normalized shape) — report the timing deltas against sf1 spreads.
@@ -65,6 +94,7 @@ def main(old_path: str, new_path: str) -> int:
             old.get("sf1_stats", {}),
             old.get("sf1_queries", {}),
             new.get("sf1_queries", {}),
+            deltas_out=deltas,
         )
     moved += _section(
         "extended sf0.1",
@@ -89,6 +119,9 @@ def main(old_path: str, new_path: str) -> int:
     s_old, s_new = old.get("sf1_total"), new.get("sf1_total")
     if s_old and s_new:
         print(f"sf1_total: {s_old} -> {s_new} ({(s_new - s_old) / s_old * 100:+.1f}%)")
+    shift = _uniform_shift(deltas)
+    if shift:
+        print(f"\n{shift}")
     if moved:
         print(f"\nplan hashes MOVED ({len(moved)}): {', '.join(moved)} — attribute each before shipping")
     else:
