@@ -36,8 +36,7 @@ def _resolve_file_name(file_name: str | None) -> str | None:
     values `DateTime` / `Timestamp` (doc/File.md) produce a
     run-timestamped name; anything else is taken verbatim. (The
     reference also accepts a PHP callable — a config-embedded code
-    value; deliberately not reproduced, pass a computed name
-    instead.)"""
+    value; the Spark-side analog is `fileNameExpr`, below.)"""
     import time
 
     if file_name == "DateTime":
@@ -45,6 +44,32 @@ def _resolve_file_name(file_name: str | None) -> str | None:
     if file_name == "Timestamp":
         return str(int(time.time()))
     return file_name
+
+
+def _eval_file_name_expr(spark, expr: str) -> str:
+    """The declarative replacement for Sinks/File.php's CALLABLE
+    `fileName` form (doc/File.md): a Spark SQL scalar expression
+    evaluated once, driver-side, against a single empty row — e.g.
+    `date_format(current_timestamp(), 'yyyyMMdd')` or
+    `concat('run_', uuid())`. Same expressive role as the reference's
+    closure with the same trust surface the pipeline spec ALREADY
+    grants (T6 `sql:` transform nodes run arbitrary SQL), and none of
+    the host-code execution a config-embedded PHP/Python callable
+    would add — which is why the callable form itself stays
+    deliberately unreproduced. Raises ValueError on an expression
+    that doesn't evaluate to a usable file-name string."""
+    from pyspark.sql import functions as F
+
+    try:
+        v = spark.range(1).select(F.expr(expr).cast("string").alias("v")).first()["v"]
+    except Exception as e:
+        raise ValueError(f"fileNameExpr {expr!r} failed to evaluate: {e}") from e
+    if not v or "/" in v or "\x00" in v:
+        raise ValueError(
+            f"fileNameExpr {expr!r} produced {v!r} — need a non-empty name "
+            "without path separators (use `path` for directories)"
+        )
+    return v
 
 
 @plugin("sink.file")
@@ -55,7 +80,10 @@ def _file_sink(sch: Scheduler, cfg: dict[str, Any], inputs: list[DataFrame]) -> 
     if fmt == "csv" and "header" not in opts:
         opts["header"] = "true"
     path = cfg["path"]
-    fname = _resolve_file_name(cfg.get("fileName", cfg.get("file_name")))
+    if cfg.get("fileNameExpr"):
+        fname = _eval_file_name_expr(df.sparkSession, cfg["fileNameExpr"])
+    else:
+        fname = _resolve_file_name(cfg.get("fileName", cfg.get("file_name")))
     if fname:
         path = os.path.join(path, f"{fname}.{fmt}")
     write_files(

@@ -453,6 +453,48 @@ def test_file_sink_filename_templating(spark, tmp_path):
     assert len(dirs) == 1 and dirs[0].endswith(".csv") and dirs[0][:-4].isdigit()
 
 
+def test_file_sink_filename_expr(spark, tmp_path):
+    """The declarative replacement for Sinks/File.php's CALLABLE
+    fileName form: `fileNameExpr` is a Spark SQL scalar expression
+    evaluated once driver-side — the same trust surface the spec's
+    sql: nodes already grant, with no config-embedded host code. A
+    malformed or path-escaping expression fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from rabbit_data_pipeline_spark.pipeline import Scheduler
+    from rabbit_data_pipeline_spark.pipeline.spec import PipelineSpec
+    from rabbit_data_pipeline_spark.sinks.files import _eval_file_name_expr
+
+    spark.createDataFrame([(1, "a")], ["k", "v"]).createOrReplaceTempView("fse_src")
+    out = str(tmp_path / "out")
+    spec = PipelineSpec.from_dict(
+        "t",
+        {
+            "q": {"type": "transform.sql", "start": True, "sql": "SELECT * FROM fse_src", "output": ["w"]},
+            "w": {
+                "type": "sink.file",
+                "path": out,
+                "fileNameExpr": "concat('batch_', date_format(current_timestamp(), 'yyyyMMdd'))",
+                "ext": "csv",
+            },
+        },
+    )
+    Scheduler(spark, {"t": spec}).run("t")
+    dirs = os.listdir(out)
+    assert len(dirs) == 1 and dirs[0].startswith("batch_") and dirs[0].endswith(".csv")
+    assert dirs[0][len("batch_"):-4].isdigit()
+
+    # error contract: unparseable expression and path-separator output
+    with _pytest.raises(ValueError, match="failed to evaluate"):
+        _eval_file_name_expr(spark, "not_a_function(")
+    with _pytest.raises(ValueError, match="path separators"):
+        _eval_file_name_expr(spark, "'a/b'")
+    with _pytest.raises(ValueError, match="non-empty"):
+        _eval_file_name_expr(spark, "CAST(NULL AS STRING)")
+
+
 def test_corpus_diff_plugin_two_inputs(spark):
     """transform.corpus_diff consumes two upstream nodes (old, new) in
     declaration order."""
