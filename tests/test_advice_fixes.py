@@ -842,3 +842,54 @@ def test_bench_diff_uniform_shift_detector(capsys, tmp_path):
     new2["queries"]["q_3"] = 3.0
     code, out = run(old, new2)
     assert code == 0 and "UNIFORM SHIFT" not in out
+
+
+def test_wav_data_chunk_walker_agrees_with_stdlib_property():
+    """Property gate for the other half of the gate-vs-corrupt split
+    (ADVICE r9 #3): for arbitrary wave-module-written PCM files (any
+    rate/channels/length, extra leading JUNK chunks), _wav_has_data_chunk
+    is True exactly where the stdlib finds frames to read — and goes
+    False when the data chunk is cut out of the same bytes."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rabbit_data_pipeline_spark.operators.multimodal import _wav_has_data_chunk
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(1, 192000),
+        nch=st.integers(1, 4),
+        n=st.integers(0, 64),
+        pre_chunk=st.binary(min_size=0, max_size=9),
+    )
+    def check(rate, nch, n, pre_chunk):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * (n * nch))
+        payload = buf.getvalue()
+        if pre_chunk:
+            body = pre_chunk + b"\x00" * (len(pre_chunk) & 1)
+            extra = b"JUNK" + struct.pack("<I", len(pre_chunk)) + body
+            payload = payload[:12] + extra + payload[12:]
+            payload = b"RIFF" + struct.pack("<I", len(payload) - 8) + payload[8:]
+        assert _wav_has_data_chunk(payload)
+        with wave.open(io.BytesIO(payload)) as w2:  # stdlib also reaches the frames
+            assert len(w2.readframes(w2.getnframes())) == 2 * n * nch
+        # excise the data chunk: walk to it, drop header+payload
+        pos = 12
+        while payload[pos : pos + 4] != b"data":
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            pos += 8 + size + (size & 1)
+        dsize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        gutted = payload[:pos] + payload[pos + 8 + dsize + (dsize & 1):]
+        gutted = b"RIFF" + struct.pack("<I", len(gutted) - 8) + gutted[8:]
+        assert not _wav_has_data_chunk(gutted)
+
+    check()
