@@ -299,6 +299,52 @@ _EXT_SF_INVARIANT = {"multimodal_codec_scale"}
 _EXT_MIN3 = {"q_pagerank", "q_kcore"}
 
 
+def _host_calibration(runs: int = 3) -> float:
+    """Fixed single-core CPU probe: sha256 over 192 MB of zeros,
+    min-of-3 (~0.4-0.8 s unthrottled). Published in every sidecar so
+    round-over-round deltas can be read against the HOST SPEED OF THAT
+    RUN — round 10 found the official record and two same-code
+    controls differing by a uniform +45 % purely from the VM's CPU
+    budget, which no per-query spread can expose. Deterministic work,
+    no Spark, no allocation in the loop; the min is the budget
+    ceiling, immune to a single preemption."""
+    block = b"\x00" * (1 << 20)
+    best = float("inf")
+    for _ in range(runs):
+        h = hashlib.sha256()
+        t0 = time.perf_counter()
+        for _ in range(192):
+            h.update(block)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _host_calibration_parallel(threads: int = 16, runs: int = 3) -> float:
+    """Aggregate-CPU-budget probe: `threads` concurrent sha256 workers
+    (hashlib releases the GIL on megabyte buffers), 96 MB each,
+    min-of-3 wall. The single-core probe above misses cgroup-style
+    CPU quotas — round 10 measured a uniform +45 % bench shift while
+    single-core hashing stayed FAST, i.e. the VM's total core budget
+    was cut, which only a parallel probe exposes. Together the two
+    numbers split 'slow cores' from 'fewer effective cores'."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = b"\x00" * (1 << 20)
+
+    def work(_):
+        h = hashlib.sha256()
+        for _ in range(96):
+            h.update(block)
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            list(ex.map(work, range(threads)))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _stream_probe(spark, seconds: float = 8.0) -> float:
     """End-to-end Structured Streaming throughput: rate source →
     keyed watermarked 10s-window aggregation → noop sink, measured as
@@ -443,6 +489,8 @@ def main() -> None:
         "plan_hashes": plan_hashes,
         "plan_hash_rules": PLAN_HASH_RULES,
         "runs_per_query": runs,
+        "host_calib_sec": _host_calibration(),
+        "host_calib_par_sec": _host_calibration_parallel(),
         "sf": float(sf) if sf else sf_dir,
     }
 

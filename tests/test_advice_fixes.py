@@ -893,3 +893,34 @@ def test_wav_data_chunk_walker_agrees_with_stdlib_property():
         assert not _wav_has_data_chunk(gutted)
 
     check()
+
+
+def test_host_calibration_probe_and_diff_line(capsys, tmp_path):
+    """The host-calibration probe is fixed CPU work: positive, fast,
+    and repeatable within a loose band on one host; bench_diff prints
+    the rescaling line when both sidecars carry it."""
+    import importlib.util
+    import json
+    import os
+
+    import bench
+
+    a, b = bench._host_calibration(runs=1), bench._host_calibration(runs=1)
+    assert 0 < a < 30 and 0 < b < 30
+    assert abs(a - b) / max(a, b) < 0.9  # same host, same order of magnitude
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+    old = {"plan_hashes": {"q": "h"}, "queries": {"q": 1.0}, "queries_stats": {},
+           "value": 1.0, "plan_hash_rules": "v3",
+           "host_calib_sec": 0.5, "host_calib_par_sec": 1.0}
+    new = dict(old, host_calib_sec=0.75, host_calib_par_sec=2.0)
+    po, pn = str(tmp_path / "hc_old.json"), str(tmp_path / "hc_new.json")
+    json.dump(old, open(po, "w")); json.dump(new, open(pn, "w"))
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "host calibration (1-core): 0.5 -> 0.75" in out and "+50.0%" in out
+    assert "host calibration (16-way): 1.0 -> 2.0" in out and "+100.0%" in out

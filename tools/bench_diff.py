@@ -119,6 +119,17 @@ def main(old_path: str, new_path: str) -> int:
     s_old, s_new = old.get("sf1_total"), new.get("sf1_total")
     if s_old and s_new:
         print(f"sf1_total: {s_old} -> {s_new} ({(s_new - s_old) / s_old * 100:+.1f}%)")
+    for key, label in (
+        ("host_calib_sec", "host calibration (1-core)"),
+        ("host_calib_par_sec", "host calibration (16-way)"),
+    ):
+        c_old, c_new = old.get(key), new.get(key)
+        if c_old and c_new:
+            print(
+                f"\n{label}: {c_old} -> {c_new} s "
+                f"({(c_new - c_old) / c_old * 100:+.1f}% — fixed CPU work; a shift here "
+                "rescales every timing below it)"
+            )
     shift = _uniform_shift(deltas)
     if shift:
         print(f"\n{shift}")
