@@ -319,6 +319,20 @@ def _host_calibration(runs: int = 3) -> float:
     return round(best, 4)
 
 
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate /proc/stat line, or
+    None off-Linux. Snapshotted around the whole bench run to publish
+    `host_steal_pct`: round 10's +31 % uniform query shift arrived
+    with HEALTHY short-burst calibration probes — hypervisor steal
+    only materializes under sustained load, so it must be measured
+    across the run itself, not probed before it."""
+    try:
+        vals = [int(v) for v in open("/proc/stat").readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return None
+
+
 def _host_calibration_parallel(threads: int = 16, runs: int = 3) -> float:
     """Aggregate-CPU-budget probe: `threads` concurrent sha256 workers
     (hashlib releases the GIL on megabyte buffers), 96 MB each,
@@ -432,6 +446,7 @@ def main() -> None:
 
     spark = get_spark("rdps-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    cpu0 = _cpu_times()
     reg = registry()
     # Registered dedup_minhash is the small seeded-corpus correctness
     # gate; the bench keeps timing the heavy sf-corpus pipeline.
@@ -591,6 +606,12 @@ def main() -> None:
             )
         except Exception as e:  # scale point is evidence, not the contract
             result["sf1_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if cpu0 is not None:
+        cpu1 = _cpu_times()
+        if cpu1 is not None:
+            dsteal, dtotal = cpu1[0] - cpu0[0], cpu1[1] - cpu0[1]
+            result["host_steal_pct"] = round(100.0 * dsteal / max(dtotal, 1), 2)
 
     # Full instrumentation → sidecar (committed to the repo so the
     # spread / plan-hash record persists round-over-round); the FINAL

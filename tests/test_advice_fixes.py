@@ -924,3 +924,32 @@ def test_host_calibration_probe_and_diff_line(capsys, tmp_path):
     out = capsys.readouterr().out
     assert "host calibration (1-core): 0.5 -> 0.75" in out and "+50.0%" in out
     assert "host calibration (16-way): 1.0 -> 2.0" in out and "+100.0%" in out
+
+
+def test_host_steal_instrument(capsys, tmp_path):
+    """_cpu_times returns (steal, total) jiffies on Linux with
+    total > 0 monotone; bench_diff prints the steal line when both
+    sidecars carry host_steal_pct."""
+    import importlib.util
+    import json
+    import os
+
+    import bench
+
+    a, b = bench._cpu_times(), bench._cpu_times()
+    assert a is not None and b is not None
+    assert a[1] > 0 and b[1] >= a[1] and b[0] >= a[0]  # monotone counters
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+    old = {"plan_hashes": {"q": "h"}, "queries": {"q": 1.0}, "queries_stats": {},
+           "value": 1.0, "plan_hash_rules": "v3", "host_steal_pct": 0.4}
+    new = dict(old, host_steal_pct=22.5)
+    po, pn = str(tmp_path / "hs_old.json"), str(tmp_path / "hs_new.json")
+    json.dump(old, open(po, "w")); json.dump(new, open(pn, "w"))
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "host steal: 0.4% -> 22.5%" in out

@@ -130,6 +130,12 @@ def main(old_path: str, new_path: str) -> int:
                 f"({(c_new - c_old) / c_old * 100:+.1f}% — fixed CPU work; a shift here "
                 "rescales every timing below it)"
             )
+    s_o, s_n = old.get("host_steal_pct"), new.get("host_steal_pct")
+    if s_o is not None and s_n is not None:
+        print(
+            f"host steal: {s_o}% -> {s_n}% of run CPU stolen by the hypervisor "
+            "(sustained-load throttle the burst calibrations can't see)"
+        )
     shift = _uniform_shift(deltas)
     if shift:
         print(f"\n{shift}")
