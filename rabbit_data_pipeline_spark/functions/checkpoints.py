@@ -33,15 +33,23 @@ from pyspark.sql import DataFrame
 
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Drop the storage blocks behind a superseded localCheckpoint'ed
-    DataFrame. Returns True when blocks were released; best-effort
-    otherwise (a non-checkpoint plan, Spark Connect, or any py4j
-    surprise leaves cleanup to the ContextCleaner — the status quo —
-    and returns False)."""
+    DataFrame. Returns True only when persisted blocks were actually
+    released; False otherwise — a derived (non-LogicalRDD) plan, a
+    LogicalRDD that never persisted anything (createDataFrame frames
+    and RELIABLE checkpoints are LogicalRDD-rooted too, with storage
+    level NONE — reliable-checkpoint files live on the checkpoint dir,
+    not in block storage), Spark Connect, or any py4j surprise. The
+    False paths leave cleanup to the ContextCleaner — the status
+    quo."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRDD":
             return False
-        plan.rdd().unpersist(False)
+        rdd = plan.rdd()
+        lvl = rdd.getStorageLevel()
+        if not (lvl.useMemory() or lvl.useDisk()):
+            return False  # nothing persisted — unpersist would be a no-op
+        rdd.unpersist(False)
         return True
     except Exception:
         return False

@@ -283,12 +283,12 @@ def bfs_distances(
     ).localCheckpoint(eager=True)
     frontier = dist
     for _ in range(max_hops):
-        # Eager rounds (was lazy): the isEmpty probe only proved SOME
-        # partition non-empty, leaving block materialization smeared
-        # across later rounds — which made it unsafe to ever release a
-        # superseded round. Eager + deterministic release bounds the
-        # loop's executor storage at {edges + dist + 2 frontiers}
-        # regardless of hop count.
+        # Rounds were always eager (localCheckpoint's default); the
+        # explicit eager=True only pins that assumption, because the
+        # releases below are ONLY safe against a fully-materialized
+        # successor. Deterministic release bounds the loop's executor
+        # storage at {edges + dist + 2 frontiers} regardless of hop
+        # count.
         new = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))

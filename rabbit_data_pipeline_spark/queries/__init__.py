@@ -46,11 +46,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rotate the full 43-key r6-verdict cohort, backfilled to 50 from
     # the r7 cohort heaviest-plans-first — after this round no key's
     # latest verdict sits on pre-r7 code.
-    # (a) Key whose implementation changed this round: the audio
-    # decode gate in _audio_pcm now requires a parseable data chunk
-    # before blaming a missing codec (ADVICE r9 #3) — the only
-    # registry key riding that code path is the audio near-dup.
-    "multimodal_audio_neardup",
+    # (a) Keys whose implementation changed this round: the audio
+    # decode gate in _audio_pcm (parseable data chunk required before
+    # blaming a missing codec, ADVICE r9 #3), and every key riding
+    # the iterative loops that now release superseded localCheckpoints
+    # deterministically (operators/graph.py connected_components →
+    # dedup_clusters; kcore/bfs/weighted-SSSP → the graph q_*;
+    # pagerank shares the file; operators/bpe.py _train_distributed →
+    # the batched BPE trainer).
+    "multimodal_audio_neardup", "dedup_clusters",
+    "text_bpe_train_batched", "q_kcore", "q_weighted_paths",
+    "q_shortest_path", "q_pagerank",
     # (b) ALL 43 keys whose latest driver verdict is on r6 code —
     # composed pipelines / sync / stream / layout tiers first, then
     # the q_* analytics pack, then sessionization + digest twins,
@@ -70,12 +76,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_inverted_index", "text_bm25", "text_collocations",
     "text_perplexity", "text_nb_train", "text_nb_classify",
     "text_bloom_decontaminate",
-    # (c) Backfill to 50 from the r7 cohort, heaviest plans first:
-    # the iterative graph tier + the banding dedup pipeline.
-    "q_pagerank", "q_kcore", "q_weighted_paths", "q_shortest_path",
-    "q_triangles", "dedup_minhash",
 )
-# Next round (r11): the remaining 42-key r7-verdict cohort —
+# Next round (r11): the remaining 44-key r7-verdict cohort
+# (including q_triangles and dedup_minhash, displaced from this
+# round's backfill by the changed-code front-load) —
 # dedup_exact/simhash/embedding/ngram_jaccard, ann_bruteforce/ann_lsh,
 # pipeline_llm_prep/e2e/fanout, the sync/sink family (source_sql,
 # id_gen, file_roundtrip, sync_insert_missing, sink_upsert,

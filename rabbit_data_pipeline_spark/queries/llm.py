@@ -1483,10 +1483,13 @@ def _codec_corpus():
 
 
 #: Parquet staging dir for the codec probe corpus — /tmp persists
-#: across rounds like the bench's scaled sf1 copy; the marker content
-#: versions the generator so a corpus change invalidates the stage.
-_CODEC_STAGE_DIR = "/tmp/rdps_codec_corpus"
-_CODEC_STAGE_VERSION = "v1:240png/48avi/160wav/seed90210"
+#: across rounds like the bench's scaled sf1 copy. The generator
+#: VERSION is part of the directory name, so a corpus change can
+#: never collide with a stale stage, and concurrent same-version
+#: stagers (bench + test suite overlap in practice) race only on an
+#: atomic rename, never on in-place overwrite-mode writes.
+_CODEC_STAGE_VERSION = "v1-240png-48avi-160wav-seed90210"
+_CODEC_STAGE_DIR = f"/tmp/rdps_codec_corpus_{_CODEC_STAGE_VERSION}"
 
 
 def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
@@ -1495,12 +1498,17 @@ def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
     through spark.createDataFrame every bench run, so its trend line
     measured driver serialization along with codec work. Reading the
     staged parquet makes the probed plan a parquet scan → decode, the
-    shape a real media pipeline has. The post-scan repartition(16)
-    stays: the files are small enough that maxPartitionBytes would
-    pack them into 1-2 input partitions, and the probe measures codec
-    throughput at local[32] parallelism, not scheduler packing (the
-    ~15 MB shuffle it costs is noise against seconds of decode)."""
+    shape a real media pipeline has. Concurrency: each stager builds
+    under a private <dir>.build-<pid> and os.rename()s it into place —
+    the loser of the rename race discards its build and reads the
+    winner's (bit-identical: the corpus is seeded). The post-scan
+    repartition(16) stays: the files are small enough that
+    maxPartitionBytes would pack them into 1-2 input partitions, and
+    the probe measures codec throughput at local[32] parallelism, not
+    scheduler packing (the ~15 MB shuffle it costs is noise against
+    seconds of decode)."""
     import os
+    import shutil
 
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
@@ -1508,14 +1516,21 @@ def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
         [StructField("media_id", StringType()), StructField("payload", BinaryType())]
     )
     marker = os.path.join(_CODEC_STAGE_DIR, "_BUILT")
-    if not (os.path.exists(marker) and open(marker).read() == _CODEC_STAGE_VERSION):
+    if not os.path.exists(marker):
+        build = f"{_CODEC_STAGE_DIR}.build-{os.getpid()}"
         pngs, avis, wavs = _codec_corpus()
         for mod, rows in (("png", pngs), ("avi", avis), ("wav", wavs)):
             spark.createDataFrame(rows, schema).repartition(4).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(_CODEC_STAGE_DIR, f"{mod}.parquet"))
-        with open(marker, "w") as f:
+            ).parquet(os.path.join(build, f"{mod}.parquet"))
+        with open(os.path.join(build, "_BUILT"), "w") as f:
             f.write(_CODEC_STAGE_VERSION)
+        try:
+            os.rename(build, _CODEC_STAGE_DIR)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race; theirs is identical
+        if not os.path.exists(marker):
+            raise RuntimeError(f"codec corpus staging failed to materialize {marker}")
     return {
         mod: spark.read.parquet(os.path.join(_CODEC_STAGE_DIR, f"{mod}.parquet")).repartition(16)
         for mod in ("png", "avi", "wav")

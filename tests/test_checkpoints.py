@@ -43,6 +43,14 @@ def test_release_refuses_derived_plans(spark):
     release_local_checkpoint(ckpt)
 
 
+def test_release_refuses_unpersisted_logical_rdd(spark):
+    """createDataFrame frames are LogicalRDD-rooted too but persist
+    nothing — the helper must not claim it released blocks there."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert release_local_checkpoint(df) is False
+    assert df.count() == 2
+
+
 def test_connected_components_storage_stays_bounded(spark):
     """A 9-node chain forces ~4 pointer-jump rounds; without the
     per-round release the loop would leave edges + every round's

@@ -77,6 +77,17 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
             "compare sidecars directly with tools/bench_diff.py"
         )
         return 0
+    if rules not in ("v1", "v2", "v3"):
+        # An unknown ruleset would fall through _normalize_plan's
+        # version branches and silently get v1-era normalization —
+        # every hash would mismatch and the tool would confidently
+        # report 17 phantom plan moves. Refuse instead.
+        print(
+            f"{old_path} carries unknown hash rules {rules!r} — this replay "
+            "build only knows v1/v2/v3; run the replay from the round that "
+            "introduced those rules"
+        )
+        return 2
 
     spark = get_spark("hash-replay")
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,11 +130,14 @@ def main(old_path: str, sf_dir: str = "/root/testdata/sf0.1", execute: bool = Fa
         df = b(spark, sf_dir)
         try:
             text = bench._plan_text(df)
-        except Exception as e:
-            text = f"err:{type(e).__name__}"
-        import hashlib
+            import hashlib
 
-        h = hashlib.sha256(bench._normalize_plan(text, rules).encode()).hexdigest()[:12]
+            h = hashlib.sha256(bench._normalize_plan(text, rules).encode()).hexdigest()[:12]
+        except Exception as e:
+            # bench._plan_hash publishes the sentinel VERBATIM, so the
+            # replay must too — hashing it would make an identically
+            # erroring plan look like a phantom PLAN MOVED.
+            text = h = f"err:{type(e).__name__}"
         ref = old_hashes[name]
         ok = h == ref
         if not ok:
