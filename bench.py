@@ -209,6 +209,41 @@ def _plan_hash(df, rules: str = PLAN_HASH_RULES) -> str:
     return hashlib.sha256(_normalize_plan(s, rules).encode()).hexdigest()[:12]
 
 
+def _plan_hash_checked(df, name: str, warnings: dict[str, list[str]]) -> str:
+    """_plan_hash plus the ADVICE r10 #2 residual guard: hash the
+    normalized text AND record any identity-hash-shaped token the v3
+    anchor left behind into `warnings[name]` (published in the sidecar
+    as `plan_hash_warnings`). One explain call serves both."""
+    try:
+        s = _plan_text(df)
+    except Exception as e:
+        return f"err:{type(e).__name__}"
+    norm = _normalize_plan(s)
+    residual = _residual_identity_hashes(norm)
+    if residual:
+        warnings[name] = residual
+    return hashlib.sha256(norm.encode()).hexdigest()[:12]
+
+
+def _residual_identity_hashes(normalized: str) -> list[str]:
+    """ADVICE r10 #2: v3 strips identity hashes only after a
+    capital-initial class token, so a lowercase Scala module/anon
+    token (`functions$$anon$1@1a2b3c4d`) or a JVM array toString
+    (`[Ljava.lang.Object;@deadbeef`) would keep its per-process hex —
+    call-order-dependent hashes reintroduced as phantom MOVED
+    verdicts. Broadening the strip rule itself would be a v4 bump
+    that re-risks v2's false-"same" on quoted plan literals, so the
+    guard runs the other way: after v3 normalization, any remaining
+    Java-identifier-like token still followed by '@'+hex is reported
+    loudly in the sidecar, turning a silent flap into a one-round
+    attributed signal that the anchor needs a deliberate,
+    replay-verified extension. Quoted spans are excluded first —
+    a literal like 'user@deadbee' is plan content, not JVM toString,
+    and it is constant across runs anyway."""
+    unquoted = re.sub(r"'[^'\n]*'", "''", normalized)
+    return sorted(set(re.findall(r"[\[A-Za-z_$][A-Za-z0-9_.$;\[\]]*@[0-9a-f]{6,16}\b", unquoted)))
+
+
 def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
     """The normalization behind _plan_hash, exposed so its rules are
     unit-testable on synthetic explain text (tests/test_advice_fixes.py
@@ -484,6 +519,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     plan_hashes: dict[str, str] = {}
+    hash_warnings: dict[str, list[str]] = {}
     for name in HEADLINE:
         builder = _builder(name)
         if builder is None:
@@ -491,7 +527,7 @@ def main() -> None:
         s = _time_runs(builder, spark, sf_dir, runs)
         timings[name] = s["min"]
         stats[name] = s
-        plan_hashes[name] = _plan_hash(builder(spark, sf_dir))
+        plan_hashes[name] = _plan_hash_checked(builder(spark, sf_dir), name, hash_warnings)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -503,6 +539,11 @@ def main() -> None:
         "queries_stats": stats,
         "plan_hashes": plan_hashes,
         "plan_hash_rules": PLAN_HASH_RULES,
+        # ADVICE r10 #2: residual '@'+hex tokens the v3 anchor left in
+        # normalized plan text (lowercase/anon/array toString forms) —
+        # non-empty means a hash may flap per-process and the anchor
+        # needs a replay-attributed extension. Filled in post-loop.
+        "plan_hash_warnings": hash_warnings,
         "runs_per_query": runs,
         "host_calib_sec": _host_calibration(),
         "host_calib_par_sec": _host_calibration_parallel(),
@@ -551,7 +592,9 @@ def main() -> None:
                     # would make the hash move on noise). For the
                     # iterative builders this pays one extra driver
                     # loop; the attribution it buys is the point.
-                    ext_hashes[name] = _plan_hash(builder(spark, sf_dir))
+                    ext_hashes[name] = _plan_hash_checked(
+                        builder(spark, sf_dir), name, hash_warnings
+                    )
             result["extended_queries"] = {n: s["min"] for n, s in ext_stats.items()}
             result["extended_stats"] = ext_stats
             result["extended_plan_hashes"] = ext_hashes

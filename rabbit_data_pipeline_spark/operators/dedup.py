@@ -11,10 +11,12 @@ shuffle is the only global data movement, AQE splits skewed buckets,
 and a `salt_cap` guard drops degenerate buckets (stopword-like
 signatures) that would otherwise blow up a reducer.
 
-Cluster → survivor resolution: near-dup "clusters" here are star-
-shaped (keep lowest id of every candidate pair, drop the rest). A full
-connected-components pass (iterative, Pregel-style) is out of scope
-for v1 — documented difference vs. transitive closure.
+Cluster → survivor resolution: the per-pair operators here resolve
+star-shaped (keep lowest id of every candidate pair, drop the rest);
+full TRANSITIVE closure is `operators/graph.py connected_components`
+(pointer-jumping / star-contraction over the candidate-pair graph,
+registry key `dedup_clusters`) — compose it after any pair generator
+when chain-dups (A~B~C with A!~C) must collapse to one survivor.
 """
 
 from __future__ import annotations

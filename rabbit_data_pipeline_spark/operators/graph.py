@@ -298,6 +298,10 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         if new.isEmpty():
+            # ADVICE r10 #4: the empty frontier was materialized by the
+            # eager checkpoint above and nothing downstream reads it —
+            # release it so the early exit leaks no superseded vector.
+            release_local_checkpoint(new)
             break
         new_dist = dist.unionAll(new).localCheckpoint(eager=True)
         release_local_checkpoint(dist)  # folded into new_dist (materialized)
@@ -451,6 +455,9 @@ def weighted_sssp(
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
+            # ADVICE r10 #4: `improved` was eagerly materialized and is
+            # dead on this path — release before returning.
+            release_local_checkpoint(improved)
             return dist
         new_dist = (
             dist.join(improved.select("node"), "node", "left_anti")

@@ -42,55 +42,54 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 front-load, slot budget 50 (50 used). VERDICT r9 ask #1:
-    # rotate the full 43-key r6-verdict cohort, backfilled to 50 from
-    # the r7 cohort heaviest-plans-first — after this round no key's
-    # latest verdict sits on pre-r7 code.
-    # (a) Keys whose implementation changed this round: the audio
-    # decode gate in _audio_pcm (parseable data chunk required before
-    # blaming a missing codec, ADVICE r9 #3), and every key riding
-    # the iterative loops that now release superseded localCheckpoints
-    # deterministically (operators/graph.py connected_components →
-    # dedup_clusters; kcore/bfs/weighted-SSSP → the graph q_*;
-    # pagerank shares the file; operators/bpe.py _train_distributed →
-    # the batched BPE trainer).
-    "multimodal_audio_neardup", "dedup_clusters",
-    "text_bpe_train_batched", "q_kcore", "q_weighted_paths",
-    "q_shortest_path", "q_pagerank",
-    # (b) ALL 43 keys whose latest driver verdict is on r6 code —
-    # composed pipelines / sync / stream / layout tiers first, then
-    # the q_* analytics pack, then sessionization + digest twins,
-    # then the text/search ops.
-    "pipeline_search_index", "rollup_incremental", "sync_incremental",
-    "stream_attribution", "stream_rollup", "layout_orc_roundtrip",
-    "q_expectations", "q_record_linkage", "q_entity_resolution",
-    "q_market_basket", "q_min_cost_supplier", "q_product_profit",
-    "q_important_stock", "q_promo_revenue", "q_supplier_count",
-    "q_potential_promotion", "q_idle_customers", "q_gap_fill",
-    "q_skyline", "q_attribution", "q_profile", "q_stickiness",
-    "q_mode", "q_experiment", "q_join_anti", "q_string_funcs",
-    "q_pivot", "q_rollup", "q_json_extract", "q_window_distribution",
-    "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
-    "q_sessionize_dg_val", "q_sessionize_dg_start",
-    "q_sessionize_dg_end",
-    "text_inverted_index", "text_bm25", "text_collocations",
-    "text_perplexity", "text_nb_train", "text_nb_classify",
-    "text_bloom_decontaminate",
+    # Round-11 front-load, slot budget 50 (50 used). VERDICT r10 ask
+    # #1: rotate the full 43-key r7-verdict cohort, backfilled to 50
+    # from the r8 cohort heaviest-plans-first — after this round no
+    # key's latest verdict sits on pre-r8 code.
+    # (a) The VERDICT's named front-loads: file_roundtrip
+    # (sinks/files.py's shared _file_sink path changed in r10 AFTER
+    # the rotation was pinned, and changes again this round — the
+    # fileNameExpr validation tightening, ADVICE r10 #3), plus
+    # q_triangles / dedup_minhash, deferred from the r10 backfill.
+    "file_roundtrip", "q_triangles", "dedup_minhash",
+    # (b) Keys whose implementation changed this round: the BFS /
+    # weighted-SSSP early-exit paths now release their last eager
+    # checkpoint (operators/graph.py, ADVICE r10 #4).
+    "q_shortest_path", "q_weighted_paths",
+    # (c) The remaining 40 keys of the r7-verdict cohort, registry
+    # order: events/windows, the text tier, dedup/ANN, composed
+    # pipelines, the sync/sink family, streams, the q_* pack, BPE.
+    "q_event_funnel", "q_tumbling_window", "q_asof_join",
+    "q_interval_join", "q_heavy_hitters", "q_range_window",
+    "text_tokens", "text_quality", "text_lang_id", "text_fingerprint",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding", "pipeline_llm_prep", "ann_bruteforce",
+    "ann_lsh", "text_pii_redact", "text_chunks", "text_word_freq",
+    "pipeline_e2e", "pipeline_fanout", "source_sql", "id_gen",
+    "sync_insert_missing", "sink_upsert", "sync_flag_update",
+    "delete_where", "sync_scd2", "stream_session_window",
+    "q_window_running", "q_case_agg", "q_market_share", "q_array_agg",
+    "sync_chunked", "text_decontaminate", "text_mix", "text_pack",
+    "text_bpe_train", "text_bpe_encode",
+    # (d) Backfill to 50 from the r8 cohort, heaviest plans first:
+    # the composed web-prep pipeline, k-means semantic dedup, the
+    # exchange-reuse TPC-H pair, IVF-PQ.
+    "pipeline_web_prep", "dedup_semantic", "q_big_orders",
+    "q_waiting_supplier", "ann_ivfpq",
 )
-# Next round (r11): the remaining 44-key r7-verdict cohort
-# (including q_triangles and dedup_minhash, displaced from this
-# round's backfill by the changed-code front-load) —
-# dedup_exact/simhash/embedding/ngram_jaccard, ann_bruteforce/ann_lsh,
-# pipeline_llm_prep/e2e/fanout, the sync/sink family (source_sql,
-# id_gen, file_roundtrip, sync_insert_missing, sink_upsert,
-# sync_flag_update, delete_where, sync_scd2, sync_chunked),
-# q_asof/interval/heavy_hitters/range_window/event_funnel/
-# tumbling_window/window_running/case_agg/market_share/array_agg,
-# stream_session_window, and the text tier (tokens, quality, lang_id,
-# fingerprint, pii_redact, chunks, word_freq, decontaminate, mix,
-# pack, bpe_train, bpe_train_batched, bpe_encode) — then the r8
-# cohort behind it. tools/verdict_freshness.py prints the ordered
-# 91-key list ready to paste.
+# Next round (r12): the remaining 39-key r8-verdict cohort —
+# ann_ivf/ann_range/ann_pq, find_files, line_parser_csv,
+# xml_parse/xml_format, the stream tier (windowed_agg, dedup,
+# stream_join, sliding_window, static_join), the TPC-H core
+# (q_filter_project, q_agg_pricing, q_join_broadcast/multiway/left/
+# semi/full, q_window_rank, q_subquery_avg, q_percentile,
+# q_ship_priority, q_order_priority, q_nation_volume,
+# q_returned_items, q_count_distribution, q_top_supplier,
+# q_or_predicates, q_cube, q_argminmax, q_set_ops), the text tier
+# (repeated_ngrams, gopher_quality, tfidf, dedup_lines, url_dedup,
+# sample_exact_k), text_bpe_train_topm — then the r9 cohort (49 keys)
+# behind it. tools/verdict_freshness.py prints the ordered list
+# ready to paste.
 
 
 def registry() -> dict[str, Query]:

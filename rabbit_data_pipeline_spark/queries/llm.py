@@ -1482,14 +1482,31 @@ def _codec_corpus():
     return pngs, avis, wavs
 
 
-#: Parquet staging dir for the codec probe corpus — /tmp persists
+#: Parquet staging for the codec probe corpus — the temp dir persists
 #: across rounds like the bench's scaled sf1 copy. The generator
 #: VERSION is part of the directory name, so a corpus change can
 #: never collide with a stale stage, and concurrent same-version
 #: stagers (bench + test suite overlap in practice) race only on an
 #: atomic rename, never on in-place overwrite-mode writes.
 _CODEC_STAGE_VERSION = "v1-240png-48avi-160wav-seed90210"
-_CODEC_STAGE_DIR = f"/tmp/rdps_codec_corpus_{_CODEC_STAGE_VERSION}"
+
+
+def _codec_stage_dir() -> str:
+    """Per-user 0o700 staging root (ADVICE r10 #1): a fixed
+    world-writable /tmp name lets any local user pre-create the
+    directory and poison the probe's input. The root is owned-and-
+    private per uid; a pre-existing root owned by someone else is an
+    error, not an input."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"rdps-{os.getuid()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(f"codec stage root {base} is owned by uid {st.st_uid}, not us")
+    os.chmod(base, 0o700)  # makedirs mode= is ignored when the dir pre-exists
+    return os.path.join(base, f"codec_corpus_{_CODEC_STAGE_VERSION}")
 
 
 def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
@@ -1515,9 +1532,10 @@ def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
     schema = StructType(
         [StructField("media_id", StringType()), StructField("payload", BinaryType())]
     )
-    marker = os.path.join(_CODEC_STAGE_DIR, "_BUILT")
+    stage_dir = _codec_stage_dir()
+    marker = os.path.join(stage_dir, "_BUILT")
     if not os.path.exists(marker):
-        build = f"{_CODEC_STAGE_DIR}.build-{os.getpid()}"
+        build = f"{stage_dir}.build-{os.getpid()}"
         pngs, avis, wavs = _codec_corpus()
         for mod, rows in (("png", pngs), ("avi", avis), ("wav", wavs)):
             spark.createDataFrame(rows, schema).repartition(4).write.mode(
@@ -1526,13 +1544,24 @@ def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
         with open(os.path.join(build, "_BUILT"), "w") as f:
             f.write(_CODEC_STAGE_VERSION)
         try:
-            os.rename(build, _CODEC_STAGE_DIR)
+            os.rename(build, stage_dir)
         except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # lost the race; theirs is identical
+            if os.path.exists(marker):
+                shutil.rmtree(build, ignore_errors=True)  # lost the race; theirs is identical
+            else:
+                # Marker-less dir blocking the rename = a stale
+                # half-stage (e.g. tmpfiles pruned files inside it).
+                # ADVICE r10 #1: remove it and retry once instead of
+                # failing permanently until someone cleans /tmp.
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                try:
+                    os.rename(build, stage_dir)
+                except OSError:
+                    shutil.rmtree(build, ignore_errors=True)
         if not os.path.exists(marker):
             raise RuntimeError(f"codec corpus staging failed to materialize {marker}")
     return {
-        mod: spark.read.parquet(os.path.join(_CODEC_STAGE_DIR, f"{mod}.parquet")).repartition(16)
+        mod: spark.read.parquet(os.path.join(stage_dir, f"{mod}.parquet")).repartition(16)
         for mod in ("png", "avi", "wav")
     }
 

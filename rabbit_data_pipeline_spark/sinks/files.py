@@ -64,10 +64,18 @@ def _eval_file_name_expr(spark, expr: str) -> str:
         v = spark.range(1).select(F.expr(expr).cast("string").alias("v")).first()["v"]
     except Exception as e:
         raise ValueError(f"fileNameExpr {expr!r} failed to evaluate: {e}") from e
-    if not v or "/" in v or "\x00" in v:
+    # ADVICE r10 #3: '/' and NUL alone let backslashes, newlines and
+    # other control characters through — names that break Windows-style
+    # paths and garble logs/manifests. Reject every separator either
+    # platform uses plus the whole control range; anything else
+    # (unicode, spaces, dots) stays legal, matching the reference's
+    # verbatim-fileName permissiveness (Sinks/File.php:51, doc/File.md).
+    bad = {"/", "\\", "\x7f", os.sep, os.altsep or "/"}
+    if not v or any(c in bad or ord(c) < 0x20 for c in v):
         raise ValueError(
             f"fileNameExpr {expr!r} produced {v!r} — need a non-empty name "
-            "without path separators (use `path` for directories)"
+            "without path separators or control characters (use `path` "
+            "for directories)"
         )
     return v
 

@@ -493,6 +493,13 @@ def test_file_sink_filename_expr(spark, tmp_path):
         _eval_file_name_expr(spark, "'a/b'")
     with _pytest.raises(ValueError, match="non-empty"):
         _eval_file_name_expr(spark, "CAST(NULL AS STRING)")
+    # ADVICE r10 #3: backslashes, newlines, tabs and other control
+    # characters are rejected too (Windows-separator / log-garbling
+    # names), while unicode and spaces stay legal.
+    for bad in (r"'a\\b'", "'a\nb'", "'a\tb'", "concat('x', char(7))"):
+        with _pytest.raises(ValueError, match="control characters|path separators"):
+            _eval_file_name_expr(spark, bad)
+    assert _eval_file_name_expr(spark, "'datt 2024 ü'") == "datt 2024 ü"
 
 
 def test_corpus_diff_plugin_two_inputs(spark):

@@ -1,15 +1,39 @@
-"""Round-over-round bench comparison: plan hashes + timings.
+"""Round-over-round bench comparison: plan hashes + timings, with
+calibration-backed {plan, host, real} attribution.
 
-Usage: python tools/bench_diff.py BENCH_DETAIL_r07.json BENCH_DETAIL.json
+Usage:
+  python tools/bench_diff.py OLD.json NEW.json [--idle IDLE.json]
 
 For each headline query — and, since round 9, each extended probe
 (VERDICT r8 ask #1) — prints whether the normalized optimized-plan
-hash moved (plan change — intended or regression, attribute it) and
-the min-timing delta with the old round's spread so noise is
-distinguishable from real movement (the r7 methodology: same hash +
-delta inside the spread envelope = host noise; moved hash or a min
-shifted past the spread = investigate). Exit code 1 when any hash
-moved, so a round script can force the attribution step.
+hash moved and the min-timing delta against the noise envelope (the
+r7 methodology: same hash + delta inside the envelope = host noise;
+moved hash or a min shifted past the envelope = investigate).
+
+Since round 11 (VERDICT r10 ask #2) the old/new records both carry
+host-calibration probes (fixed CPU work, serial + 16-way) and
+per-run spreads, so every envelope-breaker gets a MECHANICAL label:
+
+  plan          — the normalized plan hash moved; attribute the change
+  host(calib)   — the calibration probes shifted by ~the same factor:
+                  the machine got slower/faster, not the plan
+  host(uniform) — calibration can't explain it, but nearly every
+                  same-plan query moved the same direction by a
+                  similar magnitude (the round-10 throttled-host
+                  signature: sustained-load steal that burst
+                  calibrations undersample)
+  REAL          — same plan, quiet host, this query alone moved past
+                  its envelope: a genuine performance change
+
+--idle compares the NEW (official driver) record against the
+committed idle-host sidecar (VERDICT r10 ask #3: the two can tell
+opposite stories; the policy in SCALING.md makes the idle sidecar
+canonical for trend and the official record the driver-of-record,
+and this tool warns when they diverge beyond what their calibration
+ratio explains).
+
+Exit code 1 when any hash moved or any breaker is labeled REAL, so a
+round script can force the attribution step.
 """
 
 from __future__ import annotations
@@ -17,55 +41,171 @@ from __future__ import annotations
 import json
 import sys
 
+#: An envelope-breaker whose |delta - expected_shift| is inside the
+#: envelope plus this slack still counts as explained — calibration
+#: probes are themselves ±few-percent instruments.
+_CALIB_SLACK_PCT = 10.0
 
-def _section(title, oh, nh, os_, oq, nq, deltas_out=None) -> list[str]:
-    """Print one hash+timing table; returns the MOVED names. When
-    `deltas_out` is given, every unmoved row's delta% is appended to
-    it for the uniform-shift detector below."""
-    moved = []
-    print(f"\n[{title}]")
-    print(f"{'query':24} {'plan':8} {'old_min':>8} {'new_min':>8} {'delta%':>7} {'old_spread%':>11}")
+
+def _calib_shift_pct(old: dict, new: dict) -> float | None:
+    """How much fixed CPU work slowed down (+) or sped up (−) between
+    the two records, as a percent — the max-magnitude of the serial
+    and 16-way probes (a sustained throttle usually shows strongest
+    in the parallel one). None when either side lacks the fields."""
+    shifts = []
+    for key in ("host_calib_sec", "host_calib_par_sec"):
+        o, n = old.get(key), new.get(key)
+        if o and n:
+            shifts.append((n - o) / o * 100.0)
+    if not shifts:
+        return None
+    return max(shifts, key=abs)
+
+
+def _rows(oh, nh, os_, ns_, oq, nq) -> list[dict]:
+    """One comparison row per query name: plan verdict, delta%, and
+    the noise envelope (the larger of the two rounds' spreads — either
+    side's jitter makes a min untrustworthy)."""
+    rows = []
     for name in sorted(set(oh) | set(nh) | set(oq) | set(nq)):
         a, b = oh.get(name), nh.get(name)
         if a is None and b is None:
             plan = "-"  # timed but never hashed (pre-r9 extended rows)
         else:
             plan = "same" if a == b else ("NEW" if a is None else ("GONE" if b is None else "MOVED"))
-        if plan == "MOVED":
-            moved.append(name)
         om, nm = oq.get(name), nq.get(name)
-        delta = f"{(nm - om) / om * 100:+.1f}" if om and nm else "-"
-        spread = os_.get(name, {}).get("spread_pct", "-")
-        print(f"{name:24} {plan:8} {om or '-':>8} {nm or '-':>8} {delta:>7} {spread:>11}")
-        if deltas_out is not None and plan != "MOVED" and om and nm:
-            deltas_out.append((nm - om) / om * 100)
-    return moved
+        delta = (nm - om) / om * 100.0 if om and nm else None
+        spreads = [
+            s.get(name, {}).get("spread_pct")
+            for s in (os_, ns_)
+            if isinstance(s.get(name, {}).get("spread_pct"), (int, float))
+        ]
+        rows.append(
+            {
+                "name": name,
+                "plan": plan,
+                "old_min": om,
+                "new_min": nm,
+                "delta_pct": delta,
+                "envelope_pct": max(spreads) if spreads else None,
+            }
+        )
+    return rows
 
 
-def _uniform_shift(deltas: list[float], min_rows: int = 10, floor_pct: float = 15.0) -> str | None:
+def _uniform_shift(deltas: list[float], min_rows: int = 10, floor_pct: float = 15.0):
     """The round-10 throttled-host lesson, mechanized: when nearly
     every SAME-plan query moves in the same direction by a similar
     magnitude, the cause is a host condition (CPU budget, noisy
     neighbor, thermal), not a plan regression — a regression moves
-    specific plans, a throttle moves all of them. Returns the warning
-    line, or None when the deltas don't fit the pattern."""
+    specific plans, a throttle moves all of them. Returns (warning
+    line, median) or (None, None) when the deltas don't fit."""
     if len(deltas) < min_rows:
-        return None
+        return None, None
     med = sorted(deltas)[len(deltas) // 2]
     if abs(med) < floor_pct:
-        return None
+        return None, None
     same_sign = sum(1 for d in deltas if (d > 0) == (med > 0) and abs(d) > 5.0)
     if same_sign / len(deltas) < 0.8:
-        return None
+        return None, None
     return (
         f"UNIFORM SHIFT: {same_sign}/{len(deltas)} same-plan queries moved "
         f"{'+' if med > 0 else ''}{med:.0f}% (median) in the same direction — "
         "the signature of a host-condition change, not a plan regression; "
         "re-run on an idle host before reading the totals as real"
+    ), med
+
+
+def label_row(
+    plan: str,
+    delta_pct: float | None,
+    envelope_pct: float | None,
+    calib_shift_pct: float | None,
+    uniform_median_pct: float | None,
+) -> str:
+    """The mechanical attribution (VERDICT r10 ask #2). Tried in
+    evidence order: a moved hash is always 'plan'; a delta inside the
+    noise envelope is not a finding at all; a breaker the calibration
+    shift brackets is the host; a breaker riding a detected uniform
+    shift is the host even when burst calibration missed the throttle
+    (steal is sustained-load); what remains is REAL."""
+    if plan == "MOVED":
+        return "plan"
+    if delta_pct is None:
+        return ""
+    env = envelope_pct if envelope_pct is not None else 0.0
+    if abs(delta_pct) <= env:
+        return "noise" if abs(delta_pct) > 5.0 else "same"
+    if (
+        calib_shift_pct is not None
+        and abs(calib_shift_pct) > 2.0
+        and (delta_pct > 0) == (calib_shift_pct > 0)
+        and abs(delta_pct - calib_shift_pct) <= env + _CALIB_SLACK_PCT
+    ):
+        return "host(calib)"
+    if (
+        uniform_median_pct is not None
+        and (delta_pct > 0) == (uniform_median_pct > 0)
+        and abs(delta_pct - uniform_median_pct) <= max(env, 2 * abs(uniform_median_pct))
+    ):
+        return "host(uniform)"
+    return "REAL"
+
+
+def record_divergence(official: dict, idle: dict, floor_pct: float = 10.0) -> str | None:
+    """VERDICT r10 ask #3: warn when the official driver record and
+    the committed idle-host sidecar diverge by more than their own
+    calibration ratio explains (plus a noise floor). The two records
+    measure the SAME code and plans; any honest gap between them is
+    host conditions, and the calibration probes bound how much host
+    the official window had. A gap beyond that bound means one of the
+    records is not what it claims (wrong code, wrong scale, stale
+    sidecar) — stop and reconcile before quoting either."""
+    warns = []
+    calib = _calib_shift_pct(idle, official)  # idle → official host factor
+    explained = abs(calib) if calib is not None else 0.0
+    for key, label in (("value", "sf0.1 total"), ("sf1_total", "sf1 total")):
+        o, i = official.get(key), idle.get(key)
+        if not (isinstance(o, (int, float)) and isinstance(i, (int, float)) and i):
+            continue
+        gap = (o - i) / i * 100.0
+        if abs(gap) > explained + floor_pct:
+            warns.append(
+                f"official {label} {o} vs idle sidecar {i} ({gap:+.1f}%) exceeds the "
+                f"calibration-explained {explained:.1f}% + {floor_pct:.0f}% floor"
+            )
+    if not warns:
+        return None
+    return (
+        "RECORD DIVERGENCE: "
+        + "; ".join(warns)
+        + " — per SCALING.md policy the idle sidecar is canonical for trend; "
+        "reconcile (re-run idle, check sf/scale fields) before quoting either total"
     )
 
 
-def main(old_path: str, new_path: str) -> int:
+def _print_section(title: str, rows: list[dict], calib_shift, uniform_med) -> list[dict]:
+    """Render one table; returns the envelope-breaker rows (labeled)."""
+    breakers = []
+    print(f"\n[{title}]")
+    print(
+        f"{'query':24} {'plan':8} {'old_min':>8} {'new_min':>8} {'delta%':>7} "
+        f"{'envelope%':>9}  label"
+    )
+    for r in rows:
+        lab = label_row(r["plan"], r["delta_pct"], r["envelope_pct"], calib_shift, uniform_med)
+        if lab in ("plan", "host(calib)", "host(uniform)", "REAL"):
+            breakers.append({**r, "label": lab})
+        d = f"{r['delta_pct']:+.1f}" if r["delta_pct"] is not None else "-"
+        e = f"{r['envelope_pct']:.1f}" if r["envelope_pct"] is not None else "-"
+        print(
+            f"{r['name']:24} {r['plan']:8} {r['old_min'] or '-':>8} "
+            f"{r['new_min'] or '-':>8} {d:>7} {e:>9}  {lab}"
+        )
+    return breakers
+
+
+def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     o_rules, n_rules = old.get("plan_hash_rules", "v1"), new.get("plan_hash_rules", "v1")
@@ -74,45 +214,84 @@ def main(old_path: str, new_path: str) -> int:
             f"NOTE: hash rules differ ({o_rules} vs {n_rules}) — a MOVED row may be the rule "
             "change, not a plan change; run tools/hash_rules_replay.py to attribute mechanically"
         )
-    deltas: list[float] = []
-    moved = _section(
-        "headline sf0.1",
-        old.get("plan_hashes", {}),
-        new.get("plan_hashes", {}),
-        old.get("queries_stats", {}),
-        old.get("queries", {}),
-        new.get("queries", {}),
-        deltas_out=deltas,
-    )
+    for side, rec in (("old", old), ("new", new)):
+        w = rec.get("plan_hash_warnings")
+        if w:
+            print(f"NOTE: {side} record carries plan_hash_warnings (residual identity hashes): {w}")
+
+    calib_shift = _calib_shift_pct(old, new)
+
+    sections = [
+        (
+            "headline sf0.1",
+            _rows(
+                old.get("plan_hashes", {}),
+                new.get("plan_hashes", {}),
+                old.get("queries_stats", {}),
+                new.get("queries_stats", {}),
+                old.get("queries", {}),
+                new.get("queries", {}),
+            ),
+        ),
+    ]
     # sf1 timings share the sf0.1 plan hashes (same builders, same
     # normalized shape) — report the timing deltas against sf1 spreads.
     if old.get("sf1_queries") or new.get("sf1_queries"):
-        _section(
-            "headline sf1 (hashes shared with sf0.1)",
-            {},
-            {},
-            old.get("sf1_stats", {}),
-            old.get("sf1_queries", {}),
-            new.get("sf1_queries", {}),
-            deltas_out=deltas,
+        sections.append(
+            (
+                "headline sf1 (hashes shared with sf0.1)",
+                _rows(
+                    {},
+                    {},
+                    old.get("sf1_stats", {}),
+                    new.get("sf1_stats", {}),
+                    old.get("sf1_queries", {}),
+                    new.get("sf1_queries", {}),
+                ),
+            )
         )
-    moved += _section(
-        "extended sf0.1",
-        old.get("extended_plan_hashes", {}),
-        new.get("extended_plan_hashes", {}),
-        old.get("extended_stats", {}),
-        old.get("extended_queries", {}),
-        new.get("extended_queries", {}),
+    sections.append(
+        (
+            "extended sf0.1",
+            _rows(
+                old.get("extended_plan_hashes", {}),
+                new.get("extended_plan_hashes", {}),
+                old.get("extended_stats", {}),
+                new.get("extended_stats", {}),
+                old.get("extended_queries", {}),
+                new.get("extended_queries", {}),
+            ),
+        )
     )
     if old.get("sf1_extended") or new.get("sf1_extended"):
-        _section(
-            "extended sf1 (hashes shared with sf0.1)",
-            {},
-            {},
-            old.get("sf1_extended_stats", {}),
-            old.get("sf1_extended", {}),
-            new.get("sf1_extended", {}),
+        sections.append(
+            (
+                "extended sf1 (hashes shared with sf0.1)",
+                _rows(
+                    {},
+                    {},
+                    old.get("sf1_extended_stats", {}),
+                    new.get("sf1_extended_stats", {}),
+                    old.get("sf1_extended", {}),
+                    new.get("sf1_extended", {}),
+                ),
+            )
         )
+
+    # Uniform-shift median over every same-plan delta, all sections —
+    # computed BEFORE printing so the per-row labels can use it.
+    all_deltas = [
+        r["delta_pct"]
+        for _, rows in sections
+        for r in rows
+        if r["plan"] != "MOVED" and r["delta_pct"] is not None
+    ]
+    shift_line, uniform_med = _uniform_shift(all_deltas)
+
+    breakers: list[dict] = []
+    for title, rows in sections:
+        breakers += _print_section(title, rows, calib_shift, uniform_med)
+
     t_old, t_new = old.get("value"), new.get("value")
     if t_old and t_new:
         print(f"\ntotal: {t_old} -> {t_new} ({(t_new - t_old) / t_old * 100:+.1f}%)")
@@ -130,21 +309,49 @@ def main(old_path: str, new_path: str) -> int:
                 f"({(c_new - c_old) / c_old * 100:+.1f}% — fixed CPU work; a shift here "
                 "rescales every timing below it)"
             )
+    if calib_shift is not None:
+        print(f"calibration shift used for labels: {calib_shift:+.1f}%")
     s_o, s_n = old.get("host_steal_pct"), new.get("host_steal_pct")
     if s_o is not None and s_n is not None:
         print(
             f"host steal: {s_o}% -> {s_n}% of run CPU stolen by the hypervisor "
             "(sustained-load throttle the burst calibrations can't see)"
         )
-    shift = _uniform_shift(deltas)
-    if shift:
-        print(f"\n{shift}")
+    if shift_line:
+        print(f"\n{shift_line}")
+
+    moved = [b["name"] for b in breakers if b["label"] == "plan"]
+    real = [b["name"] for b in breakers if b["label"] == "REAL"]
+    hosty = [b for b in breakers if b["label"].startswith("host")]
+    if breakers:
+        print(f"\nenvelope-breakers ({len(breakers)}):")
+        for b in breakers:
+            print(f"  {b['name']:24} {b['delta_pct']:+7.1f}%  -> {b['label']}")
     if moved:
         print(f"\nplan hashes MOVED ({len(moved)}): {', '.join(moved)} — attribute each before shipping")
     else:
         print("\nall plan hashes unchanged")
-    return 1 if moved else 0
+    if hosty:
+        print(f"host-attributed breakers: {len(hosty)} (calibration/uniform-shift explained)")
+    if real:
+        print(f"REAL breakers ({len(real)}): {', '.join(real)} — investigate before shipping")
+
+    if idle_path:
+        idle = json.load(open(idle_path))
+        warn = record_divergence(new, idle)
+        if warn:
+            print(f"\n{warn}")
+        else:
+            print("\nofficial record agrees with the idle sidecar within the calibration bound")
+
+    return 1 if (moved or real) else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    _argv = sys.argv[1:]
+    _idle = None
+    if "--idle" in _argv:
+        _i = _argv.index("--idle")
+        _idle = _argv[_i + 1]
+        _argv = _argv[:_i] + _argv[_i + 2 :]
+    sys.exit(main(_argv[0], _argv[1], _idle))
