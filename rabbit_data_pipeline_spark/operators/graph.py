@@ -309,6 +309,12 @@ def bfs_distances(
             release_local_checkpoint(frontier)  # consumed building `new`
         dist = new_dist
         frontier = new
+    # On ANY exit (empty-frontier break or hop exhaustion) the last
+    # non-empty frontier was already folded into dist and is dead —
+    # release it too, or one superseded vector per call outlives the
+    # loop (the same leak class ADVICE r10 #4 flagged on the break).
+    if frontier is not dist:
+        release_local_checkpoint(frontier)
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 
@@ -456,8 +462,11 @@ def weighted_sssp(
         )
         if improved.isEmpty():
             # ADVICE r10 #4: `improved` was eagerly materialized and is
-            # dead on this path — release before returning.
+            # dead on this path — release before returning, along with
+            # the previous round's frontier (folded into dist already).
             release_local_checkpoint(improved)
+            if frontier is not dist:
+                release_local_checkpoint(frontier)
             return dist
         new_dist = (
             dist.join(improved.select("node"), "node", "left_anti")
@@ -473,6 +482,9 @@ def weighted_sssp(
             release_local_checkpoint(frontier)
         dist = new_dist
         frontier = improved
+    # Round exhaustion: the last frontier is folded into dist — dead.
+    if frontier is not dist:
+        release_local_checkpoint(frontier)
     # converged iff one more relaxation changes nothing
     cand = (
         dist.join(edges, dist["node"] == edges["src"])

@@ -1498,15 +1498,65 @@ def _codec_stage_dir() -> str:
     private per uid; a pre-existing root owned by someone else is an
     error, not an input."""
     import os
+    import stat as stat_mod
     import tempfile
 
     base = os.path.join(tempfile.gettempdir(), f"rdps-{os.getuid()}")
     os.makedirs(base, mode=0o700, exist_ok=True)
-    st = os.stat(base)
+    # lstat, not stat: a symlink planted at the fixed name would pass a
+    # follow-links uid check against the attacker-chosen TARGET and
+    # redirect the chmod + corpus writes there. A real directory owned
+    # by us can't be replaced later (sticky-bit temp dir), so checking
+    # the entry itself closes the pre-creation attack.
+    st = os.lstat(base)
+    if stat_mod.S_ISLNK(st.st_mode) or not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"codec stage root {base} is not a plain directory")
     if st.st_uid != os.getuid():
         raise RuntimeError(f"codec stage root {base} is owned by uid {st.st_uid}, not us")
     os.chmod(base, 0o700)  # makedirs mode= is ignored when the dir pre-exists
     return os.path.join(base, f"codec_corpus_{_CODEC_STAGE_VERSION}")
+
+
+def _install_stage(build: str, stage_dir: str) -> None:
+    """Atomically install a fully-built stage dir (must contain
+    `_BUILT`) at the shared path. Lost races discard `build` (all
+    same-version stages are bit-identical — the corpus is seeded).
+    A marker-LESS dir blocking the rename is a stale half-stage (e.g.
+    tmpfiles pruned files inside it; ADVICE r10 #1): recover instead
+    of failing until someone cleans the temp dir — but never rmtree
+    the shared path in place, because a concurrent stager may have
+    JUST installed a valid stage after our marker check. The blocker
+    is renamed aside first (atomic, one winner); if what we grabbed
+    turns out to carry the marker after all, it goes straight back."""
+    import os
+    import shutil
+
+    marker = os.path.join(stage_dir, "_BUILT")
+    try:
+        os.rename(build, stage_dir)
+        return
+    except OSError:
+        pass
+    if os.path.exists(marker):
+        shutil.rmtree(build, ignore_errors=True)  # lost the race; theirs is identical
+        return
+    stale = f"{stage_dir}.stale-{os.getpid()}"
+    try:
+        os.rename(stage_dir, stale)
+    except OSError:
+        pass  # another recoverer already moved it aside
+    else:
+        if os.path.exists(os.path.join(stale, "_BUILT")):
+            try:
+                os.rename(stale, stage_dir)
+            except OSError:  # a third stager beat us back
+                shutil.rmtree(stale, ignore_errors=True)
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+    try:
+        os.rename(build, stage_dir)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
 
 
 def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
@@ -1525,7 +1575,6 @@ def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
     scheduler packing (the ~15 MB shuffle it costs is noise against
     seconds of decode)."""
     import os
-    import shutil
 
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
@@ -1543,21 +1592,7 @@ def _codec_corpus_staged(spark: SparkSession) -> dict[str, DataFrame]:
             ).parquet(os.path.join(build, f"{mod}.parquet"))
         with open(os.path.join(build, "_BUILT"), "w") as f:
             f.write(_CODEC_STAGE_VERSION)
-        try:
-            os.rename(build, stage_dir)
-        except OSError:
-            if os.path.exists(marker):
-                shutil.rmtree(build, ignore_errors=True)  # lost the race; theirs is identical
-            else:
-                # Marker-less dir blocking the rename = a stale
-                # half-stage (e.g. tmpfiles pruned files inside it).
-                # ADVICE r10 #1: remove it and retry once instead of
-                # failing permanently until someone cleans /tmp.
-                shutil.rmtree(stage_dir, ignore_errors=True)
-                try:
-                    os.rename(build, stage_dir)
-                except OSError:
-                    shutil.rmtree(build, ignore_errors=True)
+        _install_stage(build, stage_dir)
         if not os.path.exists(marker):
             raise RuntimeError(f"codec corpus staging failed to materialize {marker}")
     return {

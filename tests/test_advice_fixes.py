@@ -1090,22 +1090,91 @@ def test_codec_stage_dir_is_per_user_and_recovers_stale(tmp_path, monkeypatch):
     assert stat.S_IMODE(os.stat(base).st_mode) == 0o700
     assert llm._CODEC_STAGE_VERSION in os.path.basename(d)
 
+    # Symlink at the fixed root name (the /tmp pre-creation attack):
+    # rejected via lstat, never chmod'd/written through.
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    link_tmp = tmp_path / "linked"
+    link_tmp.mkdir()
+    os.symlink(str(victim), os.path.join(str(link_tmp), f"rdps-{os.getuid()}"))
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(link_tmp))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not a plain directory"):
+        llm._codec_stage_dir()
+
     # stale-dir recovery: a marker-less dir squatting on the stage path
-    # (rename target exists → OSError) must be cleared and retried.
+    # (rename target exists → OSError) must be cleared and retried...
     os.makedirs(d)  # no _BUILT inside: the "pruned by tmpfiles" state
-    build = f"{d}.build-{os.getpid()}"
+    build = f"{d}.build-a"
     os.makedirs(build)
     open(os.path.join(build, "_BUILT"), "w").write(llm._CODEC_STAGE_VERSION)
     marker = os.path.join(d, "_BUILT")
-    # reproduce the staging tail's recovery logic end-to-end via the
-    # real function would need spark writes; the contract under test is
-    # the rename-retry shape, so drive it directly:
-    import shutil
+    llm._install_stage(build, d)
+    assert os.path.exists(marker) and not os.path.exists(build)
 
-    try:
-        os.rename(build, d)
-    except OSError:
-        if not os.path.exists(marker):
-            shutil.rmtree(d, ignore_errors=True)
-            os.rename(build, d)
-    assert os.path.exists(marker)
+    # ...but a VALID stage already installed must never be deleted:
+    # the loser discards its own build and the marker survives intact.
+    build2 = f"{d}.build-b"
+    os.makedirs(build2)
+    open(os.path.join(build2, "_BUILT"), "w").write("other-content")
+    open(os.path.join(d, "payload"), "w").write("keep-me")
+    llm._install_stage(build2, d)
+    assert open(os.path.join(d, "payload")).read() == "keep-me"
+    assert open(marker).read() == llm._CODEC_STAGE_VERSION  # winner's, not b's
+    assert not os.path.exists(build2)
+    assert not os.path.exists(f"{d}.stale-{os.getpid()}")  # no debris
+
+
+def test_bench_diff_review_hardenings(capsys, tmp_path):
+    """Round-11 review fixes on the attribution machinery, pinned:
+    (1) a calibration shift OPPOSITE the record gap explains nothing —
+    RECORD DIVERGENCE must still fire; (2) a row with no spread stats
+    on either side gets no breaker label (pre-r11 behavior) instead of
+    a phantom REAL; (3) a MOVED row with no timing delta still prints
+    in the breaker summary instead of crashing the report; (4) --idle
+    without a path (or missing positionals) exits 2 with usage, not a
+    traceback."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    bd = _load_bench_diff()
+
+    # (1) sign-aware divergence: official calibrates 30% FASTER but
+    # totals 40% SLOWER — a faster host cannot explain a slower total.
+    idle = {"value": 10.0, "host_calib_sec": 0.10, "host_calib_par_sec": 0.08}
+    official = {"value": 14.0, "host_calib_sec": 0.07, "host_calib_par_sec": 0.056}
+    warn = bd.record_divergence(official, idle)
+    assert warn and "RECORD DIVERGENCE" in warn
+    # same-direction calibration still explains (official 25% slower
+    # host, 30% slower total → inside 25%+10% floor)
+    official2 = {"value": 13.0, "host_calib_sec": 0.125, "host_calib_par_sec": 0.10}
+    assert bd.record_divergence(official2, idle) is None
+
+    # (2) no envelope on either side → no label, no breaker
+    assert bd.label_row("same", 42.0, None, None, None) == ""
+    assert bd.label_row("MOVED", 42.0, None, None, None) == "plan"
+
+    # (3) MOVED row whose min is missing on one side: report prints
+    old = {
+        "plan_hashes": {"q": "aaa"}, "queries": {}, "queries_stats": {},
+        "value": 1.0, "plan_hash_rules": "v3",
+    }
+    new = {
+        "plan_hashes": {"q": "bbb"}, "queries": {"q": 1.0},
+        "queries_stats": {"q": {"spread_pct": 5.0}},
+        "value": 1.0, "plan_hash_rules": "v3",
+    }
+    po, pn = str(tmp_path / "rh_old.json"), str(tmp_path / "rh_new.json")
+    json.dump(old, open(po, "w")); json.dump(new, open(pn, "w"))
+    assert bd.main(po, pn) == 1
+    out = capsys.readouterr().out
+    assert "MOVED (1): q" in out and "-> plan" in out
+
+    # (4) CLI arg validation: usage + exit 2, no traceback
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    for args in ([po, pn, "--idle"], [po]):
+        r = subprocess.run([sys.executable, tool, *args], capture_output=True, text=True)
+        assert r.returncode == 2 and "usage:" in r.stderr and "Traceback" not in r.stderr

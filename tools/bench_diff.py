@@ -133,7 +133,14 @@ def label_row(
         return "plan"
     if delta_pct is None:
         return ""
-    env = envelope_pct if envelope_pct is not None else 0.0
+    if envelope_pct is None:
+        # No spread stats on either side (pre-r9 records carried bare
+        # mins): without an envelope a delta can't be called a breaker
+        # — labeling every jitter REAL against an old record would flip
+        # the exit code on pure noise. Same hash + no envelope = the
+        # pre-r11 behavior: report the delta, attribute nothing.
+        return ""
+    env = envelope_pct
     if abs(delta_pct) <= env:
         return "noise" if abs(delta_pct) > 5.0 else "same"
     if (
@@ -163,12 +170,16 @@ def record_divergence(official: dict, idle: dict, floor_pct: float = 10.0) -> st
     sidecar) — stop and reconcile before quoting either."""
     warns = []
     calib = _calib_shift_pct(idle, official)  # idle → official host factor
-    explained = abs(calib) if calib is not None else 0.0
     for key, label in (("value", "sf0.1 total"), ("sf1_total", "sf1 total")):
         o, i = official.get(key), idle.get(key)
         if not (isinstance(o, (int, float)) and isinstance(i, (int, float)) and i):
             continue
         gap = (o - i) / i * 100.0
+        # Calibration explains the gap only when it moved the SAME
+        # direction: a faster-calibrating official host producing a
+        # slower total is exactly the "one record is not what it
+        # claims" case, not an explained one.
+        explained = abs(calib) if calib is not None and (calib > 0) == (gap > 0) else 0.0
         if abs(gap) > explained + floor_pct:
             warns.append(
                 f"official {label} {o} vs idle sidecar {i} ({gap:+.1f}%) exceeds the "
@@ -326,7 +337,10 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
     if breakers:
         print(f"\nenvelope-breakers ({len(breakers)}):")
         for b in breakers:
-            print(f"  {b['name']:24} {b['delta_pct']:+7.1f}%  -> {b['label']}")
+            # a MOVED row can lack a timing delta (min missing/0.0 on
+            # one side) — the plan attribution must still print
+            d = f"{b['delta_pct']:+7.1f}%" if b["delta_pct"] is not None else "      -"
+            print(f"  {b['name']:24} {d}  -> {b['label']}")
     if moved:
         print(f"\nplan hashes MOVED ({len(moved)}): {', '.join(moved)} — attribute each before shipping")
     else:
@@ -352,6 +366,12 @@ if __name__ == "__main__":
     _idle = None
     if "--idle" in _argv:
         _i = _argv.index("--idle")
+        if _i + 1 >= len(_argv):
+            print("usage: bench_diff.py OLD.json NEW.json [--idle IDLE.json]", file=sys.stderr)
+            sys.exit(2)
         _idle = _argv[_i + 1]
         _argv = _argv[:_i] + _argv[_i + 2 :]
+    if len(_argv) != 2:
+        print("usage: bench_diff.py OLD.json NEW.json [--idle IDLE.json]", file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(_argv[0], _argv[1], _idle))
