@@ -329,9 +329,13 @@ _EXT_SF_INVARIANT = {"multimodal_codec_scale"}
 
 # Iterative graph probes get a third timed run (VERDICT r9 ask #3:
 # their min-of-2 envelopes showed ~20% same-code swings — pagerank sf1
-# control 17.4 vs record 20.9 — too weak to call a regression). Budget
-# ~+35 s at sf1; everything else stays min-of-2 + run lists.
-_EXT_MIN3 = {"q_pagerank", "q_kcore"}
+# control 17.4 vs record 20.9 — too weak to call a regression). The
+# BPE trainers joined in round 11: bpe_train_topm_scale's min-of-2
+# envelope (3-11%) broke twice in one round with the hash unchanged
+# (sf1 1.62 → 1.16 → 1.49 s across three same-code records — driver
+# round-trips between rounds make its floor warm-up-sensitive).
+# Budget ~+40 s at sf1; everything else stays min-of-2 + run lists.
+_EXT_MIN3 = {"q_pagerank", "q_kcore", "bpe_train_scale", "bpe_train_topm_scale"}
 
 
 def _host_calibration(runs: int = 3) -> float:
