@@ -1178,3 +1178,34 @@ def test_bench_diff_review_hardenings(capsys, tmp_path):
     for args in ([po, pn, "--idle"], [po]):
         r = subprocess.run([sys.executable, tool, *args], capture_output=True, text=True)
         assert r.returncode == 2 and "usage:" in r.stderr and "Traceback" not in r.stderr
+
+
+def test_identity_hash_tokens_never_escape_silently():
+    """Property (hypothesis): for ANY Java-identifier-like token
+    followed by '@'+hex in unquoted explain text, v3 normalization
+    either strips the hex (capital-initial class names) or the
+    residual guard reports it (lowercase/anon/array forms) — there is
+    no silent third state where a per-process hex survives into the
+    hash input unreported."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import bench
+
+    ident = st.from_regex(r"[A-Za-z_$][A-Za-z0-9_.$;]{0,20}", fullmatch=True)
+    hexs = st.from_regex(r"[0-9a-f]{6,16}", fullmatch=True)
+
+    @given(tok=ident, hx=hexs, arr=st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def check(tok, hx, arr):
+        token = ("[L" + tok + ";" if arr else tok) + "@" + hx
+        line = f"Project [x#1L]\nScan {token}\nFilter (y# > 2)"
+        norm = bench._normalize_plan(line)
+        residual = bench._residual_identity_hashes(norm)
+        hex_survives = ("@" + hx) in norm
+        if hex_survives:
+            assert any(hx in r for r in residual), (token, norm, residual)
+        else:
+            assert not any(hx in r for r in residual), (token, norm, residual)
+
+    check()

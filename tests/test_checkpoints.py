@@ -85,8 +85,9 @@ def test_kcore_storage_stays_bounded(spark):
 
 
 def test_bfs_eager_rounds_release_and_agree(spark):
-    """BFS rounds are now eager + released; distances are unchanged
-    and a 6-hop path leaves only {edges, final dist, last frontier}."""
+    """BFS rounds are eager + released on EVERY exit path (round 11:
+    the last folded frontier too); distances are unchanged and a
+    6-hop path leaves only {edges, final dist}."""
     from rabbit_data_pipeline_spark.operators.graph import bfs_distances
 
     edges = spark.createDataFrame(
@@ -96,7 +97,7 @@ def test_bfs_eager_rounds_release_and_agree(spark):
     dist = {r["node"]: r["dist"] for r in bfs_distances(edges, ["0"]).collect()}
     assert dist == {str(i): i for i in range(7)}
     leaked = _persistent_ids(spark) - before
-    assert len(leaked) <= 4, f"superseded rounds left persisted: {sorted(leaked)}"
+    assert len(leaked) <= 2, f"superseded rounds left persisted: {sorted(leaked)}"
 
 
 def test_weighted_sssp_releases_and_agrees(spark):
@@ -110,4 +111,25 @@ def test_weighted_sssp_releases_and_agrees(spark):
     dist = {r["node"]: r["dist"] for r in weighted_sssp(edges, ["a"]).collect()}
     assert dist == {"a": 0, "b": 5, "c": 6, "d": 8}
     leaked = _persistent_ids(spark) - before
-    assert len(leaked) <= 4, f"superseded rounds left persisted: {sorted(leaked)}"
+    assert len(leaked) <= 2, f"superseded rounds left persisted: {sorted(leaked)}"
+
+
+def test_iterative_storage_is_round_independent(spark):
+    """The 100 TB claim behind the release discipline, pinned: the
+    persisted set a frontier loop leaves behind is its INVARIANT set
+    ({edges, final dist}), independent of how many rounds ran. A chain
+    graph forces one round per node — 3× the rounds must leak exactly
+    as much as 1×. (Without the per-round + exit-path releases, the
+    leak grows linearly in rounds: one superseded node-vector each.)"""
+    from rabbit_data_pipeline_spark.operators.graph import bfs_distances
+
+    leaks = {}
+    for n in (8, 24):
+        edges = spark.createDataFrame(
+            [(str(i), str(i + 1)) for i in range(n)], ["src", "dst"]
+        )
+        before = _persistent_ids(spark)
+        dist = {r["node"]: r["dist"] for r in bfs_distances(edges, ["0"], max_hops=n + 2).collect()}
+        assert dist == {str(i): i for i in range(n + 1)}
+        leaks[n] = len(_persistent_ids(spark) - before)
+    assert leaks[24] <= leaks[8] <= 2, f"leak grew with round count: {leaks}"
