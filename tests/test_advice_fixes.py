@@ -1209,3 +1209,23 @@ def test_identity_hash_tokens_never_escape_silently():
             assert not any(hx in r for r in residual), (token, norm, residual)
 
     check()
+
+
+def test_label_row_consults_both_calibration_probes():
+    """Mixed host window (serial probe −9%, 16-way +11% — the real
+    r10-official → r11 pair): an improvement the SERIAL probe tracks
+    must label host(calib) even though the max-magnitude probe points
+    the other way; a breaker neither probe explains stays REAL."""
+    bd = _load_bench_diff()
+    lab = bd.label_row
+    shifts = [-9.4, +10.9]
+    assert lab("same", -16.0, 4.0, shifts, None) == "host(calib)"   # serial explains
+    assert lab("same", +18.0, 4.0, shifts, None) == "host(calib)"   # 16-way explains
+    assert lab("same", -60.0, 4.0, shifts, None) == "REAL"          # neither brackets
+    # scalar input still accepted (backwards compat)
+    assert lab("same", 30.0, 10.0, 28.0, None) == "host(calib)"
+    # record_divergence: either probe same-sign explains the gap
+    idle = {"value": 10.0, "host_calib_sec": 0.10, "host_calib_par_sec": 0.08}
+    official = {"value": 11.5, "host_calib_sec": 0.091, "host_calib_par_sec": 0.088}
+    # gap +15%, serial −9% (wrong sign), 16-way +10% (explains w/ floor)
+    assert bd.record_divergence(official, idle) is None

@@ -47,19 +47,18 @@ import sys
 _CALIB_SLACK_PCT = 10.0
 
 
-def _calib_shift_pct(old: dict, new: dict) -> float | None:
+def _calib_shifts_pct(old: dict, new: dict) -> list[float]:
     """How much fixed CPU work slowed down (+) or sped up (−) between
-    the two records, as a percent — the max-magnitude of the serial
-    and 16-way probes (a sustained throttle usually shows strongest
-    in the parallel one). None when either side lacks the fields."""
+    the two records, as percents — BOTH the serial and 16-way probes
+    (they can disagree in sign on a mixed window: single-core boost up,
+    core budget down; a query explained by either is host-attributed).
+    Empty when either side lacks the fields."""
     shifts = []
     for key in ("host_calib_sec", "host_calib_par_sec"):
         o, n = old.get(key), new.get(key)
         if o and n:
             shifts.append((n - o) / o * 100.0)
-    if not shifts:
-        return None
-    return max(shifts, key=abs)
+    return shifts
 
 
 def _rows(oh, nh, os_, ns_, oq, nq) -> list[dict]:
@@ -143,13 +142,22 @@ def label_row(
     env = envelope_pct
     if abs(delta_pct) <= env:
         return "noise" if abs(delta_pct) > 5.0 else "same"
-    if (
-        calib_shift_pct is not None
-        and abs(calib_shift_pct) > 2.0
-        and (delta_pct > 0) == (calib_shift_pct > 0)
-        and abs(delta_pct - calib_shift_pct) <= env + _CALIB_SLACK_PCT
-    ):
-        return "host(calib)"
+    # Either calibration probe (serial or 16-way) explaining the shift
+    # is enough — on a mixed window the two can disagree in sign, and
+    # picking only the max-magnitude one mislabeled improvements REAL
+    # when the serial probe tracked them exactly.
+    shifts = (
+        calib_shift_pct
+        if isinstance(calib_shift_pct, list)
+        else ([calib_shift_pct] if calib_shift_pct is not None else [])
+    )
+    for shift in shifts:
+        if (
+            abs(shift) > 2.0
+            and (delta_pct > 0) == (shift > 0)
+            and abs(delta_pct - shift) <= env + _CALIB_SLACK_PCT
+        ):
+            return "host(calib)"
     if (
         uniform_median_pct is not None
         and (delta_pct > 0) == (uniform_median_pct > 0)
@@ -169,17 +177,20 @@ def record_divergence(official: dict, idle: dict, floor_pct: float = 10.0) -> st
     records is not what it claims (wrong code, wrong scale, stale
     sidecar) — stop and reconcile before quoting either."""
     warns = []
-    calib = _calib_shift_pct(idle, official)  # idle → official host factor
+    shifts = _calib_shifts_pct(idle, official)  # idle → official host factor
     for key, label in (("value", "sf0.1 total"), ("sf1_total", "sf1 total")):
         o, i = official.get(key), idle.get(key)
         if not (isinstance(o, (int, float)) and isinstance(i, (int, float)) and i):
             continue
         gap = (o - i) / i * 100.0
-        # Calibration explains the gap only when it moved the SAME
+        # Calibration explains the gap only when a probe moved the SAME
         # direction: a faster-calibrating official host producing a
         # slower total is exactly the "one record is not what it
-        # claims" case, not an explained one.
-        explained = abs(calib) if calib is not None and (calib > 0) == (gap > 0) else 0.0
+        # claims" case, not an explained one. Either probe counts
+        # (mixed windows can split the two in sign).
+        explained = max(
+            (abs(s) for s in shifts if (s > 0) == (gap > 0)), default=0.0
+        )
         if abs(gap) > explained + floor_pct:
             warns.append(
                 f"official {label} {o} vs idle sidecar {i} ({gap:+.1f}%) exceeds the "
@@ -230,7 +241,7 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
         if w:
             print(f"NOTE: {side} record carries plan_hash_warnings (residual identity hashes): {w}")
 
-    calib_shift = _calib_shift_pct(old, new)
+    calib_shift = _calib_shifts_pct(old, new) or None
 
     sections = [
         (
@@ -321,7 +332,10 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
                 "rescales every timing below it)"
             )
     if calib_shift is not None:
-        print(f"calibration shift used for labels: {calib_shift:+.1f}%")
+        print(
+            "calibration shifts used for labels: "
+            + ", ".join(f"{s:+.1f}%" for s in calib_shift)
+        )
     s_o, s_n = old.get("host_steal_pct"), new.get("host_steal_pct")
     if s_o is not None and s_n is not None:
         print(
