@@ -10,9 +10,14 @@ FINAL stdout line is a COMPACT JSON record (metric/value/queries/sf +
 the sf1 headline numbers) guaranteed under the driver's ~2000-char
 capture window; the full instrumentation (per-query min/med/max/
 spread, normalized plan hashes, sf1 stats, extended-probe stats) is
-diverted to a sidecar file ``BENCH_DETAIL.json`` next to this script
-and committed to the repo, so the round-over-round spread/plan-hash
-record survives without breaking the one-line contract.
+diverted to a sidecar file next to this script, so the round-over-
+round spread/plan-hash record survives without breaking the one-line
+contract. Which sidecar depends on who is running (VERDICT r11 ask
+#2): ``SPARK_GRAFT_IDLE_RECORD=1`` writes the canonical, committed
+``BENCH_DETAIL.json`` (the idle-host trend record per SCALING.md
+policy); any other run — the driver's per-round window included —
+writes ``BENCH_DETAIL_LAST.json`` so it can never silently replace
+the idle record in the working tree.
 
 Second scale point: when running at the default sf0.1, the harness
 also times the same queries at a synthetic ~sf1 (10x sf0.1): each
@@ -239,9 +244,29 @@ def _residual_identity_hashes(normalized: str) -> list[str]:
     attributed signal that the anchor needs a deliberate,
     replay-verified extension. Quoted spans are excluded first —
     a literal like 'user@deadbee' is plan content, not JVM toString,
-    and it is constant across runs anyway."""
-    unquoted = re.sub(r"'[^'\n]*'", "''", normalized)
-    return sorted(set(re.findall(r"[\[A-Za-z_$][A-Za-z0-9_.$;\[\]]*@[0-9a-f]{6,16}\b", unquoted)))
+    and it is constant across runs anyway.
+
+    ADVICE r11 #3: the original blanket strip (`'[^'\\n]*'` → '')
+    let an unbalanced or embedded apostrophe (e.g. a literal rendered
+    O'Brien) pair with a LATER literal's opening quote, swallowing a
+    genuine residual token between them — a silent false negative in
+    the guard itself. Literal spans are now value-anchored: an opening
+    quote only counts when it follows '=', ',', '(', '[' or
+    whitespace (every position Spark explain text puts a string
+    literal), so a stray mid-word apostrophe can't open a span. A
+    token a malformed span would previously have hidden is now
+    REPORTED — false-loud beats false-silent for this guard, same
+    doctrine as the 6-digit hex floor above."""
+    token_re = re.compile(r"[\[A-Za-z_$][A-Za-z0-9_.$;\[\]]*@[0-9a-f]{6,16}\b")
+    literal_re = re.compile(r"(?<=[=,(\[\s])'[^'\n]*'")
+    spans = [m.span() for m in literal_re.finditer(normalized)]
+    return sorted(
+        {
+            m.group(0)
+            for m in token_re.finditer(normalized)
+            if not any(a <= m.start() and m.end() <= b for a, b in spans)
+        }
+    )
 
 
 def _normalize_plan(s: str, rules: str = PLAN_HASH_RULES) -> str:
@@ -478,6 +503,30 @@ def _compact_line(result: dict) -> str:
     return json.dumps(compact)
 
 
+def _sidecar_path() -> str:
+    """Where this run's full instrumentation lands. VERDICT r11 ask
+    #2: the committed ``BENCH_DETAIL.json`` is the CANONICAL IDLE-HOST
+    record (SCALING.md round-11 policy — idle sidecar for trend,
+    driver record for the official number), but bench.py used to write
+    it unconditionally, so the driver's per-round run silently
+    replaced the idle record in the working tree and the next commit
+    could adopt driver-window numbers as the idle trend line (it did,
+    in the r11 round commit). Now only a run that DECLARES itself the
+    idle record (``SPARK_GRAFT_IDLE_RECORD=1`` — the builder's
+    deliberate idle-host measurement) writes the canonical sidecar;
+    every other run (the driver's, ad-hoc probes) writes
+    ``BENCH_DETAIL_LAST.json``, which never shadows the committed
+    record. tools/bench_diff.py --idle reads the canonical file to
+    warn on official-vs-idle divergence either way."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    name = (
+        "BENCH_DETAIL.json"
+        if os.environ.get("SPARK_GRAFT_IDLE_RECORD") == "1"
+        else "BENCH_DETAIL_LAST.json"
+    )
+    return os.path.join(base, name)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rabbit_data_pipeline_spark.queries import registry
@@ -665,7 +714,7 @@ def main() -> None:
     # stdout line stays compact so the driver's ~2000-char capture
     # parses it (VERDICT r7 defect #1: the r7 line grew to ~7 KB and
     # the official record got `parsed: null`).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = _sidecar_path()
     try:
         with open(detail_path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)

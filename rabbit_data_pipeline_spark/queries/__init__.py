@@ -42,54 +42,50 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 front-load, slot budget 50 (50 used). VERDICT r10 ask
-    # #1: rotate the full 43-key r7-verdict cohort, backfilled to 50
-    # from the r8 cohort heaviest-plans-first — after this round no
-    # key's latest verdict sits on pre-r8 code.
-    # (a) The VERDICT's named front-loads: file_roundtrip
-    # (sinks/files.py's shared _file_sink path changed in r10 AFTER
-    # the rotation was pinned, and changes again this round — the
-    # fileNameExpr validation tightening, ADVICE r10 #3), plus
-    # q_triangles / dedup_minhash, deferred from the r10 backfill.
-    "file_roundtrip", "q_triangles", "dedup_minhash",
-    # (b) Keys whose implementation changed this round: the BFS /
-    # weighted-SSSP early-exit paths now release their last eager
-    # checkpoint (operators/graph.py, ADVICE r10 #4).
-    "q_shortest_path", "q_weighted_paths",
-    # (c) The remaining 40 keys of the r7-verdict cohort, registry
-    # order: events/windows, the text tier, dedup/ANN, composed
-    # pipelines, the sync/sink family, streams, the q_* pack, BPE.
-    "q_event_funnel", "q_tumbling_window", "q_asof_join",
-    "q_interval_join", "q_heavy_hitters", "q_range_window",
-    "text_tokens", "text_quality", "text_lang_id", "text_fingerprint",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding", "pipeline_llm_prep", "ann_bruteforce",
-    "ann_lsh", "text_pii_redact", "text_chunks", "text_word_freq",
-    "pipeline_e2e", "pipeline_fanout", "source_sql", "id_gen",
-    "sync_insert_missing", "sink_upsert", "sync_flag_update",
-    "delete_where", "sync_scd2", "stream_session_window",
-    "q_window_running", "q_case_agg", "q_market_share", "q_array_agg",
-    "sync_chunked", "text_decontaminate", "text_mix", "text_pack",
-    "text_bpe_train", "text_bpe_encode",
-    # (d) Backfill to 50 from the r8 cohort, heaviest plans first:
-    # the composed web-prep pipeline, k-means semantic dedup, the
-    # exchange-reuse TPC-H pair, IVF-PQ.
-    "pipeline_web_prep", "dedup_semantic", "q_big_orders",
-    "q_waiting_supplier", "ann_ivfpq",
+    # Round-12 front-load, slot budget 50 (50 used). VERDICT r11 ask
+    # #1: rotate the full 39-key r8-verdict cohort, backfilled to 50
+    # from the r9 cohort — after this round no key's latest verdict
+    # sits on pre-r9 code.
+    # (a) Key whose code path changed this round: file_roundtrip
+    # shares sinks/files.py with the fileNameExpr validation, which
+    # tightens again (C1 controls + U+2028/U+2029, ADVICE r11 #2).
+    "file_roundtrip",
+    # (b) The full 39-key r8-verdict cohort, registry order: ANN,
+    # the file/XML parse tier, streams, the TPC-H core, the r8 text
+    # tier, the top-m BPE trainer.
+    "ann_ivf", "find_files", "line_parser_csv", "xml_parse",
+    "xml_format", "stream_windowed_agg", "stream_dedup",
+    "stream_stream_join", "q_filter_project", "q_agg_pricing",
+    "q_join_broadcast", "q_join_multiway", "q_join_left",
+    "q_join_semi", "q_window_rank", "q_subquery_avg", "q_percentile",
+    "q_ship_priority", "q_order_priority", "q_nation_volume",
+    "q_returned_items", "q_count_distribution", "q_top_supplier",
+    "q_or_predicates", "q_cube", "q_argminmax", "q_set_ops",
+    "q_join_full", "text_repeated_ngrams", "text_gopher_quality",
+    "text_tfidf", "ann_range", "ann_pq", "stream_sliding_window",
+    "text_dedup_lines", "text_url_dedup", "text_sample_exact_k",
+    "stream_static_join", "text_bpe_train_topm",
+    # (c) Backfill to 50 from the r9 cohort, heaviest plans first:
+    # the four warehouse-layout keys (bucketing/compaction/Z-order/
+    # partition pruning), the multimodal decode tier, the salted
+    # join, PQ encode, incremental dedup.
+    "layout_partitioned_read", "layout_bucketed_join",
+    "layout_compacted_roundtrip", "layout_zorder_read",
+    "multimodal_ann", "multimodal_image_neardup",
+    "multimodal_video_neardup", "q_salted_join", "emb_pq_codes",
+    "dedup_incremental",
 )
-# Next round (r12): the remaining 39-key r8-verdict cohort —
-# ann_ivf/ann_range/ann_pq, find_files, line_parser_csv,
-# xml_parse/xml_format, the stream tier (windowed_agg, dedup,
-# stream_join, sliding_window, static_join), the TPC-H core
-# (q_filter_project, q_agg_pricing, q_join_broadcast/multiway/left/
-# semi/full, q_window_rank, q_subquery_avg, q_percentile,
-# q_ship_priority, q_order_priority, q_nation_volume,
-# q_returned_items, q_count_distribution, q_top_supplier,
-# q_or_predicates, q_cube, q_argminmax, q_set_ops), the text tier
-# (repeated_ngrams, gopher_quality, tfidf, dedup_lines, url_dedup,
-# sample_exact_k), text_bpe_train_topm — then the r9 cohort (49 keys)
-# behind it. tools/verdict_freshness.py prints the ordered list
-# ready to paste.
+# Next round (r13): the remaining 39-key r9-verdict cohort —
+# q_topn/q_distinct/q_union/q_time_bucket/q_having, the regexp/date/
+# null/stats/histogram/regression/grouping-sets/not-in q_* pack, the
+# r9 text tier (c4_clean, split, domain_filter, dsir, normalize,
+# normalize_lines, dedup_lines_within, remove_passages, sentiment,
+# snippets, data_card), corpus_diff, source_jsonl, sync_deleted_keys,
+# emb_rp_project/emb_decontaminate/emb_outliers, stream_text_prep,
+# stream_dedup_incremental, text_bpe_encode_arrow, q_funnel,
+# q_retention, q_anomaly, q_event_paths, q_ts_similarity — backfilled
+# to 50 from the r10 cohort (48 keys) behind it.
+# tools/verdict_freshness.py prints the ordered list ready to paste.
 
 
 def registry() -> dict[str, Query]:

@@ -1527,9 +1527,19 @@ def _install_stage(build: str, stage_dir: str) -> None:
     the shared path in place, because a concurrent stager may have
     JUST installed a valid stage after our marker check. The blocker
     is renamed aside first (atomic, one winner); if what we grabbed
-    turns out to carry the marker after all, it goes straight back."""
+    turns out to carry the marker after all, it goes straight back.
+
+    ADVICE r11 #4: the aside name must be unique PER ATTEMPT, not per
+    pid — a leftover .stale-<pid> dir from a crashed recovery plus pid
+    reuse made os.rename(stage_dir, stale) fail ENOTEMPTY, which the
+    except branch misread as 'another recoverer moved it aside': the
+    build was discarded and staging raised until someone cleaned the
+    temp dir by hand. A uuid suffix makes the target fresh every time
+    (rename onto a non-existent name can't ENOTEMPTY), so the only
+    OSError left on that rename is the real lost-race ENOENT."""
     import os
     import shutil
+    import uuid
 
     marker = os.path.join(stage_dir, "_BUILT")
     try:
@@ -1540,7 +1550,7 @@ def _install_stage(build: str, stage_dir: str) -> None:
     if os.path.exists(marker):
         shutil.rmtree(build, ignore_errors=True)  # lost the race; theirs is identical
         return
-    stale = f"{stage_dir}.stale-{os.getpid()}"
+    stale = f"{stage_dir}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
         os.rename(stage_dir, stale)
     except OSError:

@@ -67,11 +67,15 @@ def _eval_file_name_expr(spark, expr: str) -> str:
     # ADVICE r10 #3: '/' and NUL alone let backslashes, newlines and
     # other control characters through — names that break Windows-style
     # paths and garble logs/manifests. Reject every separator either
-    # platform uses plus the whole control range; anything else
-    # (unicode, spaces, dots) stays legal, matching the reference's
+    # platform uses plus the whole control range. ADVICE r11 #2: the
+    # ASCII range (0x00-0x1f, 0x7f) alone still admitted C1 controls
+    # (U+0080-U+009F, incl. NEL U+0085) and the Unicode line/paragraph
+    # separators U+2028/U+2029 — characters that garble exactly the
+    # logs/manifests this check protects. Anything else (unicode,
+    # spaces, dots) stays legal, matching the reference's
     # verbatim-fileName permissiveness (Sinks/File.php:51, doc/File.md).
-    bad = {"/", "\\", "\x7f", os.sep, os.altsep or "/"}
-    if not v or any(c in bad or ord(c) < 0x20 for c in v):
+    bad = {"/", "\\", "\u2028", "\u2029", os.sep, os.altsep or "/"}
+    if not v or any(c in bad or ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F for c in v):
         raise ValueError(
             f"fileNameExpr {expr!r} produced {v!r} — need a non-empty name "
             "without path separators or control characters (use `path` "

@@ -1123,7 +1123,28 @@ def test_codec_stage_dir_is_per_user_and_recovers_stale(tmp_path, monkeypatch):
     assert open(os.path.join(d, "payload")).read() == "keep-me"
     assert open(marker).read() == llm._CODEC_STAGE_VERSION  # winner's, not b's
     assert not os.path.exists(build2)
-    assert not os.path.exists(f"{d}.stale-{os.getpid()}")  # no debris
+    import glob as _glob
+
+    assert not _glob.glob(f"{d}.stale-*")  # no debris
+
+    # ADVICE r11 #4 (pid reuse): a leftover pid-keyed aside dir from a
+    # crashed recovery used to make os.rename(stage_dir, stale) fail
+    # ENOTEMPTY — misread as 'another recoverer moved it aside', the
+    # build discarded, the marker never installed. The aside name is
+    # now unique per attempt, so recovery must succeed even with the
+    # old-format leftover squatting right next to the stage path.
+    import shutil as _shutil
+
+    _shutil.rmtree(d)
+    leftover = f"{d}.stale-{os.getpid()}"
+    os.makedirs(leftover)
+    open(os.path.join(leftover, "junk"), "w").write("crashed recovery debris")
+    os.makedirs(d)  # marker-less squatter again
+    build3 = f"{d}.build-c"
+    os.makedirs(build3)
+    open(os.path.join(build3, "_BUILT"), "w").write(llm._CODEC_STAGE_VERSION)
+    llm._install_stage(build3, d)
+    assert os.path.exists(marker) and not os.path.exists(build3)
 
 
 def test_bench_diff_review_hardenings(capsys, tmp_path):
@@ -1229,3 +1250,70 @@ def test_label_row_consults_both_calibration_probes():
     official = {"value": 11.5, "host_calib_sec": 0.091, "host_calib_par_sec": 0.088}
     # gap +15%, serial −9% (wrong sign), 16-way +10% (explains w/ floor)
     assert bd.record_divergence(official, idle) is None
+
+
+def test_label_row_floors_a_zero_envelope():
+    """ADVICE r11 #1: spread_pct rounds to 0.1, so two tying runs
+    publish a 0.0 envelope — which is a measurement floor, not a real
+    noise bound. Without the 1% floor, ANY nonzero same-plan delta on
+    a quiet host became a breaker labeled REAL, flipping the exit code
+    on pure jitter."""
+    bd = _load_bench_diff()
+    lab = bd.label_row
+    # 0.0 envelope + sub-percent jitter on a quiet host: same, not REAL
+    assert lab("same", 0.4, 0.0, None, None) == "same"
+    assert lab("same", -0.9, 0.0, 0.1, None) == "same"
+    # the floor is a floor, not a blanket pardon: a real move past it
+    # on a quiet host still surfaces
+    assert lab("same", 8.0, 0.0, None, None) == "REAL"
+    # and a genuine envelope wider than the floor is untouched
+    assert lab("same", 8.0, 10.0, None, None) == "noise"
+
+
+def test_residual_guard_survives_unbalanced_apostrophes():
+    """ADVICE r11 #3: the old blanket quote-strip let an unbalanced or
+    embedded apostrophe pair with a LATER literal's opening quote and
+    swallow a genuine residual identity-hash token between them — a
+    silent false negative inside the guard. Spans are now
+    value-anchored, so the stray mid-word apostrophe can't open one."""
+    import bench
+
+    tok = "functions$$anon$1@1a2b3c4d"
+    # embedded apostrophe in the first literal, real token after it,
+    # second literal after that: the token must still be reported
+    line = f"Filter (name# = 'O'Brien') AND x Scan {tok} Filter (y# IN ('a','b'))"
+    residual = bench._residual_identity_hashes(line)
+    assert any("1a2b3c4d" in r for r in residual), residual
+    # quoted plan literals are still excluded — in every anchored
+    # position explain text puts them (= , ( [ and whitespace)
+    for quoted in (
+        "Filter (email# = 'user@deadbee')",
+        "Filter (email# IN ('user@deadbee', 'x'))",
+        "Filter (email# LIKE 'user@deadbee')",
+    ):
+        assert bench._residual_identity_hashes(quoted) == [], quoted
+    # and a token in plain unquoted text keeps being reported
+    assert bench._residual_identity_hashes(f"Scan {tok}") == [tok]
+
+
+def test_bench_sidecar_write_is_idle_gated(monkeypatch):
+    """VERDICT r11 ask #2: the committed BENCH_DETAIL.json is the
+    canonical IDLE-HOST record; a run that doesn't declare itself the
+    idle measurement (the driver's per-round window, ad-hoc probes)
+    must land in BENCH_DETAIL_LAST.json instead — a round's commit can
+    then never silently adopt driver-window numbers as the idle trend
+    record (which is exactly what the r11 round commit did)."""
+    import os
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_IDLE_RECORD", raising=False)
+    assert os.path.basename(bench._sidecar_path()) == "BENCH_DETAIL_LAST.json"
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_RECORD", "0")
+    assert os.path.basename(bench._sidecar_path()) == "BENCH_DETAIL_LAST.json"
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_RECORD", "1")
+    assert os.path.basename(bench._sidecar_path()) == "BENCH_DETAIL.json"
+    # both live next to bench.py, where the diff/replay tools look
+    assert os.path.dirname(bench._sidecar_path()) == os.path.dirname(
+        os.path.abspath(bench.__file__)
+    )

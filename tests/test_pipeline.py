@@ -499,6 +499,12 @@ def test_file_sink_filename_expr(spark, tmp_path):
     for bad in (r"'a\\b'", "'a\nb'", "'a\tb'", "concat('x', char(7))"):
         with _pytest.raises(ValueError, match="control characters|path separators"):
             _eval_file_name_expr(spark, bad)
+    # ADVICE r11 #2: C1 controls (U+0080-U+009F, incl. NEL U+0085) and
+    # the Unicode line/paragraph separators U+2028/U+2029 garble
+    # logs/manifests exactly like their ASCII cousins — rejected too.
+    for bad in ("'a\u0085b'", "'a\u009cb'", "'a\u2028b'", "'a\u2029b'"):
+        with _pytest.raises(ValueError, match="control characters|path separators"):
+            _eval_file_name_expr(spark, bad)
     assert _eval_file_name_expr(spark, "'datt 2024 ü'") == "datt 2024 ü"
 
 

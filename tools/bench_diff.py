@@ -139,7 +139,14 @@ def label_row(
         # the exit code on pure noise. Same hash + no envelope = the
         # pre-r11 behavior: report the delta, attribute nothing.
         return ""
-    env = envelope_pct
+    # ADVICE r11 #1: spread_pct is rounded to 0.1, so two runs that tie
+    # after rounding publish a 0.0 envelope — treating that as a real
+    # bound makes ANY nonzero same-plan delta a breaker, and on a quiet
+    # host (no calibration shift, no uniform shift) pure jitter would be
+    # labeled REAL and flip the exit code. Floor the envelope at 1%: a
+    # 0.0 spread is a measurement floor, not evidence of a noise-free
+    # query.
+    env = max(envelope_pct, 1.0)
     if abs(delta_pct) <= env:
         return "noise" if abs(delta_pct) > 5.0 else "same"
     # Either calibration probe (serial or 16-way) explaining the shift
