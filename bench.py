@@ -141,20 +141,46 @@ def _time_runs(builder, spark, sf_dir: str, runs: int) -> dict:
     demanded — identical code with spread_pct ~30 says noisy neighbor,
     a moved MIN says plan regression."""
     raw: list[float] = []
+    gc: list[int] = []
     for _ in range(runs):
+        g0 = _jvm_gc_ms(spark)
         t0 = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         raw.append(time.perf_counter() - t0)
+        g1 = _jvm_gc_ms(spark)
+        if g0 is not None and g1 is not None:
+            gc.append(g1 - g0)
     times = sorted(raw)
     n = len(times)
     med = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
-    return {
+    out = {
         "min": round(times[0], 4),
         "med": round(med, 4),
         "max": round(times[-1], 4),
         "spread_pct": round(100.0 * (times[-1] - times[0]) / max(times[0], 1e-9), 1),
         "runs": [round(t, 4) for t in raw],
     }
+    if gc:
+        # Per-run JVM GC wall (round 12): across four r12 idle windows
+        # a different query's run inflated 2-4x each time while a
+        # fresh-JVM control sat at the uniform host shift — accumulated
+        # heap pressure in the long bench process. Publishing stop-the-
+        # world time NEXT TO each timing makes that attribution
+        # mechanical: an inflated run with a GC spike is heap, one
+        # without is host/plan.
+        out["gc_ms"] = gc
+    return out
+
+
+def _jvm_gc_ms(spark) -> int | None:
+    """Total stop-the-world GC ms of the local JVM (sum over all
+    collector MXBeans), or None when the management API is unreachable
+    (non-local master / restricted JVM)."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        return sum(b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans())
+    except Exception:
+        return None
 
 
 #: Hash-rule version, published in the sidecar: bump it whenever the
@@ -682,6 +708,17 @@ def main() -> None:
             for name in EXTENDED:
                 builder = _builder(name)
                 if builder is not None and name not in _EXT_SF_INVARIANT:
+                    # One untimed warm pass at the SCALED dir first
+                    # (round 12): the sf0.1 loop warmed the sf0.1-sized
+                    # plan, but AQE/codegen re-specialize at sf1, so
+                    # run 1 here carried a warm-up echo the min-of-3
+                    # couldn't always absorb (r11/r12 records: bpe sf1
+                    # run-1 1.6-2.6 s vs 1.5 s steady → spread 30-77%
+                    # on an unchanged plan). Same rationale as the
+                    # _EXT_SF_INVARIANT self-warm above: the published
+                    # spread should be a noise instrument, not a
+                    # warm-up echo.
+                    builder(spark, _SCALED_DIR).write.format("noop").mode("overwrite").save()
                     s = _time_runs(
                         builder, spark, _SCALED_DIR, runs=3 if name in _EXT_MIN3 else 2
                     )

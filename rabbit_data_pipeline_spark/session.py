@@ -42,7 +42,16 @@ def get_spark(app_name: str = "rabbit-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dims up to 32 MB broadcast (TPC-H dims at any SF we test).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g heap (round 12, was 8g): in local mode the driver JVM IS
+        # every executor; an 8g heap shared by 32 task threads left the
+        # long bench process GC-bound in its tail — across four r12
+        # idle windows a DIFFERENT victim query's sf1 min inflated
+        # 2-4x each run (bpe_train sf1 35.7s run-1, q_waiting_supplier
+        # 7.97s, q_json_extract 2.04s) while a fresh-JVM control of the
+        # same query sat at the uniform host shift. On a real cluster
+        # this is per-executor memory, sized by the deployer; 16g on
+        # the 128 GiB test host is still conservative.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
