@@ -189,6 +189,7 @@ def pagerank(
     scale: int = 1_000_000_000,
     damp_num: int = 85,
     damp_den: int = 100,
+    eager: bool = True,
 ) -> DataFrame:
     """Integer-arithmetic PageRank — the canonical Spark iterative
     workload (Page et al. 1999; the motivating example of the RDD
@@ -213,16 +214,28 @@ def pagerank(
     driver scalar (graph order), same class as the PQ-training
     round-trips.
 
-    Unlike the peeling/frontier loops (kcore, BFS, SSSP, connected
-    components — which run a per-round probe anyway and so release
-    superseded checkpoints deterministically, see
-    functions/checkpoints.py), pagerank's rounds are LAZY by design:
-    building the result runs zero jobs and one final action
-    materializes the whole chain, so no round is provably dead before
-    that action completes. The cost is bounded — `iters` superseded
-    score vectors (node-sized, tiny next to the edge list) reclaimed
-    by the ContextCleaner — and the benefit is that callers that only
-    explain/plan the result never execute the iterations at all."""
+    ``eager=True`` (default, round 12): each round's score vector is
+    an EAGER localCheckpoint and the superseded round is released the
+    moment its successor is materialized; after the final round the
+    edge-list and node checkpoints are released too, so a call leaves
+    exactly ONE node-sized vector in executor storage (the returned
+    score, reclaimed by the ContextCleaner when the caller drops it).
+    This is the same deterministic-release discipline as the
+    peeling/frontier loops (kcore, BFS, SSSP, connected components —
+    functions/checkpoints.py). It is what repeated invocation needs:
+    under lazy cleanup each call parked ~an edge list + `iters` score
+    vectors in storage until GC happened to run (measured round 12 on
+    the 10x bench copy: 1.3 GB/call accumulating to 3.8 GB over three
+    calls, evictions spilling localCheckpoint blocks to disk, sf1
+    probe mins swinging 18 s → 70-98 s; with per-round release the
+    repeat is flat). At 100 TB the superseded vectors are
+    executor-storage pressure that evicts useful blocks — release
+    them the moment they are dead.
+
+    ``eager=False`` keeps the old contract: rounds are lazy, building
+    the result runs zero jobs, one final action materializes the
+    whole chain (callers that only explain/plan the result never
+    execute the iterations), and cleanup is the ContextCleaner's."""
     # Materialize (src, dst, deg) ONCE: the input edge list is usually
     # the tail of a fact-table join lineage, and without the checkpoint
     # every iteration re-runs that lineage AND the degree aggregation
@@ -234,13 +247,13 @@ def pagerank(
     n = nodes.count()
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     score = nodes.withColumn("score", F.lit(scale // n).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             wedges.join(score.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("score div deg").alias("c"))
         )
         agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        score = (
+        new_score = (
             nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
@@ -249,9 +262,21 @@ def pagerank(
                     + F.expr(f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) div {damp_den}")
                 ).cast("long").alias("score"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=eager)
         )
-    return score.select("node", (F.col("score") / F.lit(float(scale))).alias("rank"))
+        if eager and i > 0:
+            # new_score is materialized; the superseded round fed it
+            # and nothing else can reference it (round 0's `score` is a
+            # derived plan over `nodes`, not a checkpoint — skipped).
+            release_local_checkpoint(score)
+        score = new_score
+    out = score.select("node", (F.col("score") / F.lit(float(scale))).alias("rank"))
+    if eager:
+        # The final round is materialized and `out` reads only its
+        # checkpoint, so the edge-list and node checkpoints are dead.
+        release_local_checkpoint(wedges)
+        release_local_checkpoint(nodes)
+    return out
 
 
 def bfs_distances(
