@@ -388,6 +388,15 @@ _EXT_SF_INVARIANT = {"multimodal_codec_scale"}
 # Budget ~+40 s at sf1; everything else stays min-of-2 + run lists.
 _EXT_MIN3 = {"q_pagerank", "q_kcore", "bpe_train_scale", "bpe_train_topm_scale"}
 
+# Round 12: the r12 host shows ~20-40 s zero-GC stall events (per-run
+# gc_ms pins them as external — hypervisor/thermal, not heap). A stall
+# that long COVERS all three back-to-back runs of a 1.5-3 s probe, so
+# the BPE sf1 mins inflated 1.6x-2.4x across whole windows while the
+# 15-25 s iterative probes always had at least one run land clear.
+# Five runs (~+8 s) make a single stall unable to cover the sample;
+# the long probes stay at min-of-3.
+_EXT_MIN5_SF1 = {"bpe_train_scale", "bpe_train_topm_scale"}
+
 
 def _host_calibration(runs: int = 3) -> float:
     """Fixed single-core CPU probe: sha256 over 192 MB of zeros,
@@ -720,7 +729,10 @@ def main() -> None:
                     # warm-up echo.
                     builder(spark, _SCALED_DIR).write.format("noop").mode("overwrite").save()
                     s = _time_runs(
-                        builder, spark, _SCALED_DIR, runs=3 if name in _EXT_MIN3 else 2
+                        builder,
+                        spark,
+                        _SCALED_DIR,
+                        runs=5 if name in _EXT_MIN5_SF1 else 3 if name in _EXT_MIN3 else 2,
                     )
                     sf1_ext[name] = s["min"]
                     sf1_ext_stats[name] = s

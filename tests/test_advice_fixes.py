@@ -1317,3 +1317,47 @@ def test_bench_sidecar_write_is_idle_gated(monkeypatch):
     assert os.path.dirname(bench._sidecar_path()) == os.path.dirname(
         os.path.abspath(bench.__file__)
     )
+
+
+def test_bench_diff_scale_mismatch_refuses(capsys, tmp_path):
+    """Round 12: bench.py writes BENCH_DETAIL_LAST.json for ANY
+    non-idle run — including an sf0.01 contract probe — and
+    round_check.sh prefers that file as the NEW side when present. A
+    cross-scale comparison is garbage in every row (a 10x data delta
+    labeled host/REAL), so the diff must refuse it loudly (exit 2)
+    instead of labeling it; same-sf and missing-sf records still
+    compare."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff_sf", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    def run(old, new):
+        po, pn = str(tmp_path / "sf_old.json"), str(tmp_path / "sf_new.json")
+        json.dump(old, open(po, "w"))
+        json.dump(new, open(pn, "w"))
+        code = bd.main(po, pn)
+        return code, capsys.readouterr().out
+
+    rec = {
+        "plan_hashes": {"q_a": "aaa"},
+        "queries": {"q_a": 1.0},
+        "queries_stats": {"q_a": {"spread_pct": 10.0}},
+        "value": 1.0,
+        "plan_hash_rules": "v3",
+    }
+    code, out = run({**rec, "sf": 0.1}, {**rec, "sf": 0.01})
+    assert code == 2 and "SCALE MISMATCH" in out
+    assert "q_a" not in out  # refused BEFORE emitting any comparison row
+
+    code, out = run({**rec, "sf": 0.1}, {**rec, "sf": 0.1})
+    assert code == 0 and "SCALE MISMATCH" not in out
+
+    # pre-r11 records carry no sf field: compare (status quo), don't refuse
+    code, out = run(rec, {**rec, "sf": 0.1})
+    assert code == 0 and "SCALE MISMATCH" not in out

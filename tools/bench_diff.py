@@ -237,6 +237,24 @@ def _print_section(title: str, rows: list[dict], calib_shift, uniform_med) -> li
 def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
     old = json.load(open(old_path))
     new = json.load(open(new_path))
+    # Round 12: a timing comparison across SCALE FACTORS is garbage in
+    # every row (bench.py writes BENCH_DETAIL_LAST.json for ANY
+    # non-idle run — including an sf0.01 contract probe — and
+    # round_check.sh prefers that file as NEW when present). Refuse
+    # loudly rather than label a 10x data difference as host/REAL.
+    sides = {}
+    for label, rec, path in (("old", old, old_path), ("new", new, new_path)):
+        sf = rec.get("sf")
+        if isinstance(sf, (int, float)):
+            sides[label] = (sf, path)
+    if len(sides) == 2 and sides["old"][0] != sides["new"][0]:
+        print(
+            f"SCALE MISMATCH: {sides['old'][1]} is sf={sides['old'][0]} but "
+            f"{sides['new'][1]} is sf={sides['new'][0]} — every delta below would "
+            "compare different data sizes; pass records at the same scale "
+            "(a stale BENCH_DETAIL_LAST.json from an sf-override probe is the usual cause)"
+        )
+        return 2
     o_rules, n_rules = old.get("plan_hash_rules", "v1"), new.get("plan_hash_rules", "v1")
     if o_rules != n_rules:
         print(
