@@ -390,12 +390,12 @@ _EXT_MIN3 = {"q_pagerank", "q_kcore", "bpe_train_scale", "bpe_train_topm_scale"}
 
 # Round 12: the r12 host shows ~20-40 s zero-GC stall events (per-run
 # gc_ms pins them as external — hypervisor/thermal, not heap). A stall
-# that long COVERS all three back-to-back runs of a 1.5-3 s probe, so
-# the BPE sf1 mins inflated 1.6x-2.4x across whole windows while the
-# 15-25 s iterative probes always had at least one run land clear.
-# Five runs (~+8 s) make a single stall unable to cover the sample;
-# the long probes stay at min-of-3.
-_EXT_MIN5_SF1 = {"bpe_train_scale", "bpe_train_topm_scale"}
+# that long COVERS all back-to-back runs of a short probe (0.8-3 s at
+# either scale point), so the BPE mins inflated 1.6x-2.4x across whole
+# windows while the 15-25 s iterative probes always had at least one
+# run land clear. Five runs (~+10 s across both loops) make a single
+# stall unable to cover the sample; the long probes stay at min-of-3.
+_EXT_MIN5 = {"bpe_train_scale", "bpe_train_topm_scale"}
 
 
 def _host_calibration(runs: int = 3) -> float:
@@ -672,7 +672,10 @@ def main() -> None:
                     elif os.path.isdir(warm_dir):
                         builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
                     ext_stats[name] = _time_runs(
-                        builder, spark, sf_dir, runs=3 if name in _EXT_MIN3 else 2
+                        builder,
+                        spark,
+                        sf_dir,
+                        runs=5 if name in _EXT_MIN5 else 3 if name in _EXT_MIN3 else 2,
                     )
                     # Fresh builder call, hashed BEFORE execution —
                     # identical methodology to the headline hashes (an
@@ -732,7 +735,7 @@ def main() -> None:
                         builder,
                         spark,
                         _SCALED_DIR,
-                        runs=5 if name in _EXT_MIN5_SF1 else 3 if name in _EXT_MIN3 else 2,
+                        runs=5 if name in _EXT_MIN5 else 3 if name in _EXT_MIN3 else 2,
                     )
                     sf1_ext[name] = s["min"]
                     sf1_ext_stats[name] = s

@@ -271,9 +271,12 @@ def pagerank(
             release_local_checkpoint(score)
         score = new_score
     out = score.select("node", (F.col("score") / F.lit(float(scale))).alias("rank"))
-    if eager:
+    if eager and iters > 0:
         # The final round is materialized and `out` reads only its
         # checkpoint, so the edge-list and node checkpoints are dead.
+        # (iters=0 must NOT release: `out` is then a derived plan over
+        # the `nodes` checkpoint itself, and released localCheckpoint
+        # blocks are unrecoverable, not recomputable.)
         release_local_checkpoint(wedges)
         release_local_checkpoint(nodes)
     return out

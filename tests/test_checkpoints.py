@@ -175,3 +175,16 @@ def test_pagerank_storage_is_round_independent(spark):
         assert pagerank(edges, iters=iters).count() == 5
         leaks[iters] = len(_persistent_ids(spark) - before)
     assert leaks[9] <= leaks[3] <= 1, f"leak grew with round count: {leaks}"
+
+
+def test_pagerank_zero_iters_keeps_inputs_readable(spark):
+    """iters=0 returns the uniform vector as a derived plan over the
+    `nodes` checkpoint — the eager release path must NOT free it
+    (released localCheckpoint blocks are unrecoverable, not
+    recomputable), and the result must still collect."""
+    from rabbit_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    rows = pagerank(edges, iters=0).collect()
+    assert {r["node"] for r in rows} == {0, 1}
+    assert all(abs(r["rank"] - 0.5) < 1e-9 for r in rows)
