@@ -90,6 +90,12 @@ def connected_components(
         release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            # The result reads only the final labels checkpoint — the
+            # edge list (the call's biggest block set) is dead. Round
+            # 12: terminal release, so repeated invocation accumulates
+            # one node-vector per call, not one edge list (the same
+            # repeated-call regime the pagerank fix measured).
+            release_local_checkpoint(edges)
             return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -343,6 +349,9 @@ def bfs_distances(
     # loop (the same leak class ADVICE r10 #4 flagged on the break).
     if frontier is not dist:
         release_local_checkpoint(frontier)
+    # Terminal release (round 12): the result reads only the dist
+    # checkpoint; the edge list is dead on every exit path.
+    release_local_checkpoint(edges)
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 
@@ -433,6 +442,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
         )
         n_next = deg.count()
         if n_next == n_alive:
+            # Fixpoint: the result reads only this round's deg
+            # checkpoint — the edge list and survivor set are dead
+            # (round-12 terminal release; see connected_components).
+            release_local_checkpoint(edges)
+            release_local_checkpoint(alive)
             return deg.select(F.col("src").alias("node"), "deg")
         new_alive = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
         # new_alive is materialized and the count probe ran: the
@@ -443,6 +457,8 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
         alive = new_alive
         n_alive = n_next
         if n_alive == 0:
+            release_local_checkpoint(edges)
+            release_local_checkpoint(alive)
             return deg.select(F.col("src").alias("node"), "deg")
         release_local_checkpoint(deg)
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
@@ -491,10 +507,13 @@ def weighted_sssp(
         if improved.isEmpty():
             # ADVICE r10 #4: `improved` was eagerly materialized and is
             # dead on this path — release before returning, along with
-            # the previous round's frontier (folded into dist already).
+            # the previous round's frontier (folded into dist already)
+            # and (round 12, terminal release) the edge list: the
+            # returned dist checkpoint is all the caller reads.
             release_local_checkpoint(improved)
             if frontier is not dist:
                 release_local_checkpoint(frontier)
+            release_local_checkpoint(edges)
             return dist
         new_dist = (
             dist.join(improved.select("node"), "node", "left_anti")
@@ -525,4 +544,7 @@ def weighted_sssp(
     )
     if not still.isEmpty():
         raise RuntimeError(f"weighted_sssp did not converge in {max_rounds} rounds")
+    # The convergence probe above was the edge list's last read
+    # (round-12 terminal release).
+    release_local_checkpoint(edges)
     return dist

@@ -54,7 +54,8 @@ def test_release_refuses_unpersisted_logical_rdd(spark):
 def test_connected_components_storage_stays_bounded(spark):
     """A 9-node chain forces ~4 pointer-jump rounds; without the
     per-round release the loop would leave edges + every round's
-    labels persisted (6+ RDDs). With it: edges + final labels only."""
+    labels persisted (6+ RDDs). With it (round 12: the edge list is
+    released on the success path too): final labels only."""
     from rabbit_data_pipeline_spark.operators.graph import connected_components
 
     pairs = spark.createDataFrame(
@@ -65,12 +66,13 @@ def test_connected_components_storage_stays_bounded(spark):
     rows = {r["id"]: r["component"] for r in comp.collect()}
     assert set(rows.values()) == {0} and len(rows) == 10  # one chain, min label
     leaked = _persistent_ids(spark) - before
-    assert len(leaked) <= 2, f"superseded rounds left persisted: {sorted(leaked)}"
+    assert len(leaked) <= 1, f"superseded rounds left persisted: {sorted(leaked)}"
 
 
 def test_kcore_storage_stays_bounded(spark):
     """A triangle with a pendant chain peels over ≥2 rounds; the loop
-    must leave only {edges, final deg, final alive} persisted."""
+    must leave only the final deg checkpoint persisted (round 12:
+    edges and the survivor set release on the fixpoint path)."""
     from rabbit_data_pipeline_spark.operators.graph import kcore
 
     und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
@@ -81,13 +83,14 @@ def test_kcore_storage_stays_bounded(spark):
     result = {r["node"] for r in kcore(edges, k=2).collect()}
     assert result == {0, 1, 2}  # the triangle survives, the chain peels
     leaked = _persistent_ids(spark) - before
-    assert len(leaked) <= 3, f"superseded rounds left persisted: {sorted(leaked)}"
+    assert len(leaked) <= 1, f"superseded rounds left persisted: {sorted(leaked)}"
 
 
 def test_bfs_eager_rounds_release_and_agree(spark):
     """BFS rounds are eager + released on EVERY exit path (round 11:
     the last folded frontier too); distances are unchanged and a
-    6-hop path leaves only {edges, final dist}."""
+    6-hop path leaves only the final dist checkpoint (round 12:
+    the edge list releases on every exit path)."""
     from rabbit_data_pipeline_spark.operators.graph import bfs_distances
 
     edges = spark.createDataFrame(
@@ -97,7 +100,7 @@ def test_bfs_eager_rounds_release_and_agree(spark):
     dist = {r["node"]: r["dist"] for r in bfs_distances(edges, ["0"]).collect()}
     assert dist == {str(i): i for i in range(7)}
     leaked = _persistent_ids(spark) - before
-    assert len(leaked) <= 2, f"superseded rounds left persisted: {sorted(leaked)}"
+    assert len(leaked) <= 1, f"superseded rounds left persisted: {sorted(leaked)}"
 
 
 def test_weighted_sssp_releases_and_agrees(spark):
@@ -111,13 +114,13 @@ def test_weighted_sssp_releases_and_agrees(spark):
     dist = {r["node"]: r["dist"] for r in weighted_sssp(edges, ["a"]).collect()}
     assert dist == {"a": 0, "b": 5, "c": 6, "d": 8}
     leaked = _persistent_ids(spark) - before
-    assert len(leaked) <= 2, f"superseded rounds left persisted: {sorted(leaked)}"
+    assert len(leaked) <= 1, f"superseded rounds left persisted: {sorted(leaked)}"
 
 
 def test_iterative_storage_is_round_independent(spark):
     """The 100 TB claim behind the release discipline, pinned: the
     persisted set a frontier loop leaves behind is its INVARIANT set
-    ({edges, final dist}), independent of how many rounds ran. A chain
+    (the final dist checkpoint), independent of how many rounds ran. A chain
     graph forces one round per node — 3× the rounds must leak exactly
     as much as 1×. (Without the per-round + exit-path releases, the
     leak grows linearly in rounds: one superseded node-vector each.)"""
@@ -132,7 +135,7 @@ def test_iterative_storage_is_round_independent(spark):
         dist = {r["node"]: r["dist"] for r in bfs_distances(edges, ["0"], max_hops=n + 2).collect()}
         assert dist == {str(i): i for i in range(n + 1)}
         leaks[n] = len(_persistent_ids(spark) - before)
-    assert leaks[24] <= leaks[8] <= 2, f"leak grew with round count: {leaks}"
+    assert leaks[24] <= leaks[8] <= 1, f"leak grew with round count: {leaks}"
 
 
 def test_pagerank_eager_releases_and_agrees(spark):
