@@ -46,10 +46,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # #1: rotate the full 39-key r8-verdict cohort, backfilled to 50
     # from the r9 cohort — after this round no key's latest verdict
     # sits on pre-r9 code.
-    # (a) Key whose code path changed this round: file_roundtrip
+    # (a) Keys whose code paths changed this round: file_roundtrip
     # shares sinks/files.py with the fileNameExpr validation, which
-    # tightens again (C1 controls + U+2028/U+2029, ADVICE r11 #2).
+    # tightens again (C1 controls + U+2028/U+2029, ADVICE r11 #2);
+    # the five keys on operators/graph.py, whose iterative loops now
+    # release superseded/terminal checkpoints deterministically
+    # (pagerank eager rounds + edge-list release on every loop's
+    # success path) — results are pinned bit-identical locally, and
+    # the driver verdict re-proves it on the changed code.
     "file_roundtrip",
+    "q_pagerank", "q_kcore", "q_shortest_path", "q_weighted_paths",
+    "dedup_clusters",
     # (b) The full 39-key r8-verdict cohort, registry order: ANN,
     # the file/XML parse tier, streams, the TPC-H core, the r8 text
     # tier, the top-m BPE trainer.
@@ -67,15 +74,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_static_join", "text_bpe_train_topm",
     # (c) Backfill to 50 from the r9 cohort, heaviest plans first:
     # the four warehouse-layout keys (bucketing/compaction/Z-order/
-    # partition pruning), the multimodal decode tier, the salted
-    # join, PQ encode, incremental dedup.
+    # partition pruning) and brute-force multimodal ANN. (The five
+    # graph-key front-loads displaced the rest of the r9 backfill —
+    # multimodal_image/video_neardup, q_salted_join, emb_pq_codes,
+    # dedup_incremental keep their r9 verdicts, which still meets the
+    # r12 bar of no key older than r9 code; they lead the r13 list.)
     "layout_partitioned_read", "layout_bucketed_join",
     "layout_compacted_roundtrip", "layout_zorder_read",
-    "multimodal_ann", "multimodal_image_neardup",
-    "multimodal_video_neardup", "q_salted_join", "emb_pq_codes",
-    "dedup_incremental",
+    "multimodal_ann",
 )
-# Next round (r13): the remaining 39-key r9-verdict cohort —
+# Next round (r13): the five r9 keys displaced above
+# (multimodal_image_neardup, multimodal_video_neardup, q_salted_join,
+# emb_pq_codes, dedup_incremental) first, then the remaining 39-key
+# r9-verdict cohort —
 # q_topn/q_distinct/q_union/q_time_bucket/q_having, the regexp/date/
 # null/stats/histogram/regression/grouping-sets/not-in q_* pack, the
 # r9 text tier (c4_clean, split, domain_filter, dsir, normalize,
