@@ -141,15 +141,18 @@ def _time_runs(builder, spark, sf_dir: str, runs: int) -> dict:
     demanded — identical code with spread_pct ~30 says noisy neighbor,
     a moved MIN says plan regression."""
     raw: list[float] = []
-    gc: list[int] = []
+    gc: list[int | None] = []
     for _ in range(runs):
         g0 = _jvm_gc_ms(spark)
         t0 = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         raw.append(time.perf_counter() - t0)
         g1 = _jvm_gc_ms(spark)
-        if g0 is not None and g1 is not None:
-            gc.append(g1 - g0)
+        # ADVICE r12 #1: gc[] must stay positionally aligned with
+        # runs[] — a transient py4j failure on ONE read used to shorten
+        # the list and attribute the wrong run's GC to a timing. A
+        # failed read now records None in that run's slot.
+        gc.append(g1 - g0 if g0 is not None and g1 is not None else None)
     times = sorted(raw)
     n = len(times)
     med = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
@@ -160,7 +163,7 @@ def _time_runs(builder, spark, sf_dir: str, runs: int) -> dict:
         "spread_pct": round(100.0 * (times[-1] - times[0]) / max(times[0], 1e-9), 1),
         "runs": [round(t, 4) for t in raw],
     }
-    if gc:
+    if any(g is not None for g in gc):
         # Per-run JVM GC wall (round 12): across four r12 idle windows
         # a different query's run inflated 2-4x each time while a
         # fresh-JVM control sat at the uniform host shift — accumulated

@@ -97,6 +97,12 @@ def connected_components(
             # repeated-call regime the pagerank fix measured).
             release_local_checkpoint(edges)
             return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+    # ADVICE r12 #3: the raise path must honor the same deterministic-
+    # release discipline as the success paths — a caller that catches
+    # the error and keeps the session alive must not inherit this
+    # call's edge list and label vector as orphaned blocks.
+    release_local_checkpoint(labels)
+    release_local_checkpoint(edges)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -186,6 +192,12 @@ def connected_components_star(
             return nodes.join(comp, on="id", how="left").select(
                 "id", F.coalesce("component", F.col("id")).alias("component")
             )
+    # ADVICE r12 #3: release-on-raise — the current edge set and node
+    # vector are this call's only live checkpoints here, and no result
+    # plan reads them on this path (unlike the success return, which
+    # reads both).
+    release_local_checkpoint(E)
+    release_local_checkpoint(nodes)
     raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
 
 
@@ -461,6 +473,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
             release_local_checkpoint(alive)
             return deg.select(F.col("src").alias("node"), "deg")
         release_local_checkpoint(deg)
+    # ADVICE r12 #3: release-on-raise — each round released its own
+    # deg/superseded survivor set, so the edge list and the last
+    # survivor set are the only live checkpoints at exhaustion.
+    release_local_checkpoint(edges)
+    release_local_checkpoint(alive)
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
 
 
@@ -543,6 +560,12 @@ def weighted_sssp(
         F.col("old").isNull() | (F.col("dist") < F.col("old"))
     )
     if not still.isEmpty():
+        # ADVICE r12 #3: release-on-raise — the distance vector and
+        # edge list are the call's only live checkpoints here (the
+        # last frontier was released above), and the caller gets no
+        # DataFrame that could read them.
+        release_local_checkpoint(dist)
+        release_local_checkpoint(edges)
         raise RuntimeError(f"weighted_sssp did not converge in {max_rounds} rounds")
     # The convergence probe above was the edge list's last read
     # (round-12 terminal release).

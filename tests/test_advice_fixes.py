@@ -1361,3 +1361,82 @@ def test_bench_diff_scale_mismatch_refuses(capsys, tmp_path):
     # pre-r11 records carry no sf field: compare (status quo), don't refuse
     code, out = run(rec, {**rec, "sf": 0.1})
     assert code == 0 and "SCALE MISMATCH" not in out
+
+
+# --------------------------------------------- r12 advice: bench gc
+
+
+def test_time_runs_gc_list_stays_aligned_with_runs(monkeypatch):
+    """ADVICE r12 #1: a transient py4j failure on ONE gc read used to
+    shorten gc_ms, silently attributing the wrong run's GC wall to a
+    timing. A failed read must record None in that run's slot so
+    positional correspondence with runs[] is guaranteed."""
+    import bench
+
+    class _Sink:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self, *_):
+            return None
+
+    class _Frame:
+        write = _Sink()
+
+    reads = iter([100, 110, None, 170, 200, 260])  # run2's first read fails
+    monkeypatch.setattr(bench, "_jvm_gc_ms", lambda _spark: next(reads))
+    out = bench._time_runs(lambda *_: _Frame(), spark=None, sf_dir="x", runs=3)
+    assert len(out["runs"]) == 3
+    assert out["gc_ms"] == [10, None, 60]
+
+    # every read failing → no gc_ms key at all (nothing to attribute)
+    monkeypatch.setattr(bench, "_jvm_gc_ms", lambda _spark: None)
+    out = bench._time_runs(lambda *_: _Frame(), spark=None, sf_dir="x", runs=2)
+    assert "gc_ms" not in out
+
+
+# ------------------------------------- r12 advice: idle-record scale
+
+
+def test_bench_diff_refuses_idle_record_at_other_sf(capsys, tmp_path):
+    """ADVICE r12 #2: the cross-scale refusal guarded only old-vs-new;
+    an idle sidecar recorded at a different sf could still feed the
+    official-vs-idle divergence check (canonical for trend) with a 10x
+    data difference. Same refusal, exit 2."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff_idle", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    rec = {
+        "plan_hashes": {"q_a": "aaa"},
+        "queries": {"q_a": 1.0},
+        "queries_stats": {"q_a": {"spread_pct": 50.0}},
+        "value": 3.0,
+        "sf": 0.1,
+        "plan_hash_rules": "v3",
+    }
+    po, pn, pi = (str(tmp_path / f"{n}.json") for n in ("old", "new", "idle"))
+    json.dump(rec, open(po, "w"))
+    json.dump(rec, open(pn, "w"))
+
+    idle = json.loads(json.dumps(rec))
+    idle["sf"] = 0.01
+    json.dump(idle, open(pi, "w"))
+    code = bd.main(po, pn, pi)
+    out = capsys.readouterr().out
+    assert code == 2 and "SCALE MISMATCH" in out and "idle" in out
+
+    # matching sf → the divergence check runs as before (agreement here)
+    json.dump(rec, open(pi, "w"))
+    code = bd.main(po, pn, pi)
+    out = capsys.readouterr().out
+    assert code == 0 and "agrees with the idle sidecar" in out

@@ -191,3 +191,67 @@ def test_pagerank_zero_iters_keeps_inputs_readable(spark):
     rows = pagerank(edges, iters=0).collect()
     assert {r["node"] for r in rows} == {0, 1}
     assert all(abs(r["rank"] - 0.5) < 1e-9 for r in rows)
+
+
+# ---------------------------------- r13: release on the raise paths
+# ADVICE r12 #3: a caller that catches the non-convergence error and
+# keeps the session alive must not inherit the call's edge-list/
+# vector checkpoints as orphaned blocks — the raise paths must honor
+# the same deterministic-release discipline as the success paths.
+
+
+def test_connected_components_raise_path_releases(spark):
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"])
+    before = _persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"
+
+
+def test_connected_components_star_raise_path_releases(spark):
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators.graph import connected_components_star
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"])
+    before = _persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(pairs, max_iter=1)
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"
+
+
+def test_kcore_raise_path_releases(spark):
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["src", "dst"]
+    )
+    before = _persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=2, max_rounds=1)
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"
+
+
+def test_weighted_sssp_raise_path_releases(spark):
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)], ["src", "dst", "w"]
+    )
+    before = _persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        weighted_sssp(edges, sources=["a"], max_rounds=1)
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"

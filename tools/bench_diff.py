@@ -391,6 +391,24 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
 
     if idle_path:
         idle = json.load(open(idle_path))
+        # ADVICE r12 #2: the cross-scale refusal above only guards
+        # old-vs-new; the idle sidecar's sf was never checked, so the
+        # official-vs-idle divergence check (canonical for trend per
+        # SCALING.md) could silently compare records at different
+        # scale factors. Same refusal, same reason.
+        i_sf, n_sf = idle.get("sf"), new.get("sf")
+        if (
+            isinstance(i_sf, (int, float))
+            and isinstance(n_sf, (int, float))
+            and i_sf != n_sf
+        ):
+            print(
+                f"\nSCALE MISMATCH: idle sidecar {idle_path} is sf={i_sf} but "
+                f"{new_path} is sf={n_sf} — the official-vs-idle divergence check "
+                "would compare different data sizes; re-record the idle sidecar "
+                "at the official record's scale"
+            )
+            return 2
         warn = record_divergence(new, idle)
         if warn:
             print(f"\n{warn}")
