@@ -42,61 +42,43 @@ def register(name: str, oracle: str | None = None):
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-12 front-load, slot budget 50 (50 used). VERDICT r11 ask
-    # #1: rotate the full 39-key r8-verdict cohort, backfilled to 50
-    # from the r9 cohort — after this round no key's latest verdict
-    # sits on pre-r9 code.
-    # (a) Keys whose code paths changed this round: file_roundtrip
-    # shares sinks/files.py with the fileNameExpr validation, which
-    # tightens again (C1 controls + U+2028/U+2029, ADVICE r11 #2);
-    # the five keys on operators/graph.py, whose iterative loops now
-    # release superseded/terminal checkpoints deterministically
-    # (pagerank eager rounds + edge-list release on every loop's
-    # success path) — results are pinned bit-identical locally, and
-    # the driver verdict re-proves it on the changed code.
-    "file_roundtrip",
-    "q_pagerank", "q_kcore", "q_shortest_path", "q_weighted_paths",
-    "dedup_clusters",
-    # (b) The full 39-key r8-verdict cohort, registry order: ANN,
-    # the file/XML parse tier, streams, the TPC-H core, the r8 text
-    # tier, the top-m BPE trainer.
-    "ann_ivf", "find_files", "line_parser_csv", "xml_parse",
-    "xml_format", "stream_windowed_agg", "stream_dedup",
-    "stream_stream_join", "q_filter_project", "q_agg_pricing",
-    "q_join_broadcast", "q_join_multiway", "q_join_left",
-    "q_join_semi", "q_window_rank", "q_subquery_avg", "q_percentile",
-    "q_ship_priority", "q_order_priority", "q_nation_volume",
-    "q_returned_items", "q_count_distribution", "q_top_supplier",
-    "q_or_predicates", "q_cube", "q_argminmax", "q_set_ops",
-    "q_join_full", "text_repeated_ngrams", "text_gopher_quality",
-    "text_tfidf", "ann_range", "ann_pq", "stream_sliding_window",
-    "text_dedup_lines", "text_url_dedup", "text_sample_exact_k",
-    "stream_static_join", "text_bpe_train_topm",
-    # (c) Backfill to 50 from the r9 cohort, heaviest plans first:
-    # the four warehouse-layout keys (bucketing/compaction/Z-order/
-    # partition pruning) and brute-force multimodal ANN. (The five
-    # graph-key front-loads displaced the rest of the r9 backfill —
-    # multimodal_image/video_neardup, q_salted_join, emb_pq_codes,
-    # dedup_incremental keep their r9 verdicts, which still meets the
-    # r12 bar of no key older than r9 code; they lead the r13 list.)
-    "layout_partitioned_read", "layout_bucketed_join",
-    "layout_compacted_roundtrip", "layout_zorder_read",
-    "multimodal_ann",
+    # Round-13 front-load, slot budget 50 (50 used). VERDICT r12 ask
+    # #2: rotate the FULL 44-key r9-verdict cohort (every key whose
+    # latest verdict still sits on r9 code), backfilled to 50 with the
+    # six-key q_sessionize family from the r10 cohort — after this
+    # round no key's latest verdict is older than r10 code.
+    # Keys whose code changed this round are NOT front-loaded on
+    # purpose: the round-13 graph.py diff touches only the
+    # non-convergence RAISE paths (checkpoint release before raising,
+    # ADVICE r12 #3), which are unreachable on the driver's inputs
+    # (convergence pinned by tests), and all five graph keys carry
+    # fresh r12 verdicts on the round-12 success-path code.
+    # (a) The 44-key r9 cohort, registry order (events/emb/text tier
+    # first, then the TPC-H scalar pack):
+    "q_funnel", "q_retention", "q_anomaly", "q_event_paths",
+    "q_ts_similarity", "emb_pq_codes", "emb_rp_project", "text_split",
+    "text_data_card", "corpus_diff", "text_sentiment", "text_snippets",
+    "source_jsonl", "q_salted_join", "sync_deleted_keys", "text_c4_clean",
+    "text_domain_filter", "dedup_incremental", "text_dsir", "emb_decontaminate",
+    "emb_outliers", "text_normalize", "text_normalize_lines", "multimodal_image_neardup",
+    "text_dedup_lines_within", "text_remove_passages", "multimodal_video_neardup", "text_bpe_encode_arrow",
+    "stream_text_prep", "stream_dedup_incremental", "q_topn", "q_distinct",
+    "q_union", "q_time_bucket", "q_having", "q_forecast_revenue",
+    "q_regexp_extract", "q_date_parts", "q_null_funcs", "q_stats_moments",
+    "q_histogram", "q_regression", "q_grouping_sets", "q_not_in_nulls",
+    # (b) Backfill to 50 from the r10 cohort: the sessionize family —
+    # one shared code path (queries/events.py sessionize + digest
+    # twins), so six slots buy one coherent refresh.
+    "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
+    "q_sessionize_dg_val", "q_sessionize_dg_start", "q_sessionize_dg_end",
 )
-# Next round (r13): the five r9 keys displaced above
-# (multimodal_image_neardup, multimodal_video_neardup, q_salted_join,
-# emb_pq_codes, dedup_incremental) first, then the remaining 39-key
-# r9-verdict cohort —
-# q_topn/q_distinct/q_union/q_time_bucket/q_having, the regexp/date/
-# null/stats/histogram/regression/grouping-sets/not-in q_* pack, the
-# r9 text tier (c4_clean, split, domain_filter, dsir, normalize,
-# normalize_lines, dedup_lines_within, remove_passages, sentiment,
-# snippets, data_card), corpus_diff, source_jsonl, sync_deleted_keys,
-# emb_rp_project/emb_decontaminate/emb_outliers, stream_text_prep,
-# stream_dedup_incremental, text_bpe_encode_arrow, q_funnel,
-# q_retention, q_anomaly, q_event_paths, q_ts_similarity — backfilled
-# to 50 from the r10 cohort (48 keys) behind it.
-# tools/verdict_freshness.py prints the ordered list ready to paste.
+# Next round (r14): the remaining 39 r10-verdict keys (q_gap_fill,
+# q_attribution, q_stickiness, q_experiment, the perplexity/index/
+# BM25/collocations/NB search tier, sync_incremental,
+# rollup_incremental, layout_orc_roundtrip, q_expectations,
+# multimodal_audio_neardup, the TPC-H Q56-Q75 pack ...), backfilled to
+# 50 from the r11 cohort. tools/verdict_freshness.py prints the
+# ordered list (stalest cohort first) ready to paste.
 
 
 def registry() -> dict[str, Query]:

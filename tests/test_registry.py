@@ -26,3 +26,31 @@ def test_every_query_has_unique_name_and_builder():
     for name, q in reg.items():
         assert callable(q.builder), name
         assert q.name == name
+
+
+def test_priority_front_loads_the_entire_stalest_cohort():
+    """VERDICT r12 ask #2 regression: the rotation budget is 50 keys
+    per round, so the STALEST verified cohort must fit entirely inside
+    _DRIVER_PRIORITY — round 13 found a registry-order interleave had
+    been pushing 17 r9 keys past the budget while fresher r10 keys sat
+    inside it. Computed from the committed CORRECTNESS artifacts so the
+    pin survives cohort turnover."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for key in json.load(open(path)):
+            latest[key] = max(latest.get(key, -1), rnd)
+    verified = {k: r for k, r in latest.items() if k in registry()}
+    if not verified:  # fresh clone without artifacts — nothing to pin
+        return
+    stalest = min(verified.values())
+    cohort = sorted(k for k, r in verified.items() if r == stalest)
+    stranded = [k for k in cohort if k not in _DRIVER_PRIORITY]
+    assert len(cohort) > 50 or not stranded, (
+        f"stalest cohort (r{stalest}) keys missing from _DRIVER_PRIORITY: {stranded}"
+    )

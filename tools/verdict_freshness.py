@@ -67,11 +67,15 @@ def main(repo: str = "/root/repo") -> int:
         print(f"\nFAILED latest verdict ({len(failed)}): {', '.join(failed)}")
     if never:
         print(f"\nNEVER verified ({len(never)}): {', '.join(never)}")
-    # Rotation suggestion: stalest first, each cohort in registry
-    # iteration order so the paste preserves heaviest-first choices
-    # made when the cohort was last ordered.
+    # Rotation suggestion: STRICTLY stalest cohort first (round 13: a
+    # registry-order interleave put 17 r9 keys past the 50-key driver
+    # budget while r10 keys sat inside it — the paste must be
+    # truncatable at 50 without stranding the stalest cohort), then
+    # within each cohort registry iteration order so the paste
+    # preserves heaviest-first choices made when the cohort was last
+    # ordered.
     stale_rounds = sorted(hist)[:2]
-    suggestion = [k for k in reg if any(k in hist[r] for r in stale_rounds)]
+    suggestion = [k for r in stale_rounds for k in reg if k in hist[r]]
     print(f"\nnext rotation (r{'/r'.join(map(str, stale_rounds))} cohorts, {len(suggestion)} keys):")
     for i in range(0, len(suggestion), 4):
         print("    " + ", ".join(f'"{k}"' for k in suggestion[i : i + 4]) + ",")
