@@ -1440,3 +1440,22 @@ def test_bench_diff_refuses_idle_record_at_other_sf(capsys, tmp_path):
     code = bd.main(po, pn, pi)
     out = capsys.readouterr().out
     assert code == 0 and "agrees with the idle sidecar" in out
+
+
+def test_committed_idle_record_is_at_official_scale_and_complete():
+    """r13 artifact hygiene: the canonical idle sidecar is the trend
+    baseline, so a committed BENCH_DETAIL.json must be (a) at the
+    official sf (an SPARK_GRAFT_SF_DIR-override idle run would poison
+    every trend read — the bench_diff sf guard only catches it at
+    compare time) and (b) carrying the keys the round gate consumes."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    if not os.path.exists(path):  # fresh clone without a record
+        return
+    rec = json.load(open(path))
+    assert rec.get("sf") == 0.1, f"idle record at sf={rec.get('sf')}, not the official 0.1"
+    for key in ("value", "sf1_total", "host_calib_sec", "host_calib_par_sec",
+                "plan_hashes", "queries_stats", "plan_hash_rules"):
+        assert key in rec, f"idle record missing gate key {key}"
