@@ -1459,3 +1459,55 @@ def test_committed_idle_record_is_at_official_scale_and_complete():
     for key in ("value", "sf1_total", "host_calib_sec", "host_calib_par_sec",
                 "plan_hashes", "queries_stats", "plan_hash_rules"):
         assert key in rec, f"idle record missing gate key {key}"
+
+
+def test_bench_diff_quarantined_base_relabels_improvements_only(capsys, tmp_path):
+    """r13: an improvement flagged REAL against a record that DECLARES
+    itself trend-quarantined (the r12 stall-contaminated idle sidecar)
+    is a recovery toward the true floor and must not gate — but ONLY
+    improvements, ONLY under the marker; slowdown-side REALs still
+    exit 1, and without the marker the old behavior stands."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff_quar", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    def run(old, new):
+        po, pn = str(tmp_path / "q_old.json"), str(tmp_path / "q_new.json")
+        json.dump(old, open(po, "w"))
+        json.dump(new, open(pn, "w"))
+        code = bd.main(po, pn)
+        return code, capsys.readouterr().out
+
+    old = {
+        "plan_hashes": {"q_a": "aaa", "q_b": "bbb"},
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+        "queries_stats": {"q_a": {"spread_pct": 5.0}, "q_b": {"spread_pct": 5.0}},
+        "value": 3.0,
+        "sf": 0.1,
+        "plan_hash_rules": "v3",
+    }
+    faster = json.loads(json.dumps(old))
+    faster["queries"]["q_a"] = 0.5  # -50%: breaker, no calib/uniform cover
+
+    # without the marker: improvement REAL gates (status quo)
+    code, out = run(old, faster)
+    assert code == 1 and "REAL breakers (1): q_a" in out
+
+    # with the marker: relabeled recovered, non-gating, note printed
+    quar = json.loads(json.dumps(old))
+    quar["trend_quarantine"] = "stall-contaminated windows"
+    code, out = run(quar, faster)
+    assert code == 0
+    assert "recovered" in out and "trend-quarantined" in out
+
+    # slowdown-side REAL still gates even under the marker
+    slower = json.loads(json.dumps(old))
+    slower["queries"]["q_a"] = 2.0  # +100%
+    code, out = run(quar, slower)
+    assert code == 1 and "REAL breakers (1): q_a" in out

@@ -213,7 +213,9 @@ def record_divergence(official: dict, idle: dict, floor_pct: float = 10.0) -> st
     )
 
 
-def _print_section(title: str, rows: list[dict], calib_shift, uniform_med) -> list[dict]:
+def _print_section(
+    title: str, rows: list[dict], calib_shift, uniform_med, old_quarantined: bool = False
+) -> list[dict]:
     """Render one table; returns the envelope-breaker rows (labeled)."""
     breakers = []
     print(f"\n[{title}]")
@@ -223,7 +225,18 @@ def _print_section(title: str, rows: list[dict], calib_shift, uniform_med) -> li
     )
     for r in rows:
         lab = label_row(r["plan"], r["delta_pct"], r["envelope_pct"], calib_shift, uniform_med)
-        if lab in ("plan", "host(calib)", "host(uniform)", "REAL"):
+        # Round 13: an IMPROVEMENT flagged REAL against a record that
+        # DECLARES itself trend-quarantined (r12: every idle window
+        # carried stalls, so its floors are inflated) is a recovery
+        # toward the true floor, not a regression — text_tokens sf1
+        # sat at 1.11 s on the quiet r11 record, 1.85 s on the stalled
+        # r12 one, 1.29 s on the quiet r13 one, and gating on the
+        # -30% "regression" would fail every honest re-anchor. Only
+        # the quarantine marker unlocks this relabel; slowdown-side
+        # REALs still gate.
+        if lab == "REAL" and old_quarantined and (r["delta_pct"] or 0) < 0:
+            lab = "recovered"
+        if lab in ("plan", "host(calib)", "host(uniform)", "REAL", "recovered"):
             breakers.append({**r, "label": lab})
         d = f"{r['delta_pct']:+.1f}" if r["delta_pct"] is not None else "-"
         e = f"{r['envelope_pct']:.1f}" if r["envelope_pct"] is not None else "-"
@@ -335,9 +348,19 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
     ]
     shift_line, uniform_med = _uniform_shift(all_deltas)
 
+    quarantine = old.get("trend_quarantine")
+    if quarantine:
+        print(
+            f"\nNOTE: old record is trend-quarantined ({quarantine}) — its floors are "
+            "not a sound baseline; improvement-side breakers below are labeled "
+            "'recovered' (non-gating), and trend reads should use the last quiet record"
+        )
+
     breakers: list[dict] = []
     for title, rows in sections:
-        breakers += _print_section(title, rows, calib_shift, uniform_med)
+        breakers += _print_section(
+            title, rows, calib_shift, uniform_med, old_quarantined=bool(quarantine)
+        )
 
     t_old, t_new = old.get("value"), new.get("value")
     if t_old and t_new:
@@ -386,6 +409,11 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
         print("\nall plan hashes unchanged")
     if hosty:
         print(f"host-attributed breakers: {len(hosty)} (calibration/uniform-shift explained)")
+    recovered = [b["name"] for b in breakers if b["label"] == "recovered"]
+    if recovered:
+        print(
+            f"recovered from quarantined floors ({len(recovered)}): {', '.join(recovered)}"
+        )
     if real:
         print(f"REAL breakers ({len(real)}): {', '.join(real)} — investigate before shipping")
 
