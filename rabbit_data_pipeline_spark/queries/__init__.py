@@ -41,6 +41,13 @@ def register(name: str, oracle: str | None = None):
 # (empirically, round 1) caps at 50 keys per round.  Keys listed here are
 # emitted first so queries without a driver verdict yet — plus any query
 # changed this round — get one before previously-green keys re-run.
+# The CORRECTNESS_r{N} artifacts that existed when _DRIVER_PRIORITY
+# was last authored — the driver appends r{basis+1} at round end, so
+# tests/test_registry.py evaluates the stalest-cohort invariant
+# against rounds <= basis and flags a basis lagging the artifacts by
+# more than that one round (a never-re-authored list).
+_ROTATION_BASIS_ROUND = 12
+
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-13 front-load, slot budget 50 (50 used). VERDICT r12 ask
     # #2: rotate the FULL 44-key r9-verdict cohort (every key whose
@@ -78,7 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # rollup_incremental, layout_orc_roundtrip, q_expectations,
 # multimodal_audio_neardup, the TPC-H Q56-Q75 pack ...), backfilled to
 # 50 from the r11 cohort. tools/verdict_freshness.py prints the
-# ordered list (stalest cohort first) ready to paste.
+# ordered list (stalest cohort first) ready to paste; bump
+# _ROTATION_BASIS_ROUND to 13 when re-authoring.
 
 
 def registry() -> dict[str, Query]:

@@ -33,21 +33,39 @@ def test_priority_front_loads_the_entire_stalest_cohort():
     per round, so the STALEST verified cohort must fit entirely inside
     _DRIVER_PRIORITY — round 13 found a registry-order interleave had
     been pushing 17 r9 keys past the budget while fresher r10 keys sat
-    inside it. Computed from the committed CORRECTNESS artifacts so the
-    pin survives cohort turnover."""
+    inside it. The invariant is evaluated against the artifacts that
+    EXISTED when the list was authored (_ROTATION_BASIS_ROUND): the
+    driver appends CORRECTNESS_r{basis+1}.json at round end, which
+    makes the next cohort stale by design — that's the NEXT round's
+    rotation, not this list's failure. Re-authoring the list means
+    bumping the basis."""
     import glob
     import json
     import os
 
+    from rabbit_data_pipeline_spark.queries import _ROTATION_BASIS_ROUND
+
     repo = os.path.join(os.path.dirname(__file__), "..")
+    rounds_seen = []
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        rounds_seen.append(rnd)
+        if rnd > _ROTATION_BASIS_ROUND:
+            continue
         for key in json.load(open(path)):
             latest[key] = max(latest.get(key, -1), rnd)
     verified = {k: r for k, r in latest.items() if k in registry()}
     if not verified:  # fresh clone without artifacts — nothing to pin
         return
+    # the basis must not lag the artifacts by more than the one round
+    # the driver appends after authoring — further behind means the
+    # list was never re-authored for the new cohort state.
+    assert max(rounds_seen) - _ROTATION_BASIS_ROUND <= 1, (
+        f"rotation basis r{_ROTATION_BASIS_ROUND} is stale vs artifacts "
+        f"r{max(rounds_seen)}: re-author _DRIVER_PRIORITY "
+        "(tools/verdict_freshness.py prints the paste) and bump the basis"
+    )
     stalest = min(verified.values())
     cohort = sorted(k for k, r in verified.items() if r == stalest)
     stranded = [k for k in cohort if k not in _DRIVER_PRIORITY]
