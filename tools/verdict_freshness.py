@@ -75,7 +75,8 @@ def main(repo: str = "/root/repo") -> int:
     # preserves heaviest-first choices made when the cohort was last
     # ordered.
     stale_rounds = sorted(hist)[:2]
-    suggestion = [k for r in stale_rounds for k in reg if k in hist[r]]
+    cohorts = {r: set(hist[r]) for r in stale_rounds}
+    suggestion = [k for r in stale_rounds for k in reg if k in cohorts[r]]
     print(f"\nnext rotation (r{'/r'.join(map(str, stale_rounds))} cohorts, {len(suggestion)} keys):")
     for i in range(0, len(suggestion), 4):
         print("    " + ", ".join(f'"{k}"' for k in suggestion[i : i + 4]) + ",")
