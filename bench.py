@@ -694,6 +694,16 @@ def main() -> None:
             result["extended_plan_hashes"] = ext_hashes
         except Exception as e:
             result["extended_error"] = f"{type(e).__name__}: {e}"[:200]
+        # Per-segment steal (round 13): the discarded first r13 idle
+        # window was throttled ONLY during the sustained-load sf1
+        # segment (q_pagerank sf1 2.5x across all runs, standalone
+        # reproduction clean) while the whole-run average diluted the
+        # signal to 4.4%. Segment snapshots make that attribution
+        # mechanical instead of requiring a reproduction.
+        cpu_sf1_0 = _cpu_times()
+        if cpu0 is not None and cpu_sf1_0 is not None:
+            d_steal, d_total = cpu_sf1_0[0] - cpu0[0], cpu_sf1_0[1] - cpu0[1]
+            result["host_steal_pct_sf01"] = round(100.0 * d_steal / max(d_total, 1), 2)
         try:
             build_sec, build_reused = _ensure_scaled(spark, sf_dir, _SCALED_DIR, _SCALE_FACTOR)
             sf1: dict[str, float] = {}
@@ -757,6 +767,10 @@ def main() -> None:
             )
         except Exception as e:  # scale point is evidence, not the contract
             result["sf1_error"] = f"{type(e).__name__}: {e}"[:200]
+        cpu_sf1_1 = _cpu_times()
+        if cpu_sf1_0 is not None and cpu_sf1_1 is not None:
+            d_steal, d_total = cpu_sf1_1[0] - cpu_sf1_0[0], cpu_sf1_1[1] - cpu_sf1_0[1]
+            result["host_steal_pct_sf1"] = round(100.0 * d_steal / max(d_total, 1), 2)
 
     if cpu0 is not None:
         cpu1 = _cpu_times()

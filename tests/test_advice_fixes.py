@@ -1511,3 +1511,43 @@ def test_bench_diff_quarantined_base_relabels_improvements_only(capsys, tmp_path
     slower["queries"]["q_a"] = 2.0  # +100%
     code, out = run(quar, slower)
     assert code == 1 and "REAL breakers (1): q_a" in out
+
+
+def test_bench_diff_prints_segment_steal_split(capsys, tmp_path):
+    """r13: a throttle confined to one bench segment (the discarded
+    first r13 idle window: sf1-only, 2.5x on iterative probes) is
+    diluted by the whole-run steal average — when the new record
+    carries per-segment steal, the diff must print the split."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff_seg", os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    rec = {
+        "plan_hashes": {"q_a": "aaa"},
+        "queries": {"q_a": 1.0},
+        "queries_stats": {"q_a": {"spread_pct": 5.0}},
+        "value": 1.0,
+        "sf": 0.1,
+        "plan_hash_rules": "v3",
+    }
+    new = json.loads(json.dumps(rec))
+    new["host_steal_pct_sf01"] = 0.1
+    new["host_steal_pct_sf1"] = 6.2
+    po, pn = str(tmp_path / "s_old.json"), str(tmp_path / "s_new.json")
+    json.dump(rec, open(po, "w"))
+    json.dump(new, open(pn, "w"))
+    code = bd.main(po, pn)
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "steal by segment: sf0.1 0.1%, sf1 6.2%" in out
+
+    # absent keys → no segment line (old records stay quiet)
+    json.dump(rec, open(pn, "w"))
+    bd.main(po, pn)
+    assert "steal by segment" not in capsys.readouterr().out

@@ -390,6 +390,16 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
             f"host steal: {s_o}% -> {s_n}% of run CPU stolen by the hypervisor "
             "(sustained-load throttle the burst calibrations can't see)"
         )
+    seg_n = [new.get("host_steal_pct_sf01"), new.get("host_steal_pct_sf1")]
+    if any(v is not None for v in seg_n):
+        # Round 13: a throttle confined to one segment (the discarded
+        # r13 window: sf1-only, 2.5x on the iterative probes) is
+        # diluted by the whole-run average — print the split so the
+        # contaminated segment names itself.
+        print(
+            f"new-record steal by segment: sf0.1 {seg_n[0]}%, sf1 {seg_n[1]}% "
+            "(a lopsided split pins which segment's floors to distrust)"
+        )
     if shift_line:
         print(f"\n{shift_line}")
 
