@@ -346,6 +346,12 @@ def _train_distributed(
         # functions/checkpoints.py for the safety contract).
         release_local_checkpoint(vocab)
         vocab = new_vocab
+    # Terminal release (round 13, the graph-loop discipline applied
+    # here too): the return value is a plain merge list — nothing
+    # reads the final histogram checkpoint, so without this every
+    # train call parks one corpus histogram in executor storage until
+    # the ContextCleaner runs.
+    release_local_checkpoint(vocab)
     if stats is not None:
         stats.update(strategy="distributed", rounds=rounds)
     return merges
@@ -389,6 +395,10 @@ def train_bpe(
             f"unknown strategy {strategy!r}: expected auto|driver|distributed|driver_topm"
         )
     hist = _word_histogram(df, text_col).localCheckpoint()
+    # Keep the checkpoint handle: the driver_topm rebind below derives
+    # a new plan over it, and releasing a derived plan is a no-op —
+    # only this reference can free the histogram's blocks.
+    hist_ckpt = hist
     if strategy == "auto":
         n_words = hist.count()  # cheap: histogram already materialized
         strategy = "driver" if n_words <= driver_max_words else "distributed"
@@ -397,13 +407,22 @@ def train_bpe(
         strategy = "driver"
     if strategy == "driver":
         rows = hist.collect()
+        # Terminal release (round 13): collect() was the histogram's
+        # last read — training continues on the driver over plain
+        # Python rows.
+        release_local_checkpoint(hist_ckpt)
         if stats is not None:
             stats.update(strategy="driver", rounds=0, words=len(rows))
         return _train_incremental(
             [(list(r["word"]), r["cnt"]) for r in rows], n_merges, min_pair_count
         )
     vocab = hist.select(F.split(F.col("word"), "").alias("syms"), "cnt")
-    return _train_distributed(vocab, n_merges, min_pair_count, batch_top_k, stats)
+    merges = _train_distributed(vocab, n_merges, min_pair_count, batch_top_k, stats)
+    # _train_distributed's entry checkpoint materialized from the
+    # histogram and the returned merge list is plain Python — the
+    # histogram is dead on this path too.
+    release_local_checkpoint(hist_ckpt)
+    return merges
 
 
 def encode_expr(col: Column, merges: list[tuple[int, str, str]]) -> Column:

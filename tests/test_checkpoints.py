@@ -255,3 +255,30 @@ def test_weighted_sssp_raise_path_releases(spark):
         weighted_sssp(edges, sources=["a"], max_rounds=1)
     leaked = _persistent_ids(spark) - before
     assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"
+
+
+def test_train_bpe_releases_histogram_on_every_strategy(spark):
+    """r13: train_bpe returns a plain Python merge list, so every
+    internal checkpoint (the word histogram; the batched trainer's
+    per-round vocab) is dead at return — no strategy may leave
+    persisted RDDs behind. The driver_topm path is the sharp edge: it
+    REBINDS hist to a derived plan, so only a kept handle can release
+    the underlying checkpoint."""
+    from rabbit_data_pipeline_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide widely") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    expected = None
+    for strategy in ("driver", "driver_topm", "distributed"):
+        before = _persistent_ids(spark)
+        merges = train_bpe(df, n_merges=6, strategy=strategy)
+        leaked = _persistent_ids(spark) - before
+        assert not leaked, f"{strategy} left persisted RDDs: {sorted(leaked)}"
+        # the release must not change the trained merges
+        pairs = [(l, r) for _, l, r in merges]
+        if expected is None:
+            expected = pairs
+        else:
+            assert pairs == expected, f"{strategy} merges diverged after release"
