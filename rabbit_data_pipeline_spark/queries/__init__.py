@@ -54,13 +54,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # latest verdict still sits on r9 code), backfilled to 50 with the
     # six-key q_sessionize family from the r10 cohort — after this
     # round no key's latest verdict is older than r10 code.
-    # Keys whose code changed this round are NOT front-loaded on
-    # purpose: the round-13 graph.py diff touches only the
-    # non-convergence RAISE paths (checkpoint release before raising,
-    # ADVICE r12 #3), which are unreachable on the driver's inputs
-    # (convergence pinned by tests), and all five graph keys carry
-    # fresh r12 verdicts on the round-12 success-path code.
-    # (a) The 44-key r9 cohort, registry order (events/emb/text tier
+    # (a) Keys whose SUCCESS-path code changed this round: train_bpe
+    # gained terminal checkpoint release on all three strategy paths
+    # (merges pinned unchanged per strategy, zero persisted RDDs —
+    # tests/test_checkpoints.py), so the three train keys re-verify on
+    # the new code. The graph.py diff, by contrast, touches only the
+    # non-convergence RAISE paths (ADVICE r12 #3), unreachable on the
+    # driver's inputs — the five graph keys keep their fresh r12
+    # verdicts and are not re-front-loaded.
+    "text_bpe_train", "text_bpe_train_batched", "text_bpe_train_topm",
+    # (b) The 44-key r9 cohort, registry order (events/emb/text tier
     # first, then the TPC-H scalar pack):
     "q_funnel", "q_retention", "q_anomaly", "q_event_paths",
     "q_ts_similarity", "emb_pq_codes", "emb_rp_project", "text_split",
@@ -73,11 +76,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_union", "q_time_bucket", "q_having", "q_forecast_revenue",
     "q_regexp_extract", "q_date_parts", "q_null_funcs", "q_stats_moments",
     "q_histogram", "q_regression", "q_grouping_sets", "q_not_in_nulls",
-    # (b) Backfill to 50 from the r10 cohort: the sessionize family —
-    # one shared code path (queries/events.py sessionize + digest
-    # twins), so six slots buy one coherent refresh.
+    # (c) Backfill to 50 from the r10 cohort: the sessionize family
+    # head (one shared code path, queries/events.py); the other three
+    # digest twins were displaced by the changed-code BPE front-load
+    # and keep their r10 verdicts — still inside the freshness bar.
     "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
-    "q_sessionize_dg_val", "q_sessionize_dg_start", "q_sessionize_dg_end",
 )
 # Next round (r14): the remaining 39 r10-verdict keys (q_gap_fill,
 # q_attribution, q_stickiness, q_experiment, the perplexity/index/
