@@ -314,47 +314,56 @@ def _train_distributed(
     round. localCheckpoint keeps the plan flat round-over-round (the
     same re-evaluation guard dedup_minhash documents)."""
     vocab = vocab.localCheckpoint()
-    alphabet = {
-        r[0] for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
-    }
-    merges: list[tuple[int, str, str]] = []
-    rounds = 0
-    while len(merges) < n_merges:
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("c").desc(), "l", "r")
-            .limit(batch_top_k)
-            .collect()
-        )
-        if not top or top[0]["c"] < min_pair_count:
-            break
-        rounds += 1
-        batch = _select_batch(
-            [(row["c"], row["l"], row["r"]) for row in top],
-            alphabet,
-            budget=n_merges - len(merges),
-            min_pair_count=min_pair_count,
-            complete=len(top) < batch_top_k,
-        )
-        for left, right in batch:
-            merges.append((len(merges), left, right))
-            alphabet.add(left + right)
-        new_vocab = _apply_merges_arrow(vocab, batch).localCheckpoint()
-        # eager checkpoint (default) → the superseded histogram is
-        # dead; release it instead of holding every round's vocab in
-        # executor storage until the ContextCleaner runs (see
-        # functions/checkpoints.py for the safety contract).
+    # ADVICE r13 #2 (release-on-raise): a failed round — collect or
+    # the Arrow pass raising — must not park the live round's
+    # histogram checkpoint. The finally releases whatever `vocab`
+    # points at when the loop exits, normal or not; the helper is
+    # idempotent so the success path's terminal release below isn't
+    # double-counted.
+    try:
+        alphabet = {
+            r[0] for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
+        }
+        merges: list[tuple[int, str, str]] = []
+        rounds = 0
+        while len(merges) < n_merges:
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(batch_top_k)
+                .collect()
+            )
+            if not top or top[0]["c"] < min_pair_count:
+                break
+            rounds += 1
+            batch = _select_batch(
+                [(row["c"], row["l"], row["r"]) for row in top],
+                alphabet,
+                budget=n_merges - len(merges),
+                min_pair_count=min_pair_count,
+                complete=len(top) < batch_top_k,
+            )
+            for left, right in batch:
+                merges.append((len(merges), left, right))
+                alphabet.add(left + right)
+            new_vocab = _apply_merges_arrow(vocab, batch).localCheckpoint()
+            # eager checkpoint (default) → the superseded histogram is
+            # dead; release it instead of holding every round's vocab in
+            # executor storage until the ContextCleaner runs (see
+            # functions/checkpoints.py for the safety contract).
+            release_local_checkpoint(vocab)
+            vocab = new_vocab
+        # Terminal release (round 13, the graph-loop discipline applied
+        # here too): the return value is a plain merge list — nothing
+        # reads the final histogram checkpoint, so without this every
+        # train call parks one corpus histogram in executor storage until
+        # the ContextCleaner runs.
         release_local_checkpoint(vocab)
-        vocab = new_vocab
-    # Terminal release (round 13, the graph-loop discipline applied
-    # here too): the return value is a plain merge list — nothing
-    # reads the final histogram checkpoint, so without this every
-    # train call parks one corpus histogram in executor storage until
-    # the ContextCleaner runs.
-    release_local_checkpoint(vocab)
-    if stats is not None:
-        stats.update(strategy="distributed", rounds=rounds)
-    return merges
+        if stats is not None:
+            stats.update(strategy="distributed", rounds=rounds)
+        return merges
+    finally:
+        release_local_checkpoint(vocab)
 
 
 # -------------------------------------------------------------- front door
@@ -399,30 +408,40 @@ def train_bpe(
     # a new plan over it, and releasing a derived plan is a no-op —
     # only this reference can free the histogram's blocks.
     hist_ckpt = hist
-    if strategy == "auto":
-        n_words = hist.count()  # cheap: histogram already materialized
-        strategy = "driver" if n_words <= driver_max_words else "distributed"
-    if strategy == "driver_topm":
-        hist = hist.orderBy(F.col("cnt").desc(), "word").limit(driver_max_words)
-        strategy = "driver"
-    if strategy == "driver":
-        rows = hist.collect()
-        # Terminal release (round 13): collect() was the histogram's
-        # last read — training continues on the driver over plain
-        # Python rows.
+    # ADVICE r13 #2 (release-on-raise, the graph.py discipline): the
+    # early releases below free the histogram at the moment it's dead
+    # on each SUCCESS path; the finally backstops the RAISE paths
+    # (count/collect/_train_distributed failing mid-call) so a failed
+    # train never parks the corpus histogram. The helper is idempotent
+    # — a second release finds storage level NONE and no-ops — so the
+    # backstop doesn't disturb the success-path timing.
+    try:
+        if strategy == "auto":
+            n_words = hist.count()  # cheap: histogram already materialized
+            strategy = "driver" if n_words <= driver_max_words else "distributed"
+        if strategy == "driver_topm":
+            hist = hist.orderBy(F.col("cnt").desc(), "word").limit(driver_max_words)
+            strategy = "driver"
+        if strategy == "driver":
+            rows = hist.collect()
+            # Terminal release (round 13): collect() was the histogram's
+            # last read — training continues on the driver over plain
+            # Python rows.
+            release_local_checkpoint(hist_ckpt)
+            if stats is not None:
+                stats.update(strategy="driver", rounds=0, words=len(rows))
+            return _train_incremental(
+                [(list(r["word"]), r["cnt"]) for r in rows], n_merges, min_pair_count
+            )
+        vocab = hist.select(F.split(F.col("word"), "").alias("syms"), "cnt")
+        merges = _train_distributed(vocab, n_merges, min_pair_count, batch_top_k, stats)
+        # _train_distributed's entry checkpoint materialized from the
+        # histogram and the returned merge list is plain Python — the
+        # histogram is dead on this path too.
         release_local_checkpoint(hist_ckpt)
-        if stats is not None:
-            stats.update(strategy="driver", rounds=0, words=len(rows))
-        return _train_incremental(
-            [(list(r["word"]), r["cnt"]) for r in rows], n_merges, min_pair_count
-        )
-    vocab = hist.select(F.split(F.col("word"), "").alias("syms"), "cnt")
-    merges = _train_distributed(vocab, n_merges, min_pair_count, batch_top_k, stats)
-    # _train_distributed's entry checkpoint materialized from the
-    # histogram and the returned merge list is plain Python — the
-    # histogram is dead on this path too.
-    release_local_checkpoint(hist_ckpt)
-    return merges
+        return merges
+    finally:
+        release_local_checkpoint(hist_ckpt)
 
 
 def encode_expr(col: Column, merges: list[tuple[int, str, str]]) -> Column:

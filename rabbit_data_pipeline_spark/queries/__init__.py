@@ -46,50 +46,46 @@ def register(name: str, oracle: str | None = None):
 # tests/test_registry.py evaluates the stalest-cohort invariant
 # against rounds <= basis and flags a basis lagging the artifacts by
 # more than that one round (a never-re-authored list).
-_ROTATION_BASIS_ROUND = 12
+_ROTATION_BASIS_ROUND = 13
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-13 front-load, slot budget 50 (50 used). VERDICT r12 ask
-    # #2: rotate the FULL 44-key r9-verdict cohort (every key whose
-    # latest verdict still sits on r9 code), backfilled to 50 with the
-    # six-key q_sessionize family from the r10 cohort — after this
-    # round no key's latest verdict is older than r10 code.
-    # (a) Keys whose SUCCESS-path code changed this round: train_bpe
-    # gained terminal checkpoint release on all three strategy paths
-    # (merges pinned unchanged per strategy, zero persisted RDDs —
-    # tests/test_checkpoints.py), so the three train keys re-verify on
-    # the new code. The graph.py diff, by contrast, touches only the
-    # non-convergence RAISE paths (ADVICE r12 #3), unreachable on the
-    # driver's inputs — the five graph keys keep their fresh r12
-    # verdicts and are not re-front-loaded.
-    "text_bpe_train", "text_bpe_train_batched", "text_bpe_train_topm",
-    # (b) The 44-key r9 cohort, registry order (events/emb/text tier
-    # first, then the TPC-H scalar pack):
-    "q_funnel", "q_retention", "q_anomaly", "q_event_paths",
-    "q_ts_similarity", "emb_pq_codes", "emb_rp_project", "text_split",
-    "text_data_card", "corpus_diff", "text_sentiment", "text_snippets",
-    "source_jsonl", "q_salted_join", "sync_deleted_keys", "text_c4_clean",
-    "text_domain_filter", "dedup_incremental", "text_dsir", "emb_decontaminate",
-    "emb_outliers", "text_normalize", "text_normalize_lines", "multimodal_image_neardup",
-    "text_dedup_lines_within", "text_remove_passages", "multimodal_video_neardup", "text_bpe_encode_arrow",
-    "stream_text_prep", "stream_dedup_incremental", "q_topn", "q_distinct",
-    "q_union", "q_time_bucket", "q_having", "q_forecast_revenue",
-    "q_regexp_extract", "q_date_parts", "q_null_funcs", "q_stats_moments",
-    "q_histogram", "q_regression", "q_grouping_sets", "q_not_in_nulls",
-    # (c) Backfill to 50 from the r10 cohort: the sessionize family
-    # head (one shared code path, queries/events.py); the other three
-    # digest twins were displaced by the changed-code BPE front-load
-    # and keep their r10 verdicts — still inside the freshness bar.
-    "q_sessionize", "q_sessionize_dg_key", "q_sessionize_dg_nev",
+    # Round-14 front-load, slot budget 50 (50 used). VERDICT r13 ask
+    # #1: rotate the FULL 41-key r10-verdict cohort (every key whose
+    # latest verdict still sits on r10 code), backfilled to 50 with
+    # the first nine keys of the r11 cohort — after this round no
+    # key's latest verdict is older than r11 code. No changed-code
+    # front-load this round: the only engine diff is the ADVICE r13
+    # exception-safety fix in operators/bpe.py (try/finally around the
+    # strategy dispatch — RAISE path only, success path byte-for-byte
+    # the same release sequence), which follows the graph.py r13
+    # precedent: raise-path-only diffs are unreachable on the driver's
+    # inputs, so the three text_bpe_train* keys keep their fresh r13
+    # verdicts. List is tools/verdict_freshness.py's paste, verbatim:
+    # (a) the 41-key r10 cohort —
+    "q_sessionize_dg_val", "q_sessionize_dg_start", "q_sessionize_dg_end", "q_gap_fill",
+    "q_attribution", "q_stickiness", "q_experiment", "text_perplexity",
+    "text_inverted_index", "text_bm25", "text_collocations", "text_nb_train",
+    "text_nb_classify", "pipeline_search_index", "text_bloom_decontaminate", "sync_incremental",
+    "rollup_incremental", "layout_orc_roundtrip", "q_expectations", "multimodal_audio_neardup",
+    "stream_attribution", "stream_rollup", "q_join_anti", "q_string_funcs",
+    "q_pivot", "q_rollup", "q_json_extract", "q_idle_customers",
+    "q_window_distribution", "q_min_cost_supplier", "q_product_profit", "q_important_stock",
+    "q_promo_revenue", "q_supplier_count", "q_potential_promotion", "q_record_linkage",
+    "q_skyline", "q_profile", "q_market_basket", "q_entity_resolution",
+    "q_mode",
+    # (b) backfill to 50 from the r11 cohort head —
+    "q_event_funnel", "q_tumbling_window", "q_asof_join",
+    "q_interval_join", "q_heavy_hitters", "q_range_window", "text_tokens",
+    "text_quality", "text_lang_id",
 )
-# Next round (r14): the remaining 39 r10-verdict keys (q_gap_fill,
-# q_attribution, q_stickiness, q_experiment, the perplexity/index/
-# BM25/collocations/NB search tier, sync_incremental,
-# rollup_incremental, layout_orc_roundtrip, q_expectations,
-# multimodal_audio_neardup, the TPC-H Q56-Q75 pack ...), backfilled to
-# 50 from the r11 cohort. tools/verdict_freshness.py prints the
-# ordered list (stalest cohort first) ready to paste; bump
-# _ROTATION_BASIS_ROUND to 13 when re-authoring.
+# Next round (r15): the remaining 37 r11-verdict keys (text_fingerprint,
+# dedup_exact, dedup_ngram_jaccard, pipeline_llm_prep, ann_bruteforce,
+# the pii/chunks/word_freq/decontaminate/mix/pack text tier, the
+# pipeline/sync family, the dedup/ann scale tier, q_window_running
+# onward ...), backfilled to 50 from the r12 cohort.
+# tools/verdict_freshness.py prints the ordered list (stalest cohort
+# first) ready to paste; bump _ROTATION_BASIS_ROUND to 14 when
+# re-authoring.
 
 
 def registry() -> dict[str, Query]:

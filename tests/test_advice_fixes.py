@@ -1551,3 +1551,53 @@ def test_bench_diff_prints_segment_steal_split(capsys, tmp_path):
     json.dump(rec, open(pn, "w"))
     bd.main(po, pn)
     assert "steal by segment" not in capsys.readouterr().out
+
+
+# --------------------------- r13 advice: segment-steal partial keys
+
+
+def test_bench_diff_segment_steal_handles_missing_segment(capsys, tmp_path):
+    """ADVICE r13 #1: the per-segment steal line printed both keys
+    unconditionally, so a record whose sf1 snapshot failed (transient
+    _cpu_times() error) rendered 'sf1 None%'. Present segments print
+    their value; absent segments print '-'; no segments → no line."""
+    import json
+
+    bd = _load_bench_diff()
+    base = {"plan_hashes": {"q": "h"}, "queries": {"q": 1.0}, "queries_stats": {},
+            "value": 1.0, "plan_hash_rules": "v3"}
+    po = str(tmp_path / "ss_old.json")
+    json.dump(base, open(po, "w"))
+
+    # only sf0.1 present → sf1 prints '-', never 'None'
+    new = dict(base, host_steal_pct_sf01=0.3)
+    pn = str(tmp_path / "ss_new1.json")
+    json.dump(new, open(pn, "w"))
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "steal by segment: sf0.1 0.3%, sf1 -" in out
+    assert "None" not in out
+
+    # only sf1 present → sf0.1 prints '-'
+    new = dict(base, host_steal_pct_sf1=1.2)
+    pn = str(tmp_path / "ss_new2.json")
+    json.dump(new, open(pn, "w"))
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "steal by segment: sf0.1 -, sf1 1.2%" in out
+    assert "None" not in out
+
+    # both present → both values, unchanged format
+    new = dict(base, host_steal_pct_sf01=0.3, host_steal_pct_sf1=1.2)
+    pn = str(tmp_path / "ss_new3.json")
+    json.dump(new, open(pn, "w"))
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "steal by segment: sf0.1 0.3%, sf1 1.2%" in out
+
+    # neither present → the line is omitted entirely
+    pn = str(tmp_path / "ss_new4.json")
+    json.dump(base, open(pn, "w"))
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "steal by segment" not in out

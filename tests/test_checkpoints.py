@@ -282,3 +282,58 @@ def test_train_bpe_releases_histogram_on_every_strategy(spark):
             expected = pairs
         else:
             assert pairs == expected, f"{strategy} merges diverged after release"
+
+
+# ------------------------------- r14: BPE release on the raise paths
+# ADVICE r13 #2: the r13 terminal releases freed the histogram on the
+# SUCCESS paths only — a strategy dispatch that raises mid-training
+# (collect failing, a bad Arrow batch) parked the corpus histogram
+# until the ContextCleaner ran. train_bpe and _train_distributed now
+# carry the same try/finally backstop graph.py got in r13.
+
+
+def test_train_bpe_raise_in_dispatch_releases_histogram(spark, monkeypatch):
+    """A _train_distributed that dies mid-call must not leave the
+    front door's hist_ckpt persisted."""
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newer newest") for i in range(10)],
+        ["doc_id", "text"],
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost mid-train")
+
+    monkeypatch.setattr(bpe, "_train_distributed", boom)
+    before = _persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        bpe.train_bpe(df, n_merges=4, strategy="distributed")
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"
+
+
+def test_train_distributed_raise_mid_round_releases_vocab(spark, monkeypatch):
+    """A batch-selection raise inside the merge loop must release BOTH
+    the loop's live vocab checkpoint (inner finally) and the front
+    door's histogram handle (outer finally)."""
+    import pytest
+
+    from rabbit_data_pipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newer newest") for i in range(10)],
+        ["doc_id", "text"],
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("bad batch")
+
+    monkeypatch.setattr(bpe, "_select_batch", boom)
+    before = _persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="bad batch"):
+        bpe.train_bpe(df, n_merges=4, strategy="distributed")
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"raise path left persisted RDDs: {sorted(leaked)}"

@@ -390,14 +390,19 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
             f"host steal: {s_o}% -> {s_n}% of run CPU stolen by the hypervisor "
             "(sustained-load throttle the burst calibrations can't see)"
         )
-    seg_n = [new.get("host_steal_pct_sf01"), new.get("host_steal_pct_sf1")]
-    if any(v is not None for v in seg_n):
+    seg_n = [("sf0.1", new.get("host_steal_pct_sf01")), ("sf1", new.get("host_steal_pct_sf1"))]
+    if any(v is not None for _, v in seg_n):
         # Round 13: a throttle confined to one segment (the discarded
         # r13 window: sf1-only, 2.5x on the iterative probes) is
         # diluted by the whole-run average — print the split so the
-        # contaminated segment names itself.
+        # contaminated segment names itself. ADVICE r13 #1: a segment
+        # whose snapshot failed (transient _cpu_times() error) has no
+        # key — print '-' for it rather than 'None%'.
+        parts = ", ".join(
+            f"{seg} {v}%" if v is not None else f"{seg} -" for seg, v in seg_n
+        )
         print(
-            f"new-record steal by segment: sf0.1 {seg_n[0]}%, sf1 {seg_n[1]}% "
+            f"new-record steal by segment: {parts} "
             "(a lopsided split pins which segment's floors to distrust)"
         )
     if shift_line:
