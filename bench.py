@@ -499,10 +499,24 @@ def _stream_probe(spark, seconds: float = 8.0) -> float:
     )
     try:
         time.sleep(seconds)
+        # Round 14: a throttled host can starve the probe of its FIRST
+        # completed micro-batch within the window — recentProgress is
+        # then empty and rows/secs read 0, which would publish a fake
+        # 0.0 rows/s "throughput" into the trend record. Grant a
+        # bounded grace period for the first batch, then refuse to
+        # report a number at all (main() records stream_error instead).
+        deadline = time.monotonic() + seconds
+        while not q.recentProgress and time.monotonic() < deadline:
+            time.sleep(0.5)
         rows = sum(p["numInputRows"] for p in q.recentProgress)
         secs = sum(p["batchDuration"] for p in q.recentProgress) / 1000.0
     finally:
         q.stop()
+    if rows == 0 or secs <= 0:
+        raise RuntimeError(
+            f"no completed micro-batches within {2 * seconds:.0f}s probe window "
+            "(starved/throttled host) — refusing to record 0.0 as throughput"
+        )
     return round(rows / max(secs, 1e-6), 1)
 
 

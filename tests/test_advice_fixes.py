@@ -1601,3 +1601,79 @@ def test_bench_diff_segment_steal_handles_missing_segment(capsys, tmp_path):
     assert bd.main(po, pn) == 0
     out = capsys.readouterr().out
     assert "steal by segment" not in out
+
+
+# ----------------------- r14: starved stream probe / idle-record vet
+
+
+def test_stream_probe_refuses_zero_batches(spark):
+    """A throttled host can leave the stream probe with zero completed
+    micro-batches; 0.0 rows/s must surface as stream_error, never as a
+    throughput measurement in the trend record. A near-zero window
+    forces the starved path deterministically."""
+    import pytest
+
+    import bench
+
+    with pytest.raises(RuntimeError, match="refusing to record 0.0"):
+        bench._stream_probe(spark, seconds=0.01)
+
+
+def test_vet_idle_record_acceptance_rules(tmp_path, capsys):
+    """tools/vet_idle_record.py is the mechanical quiet-window gate:
+    segment steal >= 0.5% rejects, a non-first run >2x min without a
+    covering GC spike rejects, a GC-covered outlier does not, a
+    missing/zero stream probe rejects, and a clean record accepts."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "vet_idle_record",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "vet_idle_record.py"),
+    )
+    vet_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vet_mod)
+
+    clean = {
+        "value": 12.0, "sf1_total": 24.0,
+        "host_steal_pct_sf01": 0.06, "host_steal_pct_sf1": 0.1,
+        "stream_rows_per_sec": 900000.0,
+        "queries_stats": {
+            "q": {"min": 1.0, "runs": [2.9, 1.0, 1.1], "gc_ms": [0, 0, 0]},
+        },
+    }
+    ok, reasons = vet_mod.vet(clean)
+    assert ok, reasons  # first-run warm-up echo (2.9x) is allowed
+
+    hot = dict(clean, host_steal_pct_sf1=1.2)
+    ok, reasons = vet_mod.vet(hot)
+    assert not ok and any("host_steal_pct_sf1" in r for r in reasons)
+
+    stall = json.loads(json.dumps(clean))
+    stall["queries_stats"]["q"]["runs"] = [1.0, 3.5, 1.1]
+    ok, reasons = vet_mod.vet(stall)
+    assert not ok and any("stall event" in r for r in reasons)
+
+    # the same outlier covered by a GC spike is heap, not host
+    gc_covered = json.loads(json.dumps(stall))
+    gc_covered["queries_stats"]["q"]["gc_ms"] = [0, 1500, 0]
+    ok, reasons = vet_mod.vet(gc_covered)
+    assert ok, reasons
+
+    starved = dict(clean, stream_rows_per_sec=0.0)
+    ok, reasons = vet_mod.vet(starved)
+    assert not ok and any("stream probe" in r for r in reasons)
+
+    missing_seg = {k: v for k, v in clean.items() if k != "host_steal_pct_sf01"}
+    ok, reasons = vet_mod.vet(missing_seg)
+    assert not ok and any("missing" in r for r in reasons)
+
+    # CLI: reject exits 1 with reasons printed, accept exits 0
+    p = tmp_path / "cand.json"
+    p.write_text(json.dumps(clean))
+    assert vet_mod.main(str(p)) == 0
+    p.write_text(json.dumps(hot))
+    assert vet_mod.main(str(p)) == 1
+    out = capsys.readouterr().out
+    assert "REJECT: host_steal_pct_sf1" in out
