@@ -1677,3 +1677,86 @@ def test_vet_idle_record_acceptance_rules(tmp_path, capsys):
     assert vet_mod.main(str(p)) == 1
     out = capsys.readouterr().out
     assert "REJECT: host_steal_pct_sf1" in out
+
+
+# --------------------------- r14: quiet-floor recovery labels
+
+
+def _floor_fixture(tmp_path, old_tt=1.29, new_tt=1.09, floor_tt=1.11, floor_ref=True):
+    """old/new/floor records with one sf1 row (text_tokens) whose old
+    min sits above the floor; enough same-plan rows that nothing else
+    breaks."""
+    import json
+
+    def rec(tt, spread=8.0):
+        qs = {f"q{i}": 1.0 for i in range(12)}
+        st = {n: {"spread_pct": 30.0, "runs": [1.0]} for n in qs}
+        return {
+            "plan_hashes": {n: "h" for n in qs},
+            "queries": qs, "queries_stats": st,
+            "sf1_queries": {"text_tokens": tt},
+            "sf1_stats": {"text_tokens": {"spread_pct": spread, "runs": [tt]}},
+            "value": 12.0, "sf1_total": 25.0, "sf": 0.1,
+            "plan_hash_rules": "v3",
+        }
+
+    po, pn, pf = (str(tmp_path / f"{n}.json") for n in ("old", "new", "floor"))
+    old = rec(old_tt)
+    if floor_ref:
+        old["floor_ref"] = "floor.json"
+    json.dump(old, open(po, "w"))
+    json.dump(rec(new_tt), open(pn, "w"))
+    json.dump(rec(floor_tt, spread=9.9), open(pf, "w"))
+    return po, pn, pf
+
+
+def test_floor_ref_downgrades_completed_recovery(capsys, tmp_path):
+    """r14: an improvement-side REAL whose old min sat above its quiet
+    floor (beyond the floor's envelope) and whose new min lands at the
+    floor is a recovery — non-gating 'recovered', exit 0. The floor
+    rides the OLD record's floor_ref, so the plain round_check
+    invocation picks it up."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path)
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "quiet-floor reference floor.json active" in out
+    assert "recovered toward quiet floors (1): text_tokens" in out
+    assert "REAL breakers" not in out
+
+
+def test_floor_ref_never_touches_slowdowns(capsys, tmp_path):
+    """Slowdown-side REALs still gate with a floor active."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path, old_tt=1.29, new_tt=2.6)
+    assert bd.main(po, pn) == 1
+    out = capsys.readouterr().out
+    assert "REAL" in out
+
+
+def test_floor_ref_undershoot_stays_real(capsys, tmp_path):
+    """An 'improvement' landing >20% BELOW the quiet floor suggests a
+    semantic change (wrong data size), not a recovery — stays REAL."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path, new_tt=0.40)
+    assert bd.main(po, pn) == 1
+    out = capsys.readouterr().out
+    assert "REAL breakers" in out
+
+
+def test_floor_ref_requires_headroom(capsys, tmp_path):
+    """An old min already AT its quiet floor has no documented
+    headroom — a big improvement from there is REAL, not recovery."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path, old_tt=1.11, new_tt=0.93)
+    assert bd.main(po, pn) == 1
+
+
+def test_no_floor_ref_keeps_old_behavior(capsys, tmp_path):
+    """Without floor_ref (and no --floor), the r13 behavior stands:
+    improvement REALs gate."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path, floor_ref=False)
+    assert bd.main(po, pn) == 1
+    # explicit --floor overrides the absence
+    assert bd.main(po, pn, None, pf) == 0

@@ -39,6 +39,7 @@ round script can force the attribution step.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 #: An envelope-breaker whose |delta - expected_shift| is inside the
@@ -213,8 +214,33 @@ def record_divergence(official: dict, idle: dict, floor_pct: float = 10.0) -> st
     )
 
 
+def _floor_maps(floor_rec: dict) -> dict[str, dict[str, tuple[float, float]]]:
+    """Per-section {query: (floor_min, floor_envelope_pct)} from a
+    quiet floor record, keyed by the same section titles main()
+    prints."""
+    out: dict[str, dict[str, tuple[float, float]]] = {}
+    for title, qkey, skey in (
+        ("headline sf0.1", "queries", "queries_stats"),
+        ("headline sf1 (hashes shared with sf0.1)", "sf1_queries", "sf1_stats"),
+        ("extended sf0.1", "extended_queries", "extended_stats"),
+        ("extended sf1 (hashes shared with sf0.1)", "sf1_extended", "sf1_extended_stats"),
+    ):
+        qs, st = floor_rec.get(qkey) or {}, floor_rec.get(skey) or {}
+        out[title] = {
+            n: (m, st.get(n, {}).get("spread_pct") or 0.0)
+            for n, m in qs.items()
+            if isinstance(m, (int, float)) and m > 0
+        }
+    return out
+
+
 def _print_section(
-    title: str, rows: list[dict], calib_shift, uniform_med, old_quarantined: bool = False
+    title: str,
+    rows: list[dict],
+    calib_shift,
+    uniform_med,
+    old_quarantined: bool = False,
+    floor: dict[str, tuple[float, float]] | None = None,
 ) -> list[dict]:
     """Render one table; returns the envelope-breaker rows (labeled)."""
     breakers = []
@@ -236,6 +262,26 @@ def _print_section(
         # REALs still gate.
         if lab == "REAL" and old_quarantined and (r["delta_pct"] or 0) < 0:
             lab = "recovered"
+        # Round 14: the row-scoped sibling of the quarantine relabel.
+        # A quiet floor record (the last accepted-quiet window BEFORE
+        # the old record — old's `floor_ref`, or --floor) bounds what
+        # each row's steady-state min looks like on a clean host. An
+        # improvement-side REAL on an unchanged plan where (a) the OLD
+        # row sat above its quiet floor beyond the floor's own
+        # envelope — i.e. the base min was residually inflated and had
+        # documented headroom to recover — and (b) the NEW min hasn't
+        # undershot the floor by more than 20% (a bigger undershoot
+        # suggests a semantic change, e.g. wrong data size, and stays
+        # REAL) is a floor recovery, not a regression. Slowdown-side
+        # REALs are never touched.
+        if lab == "REAL" and (r["delta_pct"] or 0) < 0 and floor:
+            f = floor.get(r["name"])
+            if f and r["old_min"] and r["new_min"]:
+                f_min, f_env = f
+                had_headroom = r["old_min"] > f_min * (1 + max(f_env, 1.0) / 100.0)
+                sane = r["new_min"] >= 0.8 * f_min
+                if had_headroom and sane:
+                    lab = "recovered"
         if lab in ("plan", "host(calib)", "host(uniform)", "REAL", "recovered"):
             breakers.append({**r, "label": lab})
         d = f"{r['delta_pct']:+.1f}" if r["delta_pct"] is not None else "-"
@@ -247,7 +293,12 @@ def _print_section(
     return breakers
 
 
-def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
+def main(
+    old_path: str,
+    new_path: str,
+    idle_path: str | None = None,
+    floor_path: str | None = None,
+) -> int:
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     # Round 12: a timing comparison across SCALE FACTORS is garbage in
@@ -356,10 +407,38 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
             "'recovered' (non-gating), and trend reads should use the last quiet record"
         )
 
+    # Round 14: quiet-floor reference for row-scoped recovery labels.
+    # --floor wins; else the old record can name its own floor record
+    # (`floor_ref`, resolved next to the old record's file) — the
+    # archived-record analogue of trend_quarantine for records whose
+    # TOTALS were quiet but whose fast-row mins were documented as
+    # mid-recovery (r13: text_tokens/ann_bruteforce sf1 still above
+    # their r11 quiet floors).
+    floor_maps: dict[str, dict[str, tuple[float, float]]] = {}
+    fp = floor_path or old.get("floor_ref")
+    if fp and floor_path is None:
+        fp = os.path.join(os.path.dirname(os.path.abspath(old_path)), fp)
+    if fp:
+        try:
+            floor_rec = json.load(open(fp))
+            floor_maps = _floor_maps(floor_rec)
+            print(
+                f"\nNOTE: quiet-floor reference {os.path.basename(fp)} active — "
+                "improvement-side REALs on rows whose old min sat above their "
+                "quiet floor are labeled 'recovered' (non-gating)"
+            )
+        except OSError as e:
+            print(f"\nNOTE: quiet-floor reference {fp} unreadable ({e}) — ignored")
+
     breakers: list[dict] = []
     for title, rows in sections:
         breakers += _print_section(
-            title, rows, calib_shift, uniform_med, old_quarantined=bool(quarantine)
+            title,
+            rows,
+            calib_shift,
+            uniform_med,
+            old_quarantined=bool(quarantine),
+            floor=floor_maps.get(title),
         )
 
     t_old, t_new = old.get("value"), new.get("value")
@@ -427,7 +506,7 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
     recovered = [b["name"] for b in breakers if b["label"] == "recovered"]
     if recovered:
         print(
-            f"recovered from quarantined floors ({len(recovered)}): {', '.join(recovered)}"
+            f"recovered toward quiet floors ({len(recovered)}): {', '.join(recovered)}"
         )
     if real:
         print(f"REAL breakers ({len(real)}): {', '.join(real)} — investigate before shipping")
@@ -462,16 +541,18 @@ def main(old_path: str, new_path: str, idle_path: str | None = None) -> int:
 
 
 if __name__ == "__main__":
+    _usage = "usage: bench_diff.py OLD.json NEW.json [--idle IDLE.json] [--floor FLOOR.json]"
     _argv = sys.argv[1:]
-    _idle = None
-    if "--idle" in _argv:
-        _i = _argv.index("--idle")
-        if _i + 1 >= len(_argv):
-            print("usage: bench_diff.py OLD.json NEW.json [--idle IDLE.json]", file=sys.stderr)
-            sys.exit(2)
-        _idle = _argv[_i + 1]
-        _argv = _argv[:_i] + _argv[_i + 2 :]
+    _opts = {"--idle": None, "--floor": None}
+    for _flag in list(_opts):
+        if _flag in _argv:
+            _i = _argv.index(_flag)
+            if _i + 1 >= len(_argv):
+                print(_usage, file=sys.stderr)
+                sys.exit(2)
+            _opts[_flag] = _argv[_i + 1]
+            _argv = _argv[:_i] + _argv[_i + 2 :]
     if len(_argv) != 2:
-        print("usage: bench_diff.py OLD.json NEW.json [--idle IDLE.json]", file=sys.stderr)
+        print(_usage, file=sys.stderr)
         sys.exit(2)
-    sys.exit(main(_argv[0], _argv[1], _idle))
+    sys.exit(main(_argv[0], _argv[1], _opts["--idle"], _opts["--floor"]))
