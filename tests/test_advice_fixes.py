@@ -1456,7 +1456,11 @@ def test_committed_idle_record_is_at_official_scale_and_complete():
         return
     rec = json.load(open(path))
     assert rec.get("sf") == 0.1, f"idle record at sf={rec.get('sf')}, not the official 0.1"
+    # from r14 on the canonical record must also carry the per-segment
+    # steal keys — a record without them predates the instrument and
+    # can't be vetted by tools/vet_idle_record.py
     for key in ("value", "sf1_total", "host_calib_sec", "host_calib_par_sec",
+                "host_steal_pct_sf01", "host_steal_pct_sf1",
                 "plan_hashes", "queries_stats", "plan_hash_rules"):
         assert key in rec, f"idle record missing gate key {key}"
 
