@@ -46,45 +46,43 @@ def register(name: str, oracle: str | None = None):
 # tests/test_registry.py evaluates the stalest-cohort invariant
 # against rounds <= basis and flags a basis lagging the artifacts by
 # more than that one round (a never-re-authored list).
-_ROTATION_BASIS_ROUND = 13
+_ROTATION_BASIS_ROUND = 14
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-14 front-load, slot budget 50 (50 used). VERDICT r13 ask
-    # #1: rotate the FULL 41-key r10-verdict cohort (every key whose
-    # latest verdict still sits on r10 code), backfilled to 50 with
-    # the first nine keys of the r11 cohort — after this round no
-    # key's latest verdict is older than r11 code. No changed-code
-    # front-load this round: the only engine diff is the ADVICE r13
-    # exception-safety fix in operators/bpe.py (try/finally around the
-    # strategy dispatch — RAISE path only, success path byte-for-byte
-    # the same release sequence), which follows the graph.py r13
-    # precedent: raise-path-only diffs are unreachable on the driver's
-    # inputs, so the three text_bpe_train* keys keep their fresh r13
-    # verdicts. List is tools/verdict_freshness.py's paste, verbatim:
-    # (a) the 41-key r10 cohort —
-    "q_sessionize_dg_val", "q_sessionize_dg_start", "q_sessionize_dg_end", "q_gap_fill",
-    "q_attribution", "q_stickiness", "q_experiment", "text_perplexity",
-    "text_inverted_index", "text_bm25", "text_collocations", "text_nb_train",
-    "text_nb_classify", "pipeline_search_index", "text_bloom_decontaminate", "sync_incremental",
-    "rollup_incremental", "layout_orc_roundtrip", "q_expectations", "multimodal_audio_neardup",
-    "stream_attribution", "stream_rollup", "q_join_anti", "q_string_funcs",
-    "q_pivot", "q_rollup", "q_json_extract", "q_idle_customers",
-    "q_window_distribution", "q_min_cost_supplier", "q_product_profit", "q_important_stock",
-    "q_promo_revenue", "q_supplier_count", "q_potential_promotion", "q_record_linkage",
-    "q_skyline", "q_profile", "q_market_basket", "q_entity_resolution",
-    "q_mode",
-    # (b) backfill to 50 from the r11 cohort head —
-    "q_event_funnel", "q_tumbling_window", "q_asof_join",
-    "q_interval_join", "q_heavy_hitters", "q_range_window", "text_tokens",
-    "text_quality", "text_lang_id",
+    # Round-15 front-load, slot budget 50 (50 used). VERDICT r14 ask
+    # #1: rotate the FULL 37-key r11-verdict cohort (every key whose
+    # latest verdict still sits on r11 code), backfilled to 50 with
+    # the first 13 keys of the r12 cohort — after this round no key's
+    # latest verdict is older than r12 code. No changed-code
+    # front-load this round: the round-15 diffs live in tools/
+    # (bench_diff recovery bound + corrupt-floor handling,
+    # vet_idle_record waiver + probe-skip reasons) and bench.py's
+    # probe schedule — none touch any query builder or operator, so
+    # no registry key's semantics changed. List is
+    # tools/verdict_freshness.py's paste, verbatim:
+    # (a) the 37-key r11 cohort —
+    "text_fingerprint", "dedup_exact", "dedup_ngram_jaccard", "pipeline_llm_prep",
+    "ann_bruteforce", "text_pii_redact", "text_chunks", "text_word_freq",
+    "text_decontaminate", "text_mix", "text_pack", "pipeline_e2e",
+    "pipeline_fanout", "source_sql", "id_gen", "sync_insert_missing",
+    "sink_upsert", "sync_chunked", "sync_flag_update", "delete_where",
+    "sync_scd2", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    "ann_lsh", "ann_ivfpq", "pipeline_web_prep", "dedup_semantic",
+    "text_bpe_encode", "stream_session_window", "q_window_running", "q_case_agg",
+    "q_market_share", "q_big_orders", "q_waiting_supplier", "q_array_agg",
+    "q_triangles",
+    # (b) backfill to 50 from the r12 cohort head —
+    "dedup_clusters", "multimodal_ann", "text_repeated_ngrams",
+    "text_gopher_quality", "text_tfidf", "ann_range", "ann_pq",
+    "text_sample_exact_k", "find_files", "line_parser_csv", "xml_parse",
+    "xml_format", "file_roundtrip",
 )
-# Next round (r15): the remaining 37 r11-verdict keys (text_fingerprint,
-# dedup_exact, dedup_ngram_jaccard, pipeline_llm_prep, ann_bruteforce,
-# the pii/chunks/word_freq/decontaminate/mix/pack text tier, the
-# pipeline/sync family, the dedup/ann scale tier, q_window_running
-# onward ...), backfilled to 50 from the r12 cohort.
+# Next round (r16): the remaining 36 r12-verdict keys (the layout_*
+# family, ann_ivf, text_dedup_lines, text_url_dedup, the stream_*
+# r12 tier, q_filter_project onward through the graph queries),
+# backfilled to 50 from the r13 cohort.
 # tools/verdict_freshness.py prints the ordered list (stalest cohort
-# first) ready to paste; bump _ROTATION_BASIS_ROUND to 14 when
+# first) ready to paste; bump _ROTATION_BASIS_ROUND to 15 when
 # re-authoring.
 
 
