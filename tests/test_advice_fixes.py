@@ -1647,30 +1647,30 @@ def test_vet_idle_record_acceptance_rules(tmp_path, capsys):
             "q": {"min": 1.0, "runs": [2.9, 1.0, 1.1], "gc_ms": [0, 0, 0]},
         },
     }
-    ok, reasons = vet_mod.vet(clean)
+    ok, reasons, _ = vet_mod.vet(clean)
     assert ok, reasons  # first-run warm-up echo (2.9x) is allowed
 
     hot = dict(clean, host_steal_pct_sf1=1.2)
-    ok, reasons = vet_mod.vet(hot)
+    ok, reasons, _ = vet_mod.vet(hot)
     assert not ok and any("host_steal_pct_sf1" in r for r in reasons)
 
     stall = json.loads(json.dumps(clean))
     stall["queries_stats"]["q"]["runs"] = [1.0, 3.5, 1.1]
-    ok, reasons = vet_mod.vet(stall)
+    ok, reasons, _ = vet_mod.vet(stall)
     assert not ok and any("stall event" in r for r in reasons)
 
     # the same outlier covered by a GC spike is heap, not host
     gc_covered = json.loads(json.dumps(stall))
     gc_covered["queries_stats"]["q"]["gc_ms"] = [0, 1500, 0]
-    ok, reasons = vet_mod.vet(gc_covered)
+    ok, reasons, _ = vet_mod.vet(gc_covered)
     assert ok, reasons
 
     starved = dict(clean, stream_rows_per_sec=0.0)
-    ok, reasons = vet_mod.vet(starved)
+    ok, reasons, _ = vet_mod.vet(starved)
     assert not ok and any("stream probe" in r for r in reasons)
 
     missing_seg = {k: v for k, v in clean.items() if k != "host_steal_pct_sf01"}
-    ok, reasons = vet_mod.vet(missing_seg)
+    ok, reasons, _ = vet_mod.vet(missing_seg)
     assert not ok and any("missing" in r for r in reasons)
 
     # CLI: reject exits 1 with reasons printed, accept exits 0
@@ -1764,3 +1764,162 @@ def test_no_floor_ref_keeps_old_behavior(capsys, tmp_path):
     assert bd.main(po, pn) == 1
     # explicit --floor overrides the absence
     assert bd.main(po, pn, None, pf) == 0
+
+
+# --------------------------- r15: ADVICE r14 fixes
+
+
+def _load_vet():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "vet_idle_record",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "vet_idle_record.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _near_miss_record(**over):
+    """A record clean everywhere except a 0.55% sf1 steal near-miss."""
+    rec = {
+        "value": 11.3, "sf1_total": 26.4,
+        "host_steal_pct_sf01": 0.02, "host_steal_pct_sf1": 0.55,
+        "stream_rows_per_sec": 886524.8,
+        "vet_waiver": {
+            "segment": "sf1",
+            "steal_pct": 0.55,
+            "reason": "ambient floor",
+            "cross_validated_by": [
+                {"window": "w8", "steal_pct": 0.20, "total_sec": 27.77},
+                {"window": "w4", "steal_pct": 0.54, "total_sec": 27.57},
+            ],
+        },
+    }
+    rec.update(over)
+    return rec
+
+
+def test_vet_waiver_accepts_validated_near_miss(capsys, tmp_path):
+    """ADVICE r14 (medium): an explicit machine-readable waiver turns a
+    steal near-miss into a printed WAIVED line — vet exits 0 — but only
+    after mechanical validation (clean cross-window whose total the
+    record does not exceed by >5%)."""
+    import json
+
+    vet_mod = _load_vet()
+    ok, reasons, waived = vet_mod.vet(_near_miss_record())
+    assert ok and not reasons
+    assert len(waived) == 1 and "WAIVED" in waived[0] and "w8" in waived[0]
+
+    p = tmp_path / "waived.json"
+    p.write_text(json.dumps(_near_miss_record()))
+    assert vet_mod.main(str(p)) == 0
+    out = capsys.readouterr().out
+    assert "WAIVED: host_steal_pct_sf1" in out and "VERDICT: ACCEPT" in out
+
+
+def test_vet_waiver_rejects_without_cross_validation():
+    """A waiver lacking cross_validated_by entries is itself a REJECT
+    reason (the VERDICT r14 acceptance criterion)."""
+    vet_mod = _load_vet()
+    rec = _near_miss_record()
+    rec["vet_waiver"]["cross_validated_by"] = []
+    ok, reasons, waived = vet_mod.vet(rec)
+    assert not ok and not waived
+    assert any("lacks cross_validated_by" in r for r in reasons)
+
+    rec = _near_miss_record()
+    del rec["vet_waiver"]["cross_validated_by"]
+    ok, reasons, _ = vet_mod.vet(rec)
+    assert not ok and any("lacks cross_validated_by" in r for r in reasons)
+
+
+def test_vet_waiver_never_covers_a_worse_record():
+    """A waiver written for 0.55% does not blanket-cover a later record
+    measuring more; nor does any waiver cover >= 1.0% (contamination,
+    not a near-miss); nor one whose only cross-windows are dirty or
+    slower-validating."""
+    vet_mod = _load_vet()
+
+    worse = _near_miss_record(host_steal_pct_sf1=0.8)
+    ok, reasons, _ = vet_mod.vet(worse)
+    assert not ok and any("never covers a worse record" in r for r in reasons)
+
+    hot = _near_miss_record(host_steal_pct_sf1=1.3)
+    hot["vet_waiver"]["steal_pct"] = 1.3
+    ok, reasons, _ = vet_mod.vet(hot)
+    assert not ok and any("cap" in r for r in reasons)
+
+    # only dirty cross-windows → invalid
+    dirty = _near_miss_record()
+    dirty["vet_waiver"]["cross_validated_by"] = [
+        {"window": "w4", "steal_pct": 0.54, "total_sec": 27.57},
+    ]
+    ok, reasons, _ = vet_mod.vet(dirty)
+    assert not ok and any("no cross-validation entry" in r for r in reasons)
+
+    # clean window but the record's floor is >5% faster than it could
+    # validate — steal may have deflated/inflated something; reject
+    inflated = _near_miss_record(sf1_total=29.5)
+    ok, reasons, _ = vet_mod.vet(inflated)
+    assert not ok and any("no cross-validation entry" in r for r in reasons)
+
+    # entries must be independently checkable dicts
+    vague = _near_miss_record()
+    vague["vet_waiver"]["cross_validated_by"] = ["w8"]
+    ok, reasons, _ = vet_mod.vet(vague)
+    assert not ok and any("must be dicts" in r for r in reasons)
+
+
+def test_vet_waiver_ignored_for_other_segment():
+    """An sf1 waiver says nothing about an sf0.1 breach — the plain
+    threshold reason stands."""
+    vet_mod = _load_vet()
+    rec = _near_miss_record(host_steal_pct_sf01=0.7)
+    ok, reasons, waived = vet_mod.vet(rec)
+    assert not ok
+    assert any("host_steal_pct_sf01 = 0.7%" in r for r in reasons)
+    assert len(waived) == 1  # the sf1 near-miss is still waived
+
+
+def test_committed_record_passes_vet_or_carries_waiver():
+    """The committed canonical record and its own acceptance tool must
+    not disagree (ADVICE r14 medium): BENCH_DETAIL.json passes vet —
+    outright or through a validated explicit waiver."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    vet_mod = _load_vet()
+    ok, reasons, waived = vet_mod.vet(json.load(open(path)))
+    assert ok, f"committed record REJECTs under its own vet tool: {reasons}"
+
+
+def test_vet_distinguishes_skipped_probe_from_starved():
+    """ADVICE r14 (low): a record where the stream probe never ran
+    (both keys absent — SPARK_GRAFT_NO_SCALE=1 / non-default sf dir)
+    rejects with a 'not run' reason; a starved/errored probe rejects
+    with a 'starved' reason — the rejection trail says which."""
+    vet_mod = _load_vet()
+
+    skipped = _near_miss_record()
+    del skipped["stream_rows_per_sec"]
+    ok, reasons, _ = vet_mod.vet(skipped)
+    assert not ok
+    assert any("not run" in r and "SPARK_GRAFT_NO_SCALE" in r for r in reasons)
+    assert not any("starved" in r for r in reasons)
+
+    starved = _near_miss_record()
+    del starved["stream_rows_per_sec"]
+    starved["stream_error"] = "RuntimeError: refusing to record 0.0 rows/s"
+    ok, reasons, _ = vet_mod.vet(starved)
+    assert not ok
+    assert any("starved/errored" in r for r in reasons)
+    assert not any("not run" in r for r in reasons)
+
+    zero = _near_miss_record(stream_rows_per_sec=0.0)
+    ok, reasons, _ = vet_mod.vet(zero)
+    assert not ok and any("starved/errored" in r for r in reasons)
