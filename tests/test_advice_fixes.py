@@ -1923,3 +1923,35 @@ def test_vet_distinguishes_skipped_probe_from_starved():
     zero = _near_miss_record(stream_rows_per_sec=0.0)
     ok, reasons, _ = vet_mod.vet(zero)
     assert not ok and any("starved/errored" in r for r in reasons)
+
+
+def test_floor_ref_corrupt_json_takes_ignore_path(capsys, tmp_path):
+    """ADVICE r14 (low): a floor_ref pointing at an existing-but-corrupt
+    JSON file takes the documented 'unreadable — ignored' fallback
+    instead of crashing bench_diff with JSONDecodeError."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path)
+    with open(pf, "w") as f:
+        f.write("{not json")
+    # floor unusable → the improvement REAL is NOT downgraded: exit 1
+    assert bd.main(po, pn) == 1
+    out = capsys.readouterr().out
+    assert "unreadable" in out and "ignored" in out
+
+
+def test_floor_ref_undershoot_bound_is_the_floor_envelope(capsys, tmp_path):
+    """ADVICE r14 (low): the recovery downgrade's sanity bound is the
+    floor's OWN envelope, not a blanket 20% — a new min 14% below the
+    best quiet floor (floor 1.11, envelope 9.9%) stays REAL even though
+    the old 0.8*floor bound would have downgraded it."""
+    bd = _load_bench_diff()
+    po, pn, pf = _floor_fixture(tmp_path, new_tt=0.95)
+    assert bd.main(po, pn) == 1
+    out = capsys.readouterr().out
+    assert "REAL breakers" in out
+
+    # within the floor's envelope (1.11 * (1-0.099) = 1.0001) → recovered
+    po, pn, pf = _floor_fixture(tmp_path, new_tt=1.01)
+    assert bd.main(po, pn) == 0
+    out = capsys.readouterr().out
+    assert "recovered toward quiet floors (1): text_tokens" in out

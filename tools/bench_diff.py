@@ -270,16 +270,18 @@ def _print_section(
         # row sat above its quiet floor beyond the floor's own
         # envelope — i.e. the base min was residually inflated and had
         # documented headroom to recover — and (b) the NEW min hasn't
-        # undershot the floor by more than 20% (a bigger undershoot
-        # suggests a semantic change, e.g. wrong data size, and stays
-        # REAL) is a floor recovery, not a regression. Slowdown-side
-        # REALs are never touched.
+        # undershot the floor beyond the floor's OWN envelope (ADVICE
+        # r14: the old 0.8*f_min bound let a run land up to 20% below
+        # the best quiet floor ever measured and still downgrade; a
+        # sub-envelope undershoot suggests a semantic change, e.g.
+        # wrong data size, and stays REAL) is a floor recovery, not a
+        # regression. Slowdown-side REALs are never touched.
         if lab == "REAL" and (r["delta_pct"] or 0) < 0 and floor:
             f = floor.get(r["name"])
             if f and r["old_min"] and r["new_min"]:
                 f_min, f_env = f
                 had_headroom = r["old_min"] > f_min * (1 + max(f_env, 1.0) / 100.0)
-                sane = r["new_min"] >= 0.8 * f_min
+                sane = r["new_min"] >= f_min * (1 - max(f_env, 1.0) / 100.0)
                 if had_headroom and sane:
                     lab = "recovered"
         if lab in ("plan", "host(calib)", "host(uniform)", "REAL", "recovered"):
@@ -427,7 +429,10 @@ def main(
                 "improvement-side REALs on rows whose old min sat above their "
                 "quiet floor are labeled 'recovered' (non-gating)"
             )
-        except OSError as e:
+        except (OSError, ValueError) as e:
+            # ValueError covers json.JSONDecodeError: an existing-but-
+            # corrupt floor file takes the documented ignore path
+            # instead of crashing the diff (ADVICE r14).
             print(f"\nNOTE: quiet-floor reference {fp} unreadable ({e}) — ignored")
 
     breakers: list[dict] = []
