@@ -1955,3 +1955,30 @@ def test_floor_ref_undershoot_bound_is_the_floor_envelope(capsys, tmp_path):
     assert bd.main(po, pn) == 0
     out = capsys.readouterr().out
     assert "recovered toward quiet floors (1): text_tokens" in out
+
+
+def test_graph_probes_get_five_sf1_runs():
+    """VERDICT r14 ask #5: q_kcore (±30-46% sf1 envelope, the noisiest
+    trend cell) and q_pagerank run min-of-5 at sf1 so a single stall
+    can't cover the sample; sf0.1 stays min-of-3 (stable floor)."""
+    import bench
+
+    assert bench._EXT_SF1_MIN5 == {"q_pagerank", "q_kcore"}
+
+    def sched(name, sf1):
+        if sf1:
+            return (
+                5
+                if name in bench._EXT_MIN5 or name in bench._EXT_SF1_MIN5
+                else 3
+                if name in bench._EXT_MIN3
+                else 2
+            )
+        return 5 if name in bench._EXT_MIN5 else 3 if name in bench._EXT_MIN3 else 2
+
+    assert sched("q_kcore", sf1=True) == 5
+    assert sched("q_pagerank", sf1=True) == 5
+    assert sched("q_kcore", sf1=False) == 3
+    assert sched("q_pagerank", sf1=False) == 3
+    assert sched("bpe_train_scale", sf1=True) == 5
+    assert sched("pipeline_web_prep", sf1=True) == 2
