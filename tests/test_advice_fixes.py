@@ -1982,3 +1982,124 @@ def test_graph_probes_get_five_sf1_runs():
     assert sched("q_pagerank", sf1=False) == 3
     assert sched("bpe_train_scale", sf1=True) == 5
     assert sched("pipeline_web_prep", sf1=True) == 2
+
+
+def _load_hunt_mod():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "hunt_idle_record",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "hunt_idle_record.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hunt_launches_only_after_two_consecutive_quiet_probes():
+    """Round-15 window-2 lesson, part 1: the pre-launch gate. A noisy
+    probe RESETS the quiet streak — quiet/noisy/quiet/quiet launches
+    on probe 4, not probe 3."""
+    hunt_mod = _load_hunt_mod()
+    probes = iter([0.1, 0.9, 0.1, 0.1])
+    probed, launched = [], []
+
+    def probe():
+        v = next(probes)
+        probed.append(v)
+        return v
+
+    rc = hunt_mod.hunt(
+        probe,
+        launch=lambda w: launched.append(w) or 0,
+        vet=lambda w: (0, "ACCEPT"),
+        archive=lambda w, out: (_ for _ in ()).throw(AssertionError("no archive on accept")),
+        restore=lambda: (_ for _ in ()).throw(AssertionError("no restore on accept")),
+        clock=lambda: 0.0,
+        budget_sec=3600,
+        max_windows=3,
+    )
+    assert rc == 0
+    assert probed == [0.1, 0.9, 0.1, 0.1]
+    assert launched == [1]
+
+
+def test_hunt_vets_after_the_run_and_retries_on_reject():
+    """Round-15 window-2 lesson, part 2: a quiet pre-launch gate does
+    NOT validate the record — the produced sidecar is vetted, a REJECT
+    is archived, the committed record restored, and the hunt continues
+    to the next window."""
+    hunt_mod = _load_hunt_mod()
+    events = []
+    verdicts = iter([(1, "REJECT: steal"), (0, "ACCEPT")])
+
+    rc = hunt_mod.hunt(
+        probe=lambda: 0.0,
+        launch=lambda w: events.append(("launch", w)) or 0,
+        vet=lambda w: next(verdicts),
+        archive=lambda w, out: events.append(("archive", w, out)),
+        restore=lambda: events.append(("restore",)),
+        clock=lambda: 0.0,
+        budget_sec=3600,
+        max_windows=5,
+        start_window=3,
+    )
+    assert rc == 0
+    assert events == [
+        ("launch", 3),
+        ("archive", 3, "REJECT: steal"),
+        ("restore",),
+        ("launch", 4),
+    ]
+
+
+def test_hunt_crashed_bench_never_accepts_even_if_vet_passes():
+    """A crashed bench can leave the PREVIOUS (committed, vettable)
+    sidecar in place — bench exit != 0 must reject regardless of the
+    vet verdict, or a stale record gets re-committed as fresh."""
+    hunt_mod = _load_hunt_mod()
+    restored = []
+
+    rc = hunt_mod.hunt(
+        probe=lambda: 0.0,
+        launch=lambda w: 1,
+        vet=lambda w: (0, "ACCEPT"),
+        archive=lambda w, out: None,
+        restore=lambda: restored.append(w := True),
+        clock=lambda: 0.0,
+        budget_sec=3600,
+        max_windows=2,
+    )
+    assert rc == 3
+    assert len(restored) == 2
+
+
+def test_hunt_budget_and_window_exhaustion_exit_codes():
+    """Probing past the budget exits 2; burning every window without
+    an ACCEPT exits 3 (the caller's trail knows which happened)."""
+    hunt_mod = _load_hunt_mod()
+    t = iter([0.0, 10.0, 7200.0])
+    rc = hunt_mod.hunt(
+        probe=lambda: 5.0,  # never quiet
+        launch=lambda w: 0,
+        vet=lambda w: (0, "ACCEPT"),
+        archive=lambda w, out: None,
+        restore=lambda: None,
+        clock=lambda: next(t),
+        budget_sec=3600,
+        max_windows=2,
+    )
+    assert rc == 2
+
+    rc = hunt_mod.hunt(
+        probe=lambda: 0.0,
+        launch=lambda w: 0,
+        vet=lambda w: (1, "REJECT"),
+        archive=lambda w, out: None,
+        restore=lambda: None,
+        clock=lambda: 0.0,
+        budget_sec=3600,
+        max_windows=2,
+    )
+    assert rc == 3
