@@ -43,6 +43,9 @@ _BPE = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.text import bpe_token_count, ws_token_count
 
+    # r15: measured A/B — spreading this scan LOSES (~+0.04 s sf0.1,
+    # +0.12 s sf1): two cheap regexes per row don't repay shuffling the
+    # text bytes. Left on the plain scan deliberately (guide §1.2).
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return d.select(
         "doc_id",
@@ -76,8 +79,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.text import quality_features, quality_score
+    from rabbit_data_pipeline_spark.session import spread_scan
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # r15 guide §2.5: same single-task-scan spread as text_tokens.
+    d = spread_scan(d.select("doc_id", "text"), spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -228,9 +234,14 @@ def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs,
         minhash_signature_arrow,
     )
+    from rabbit_data_pipeline_spark.session import spread_scan
 
     inp = _dup_input(spark, sf_dir, perturb=" qq zz")
-    sigs = minhash_signature_arrow(inp, num_hashes=48, k=5)
+    # r15 guide §2.5: the documents input is 1-2 parquet files, so the
+    # Arrow signature pass (the operator's dominant stage — one 794 ms
+    # task at sf0.1) ran nearly serially. Spread the slim (id, text)
+    # rows across the machine first; no-op on wide/large inputs.
+    sigs = minhash_signature_arrow(spread_scan(inp, spark, sf_dir, "documents"), num_hashes=48, k=5)
     pairs = lsh_candidate_pairs(sigs, bands=8, sim_threshold=0.7)
     survivors = dedup_by_pairs(inp, pairs)
     return survivors.agg(
@@ -251,6 +262,10 @@ def bpe_train_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, train_bpe
     from rabbit_data_pipeline_spark.session import load_tables
 
+    # r15: measured A/B — spreading the documents scan cost +0.19 s at
+    # sf0.1 (the extra shuffle + per-task Python overhead outweigh the
+    # serial regex) for −0.27 s at sf1; the sf0.1 headline is the
+    # driver's scale point, so the plain scan stays (guide §1.2).
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     merges = train_bpe(docs, n_merges=256, min_pair_count=2)
     enc = bpe_encode(docs, merges, engine="arrow")
@@ -272,6 +287,7 @@ def bpe_train_topm_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.bpe import bpe_encode, train_bpe
     from rabbit_data_pipeline_spark.session import load_tables
 
+    # r15: same measured no-spread decision as bpe_train_scale above.
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     merges = train_bpe(
         docs, n_merges=256, min_pair_count=2, strategy="driver_topm", driver_max_words=8192
@@ -488,9 +504,14 @@ def ann_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate cosine is bit-identical to DuckDB's
     list_cosine_similarity, so the oracle matches values exactly."""
     from rabbit_data_pipeline_spark.operators.similarity import ann_bruteforce
+    from rabbit_data_pipeline_spark.session import spread_scan
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return ann_bruteforce(e, e.filter(F.col("vec_id") < 5), k=10)
+    # r15 guide §2.5: the interpreted zip_with cosine over the corpus
+    # side dominates; the 1-2-file embeddings layout ran it on 1-2
+    # cores. Spread the corpus side only (queries stay a 5-row filter).
+    corpus = spread_scan(e, spark, sf_dir, "embeddings")
+    return ann_bruteforce(corpus, e.filter(F.col("vec_id") < 5), k=10)
 
 
 def ann_lsh_scale(spark: SparkSession, sf_dir: str) -> DataFrame:

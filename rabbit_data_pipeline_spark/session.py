@@ -58,6 +58,36 @@ def get_spark(app_name: str = "rabbit-data-pipeline-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+# Optimization round 15 (guide §5 "the driver should do almost no data
+# work" + §6 session file-listing caches): every builder call used to
+# re-run ``spark.read.parquet(path)`` per input table — a ~135 ms py4j
+# round trip + footer/schema read + file listing — and re-register the
+# temp view (~35 ms), summing to 30-50% of every benched query's wall.
+# A real warehouse resolves a table's schema from a catalog once per
+# session, not once per query, so load_tables now memoizes the ANALYZED
+# DataFrame handle per (SparkContext, path) keyed by a file fingerprint
+# (name/size/mtime_ns of the file or of every file in the directory).
+# This caches *plan metadata only*: every execution still scans the
+# parquet input — no rows, results or intermediates are retained, and
+# regenerated testdata invalidates the entry via the fingerprint.
+# View registration is skipped only when the same (name → path,
+# fingerprint) binding is already current, so alternating sf dirs in
+# one process (the bench's sf0.1/sf1 loops) re-register correctly.
+_DF_CACHE: dict[tuple[str, str], tuple[object, DataFrame]] = {}
+_VIEW_STATE: dict[tuple[str, str], tuple[str, object]] = {}
+
+
+def _fingerprint(path: str) -> object:
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_size, st.st_mtime_ns)
+    out = []
+    for f in sorted(os.listdir(path)):
+        s = os.stat(os.path.join(path, f))
+        out.append((f, s.st_size, s.st_mtime_ns))
+    return tuple(out)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables and register temp views.
 
@@ -65,9 +95,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     long as downstream stays declarative.
     """
     out: dict[str, DataFrame] = {}
+    ctx_id = spark.sparkContext.applicationId
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            fp = _fingerprint(path)
+            key = (ctx_id, path)
+            cached = _DF_CACHE.get(key)
+            if cached is not None and cached[0] == fp:
+                df = cached[1]
+                vkey = (ctx_id, name)
+                if _VIEW_STATE.get(vkey) != (path, fp):
+                    df.createOrReplaceTempView(name)
+                    _VIEW_STATE[vkey] = (path, fp)
+                out[name] = df
+                continue
             if name == "events":
                 # events.ts has shipped as both parquet TIMESTAMP(NANOS)
                 # (unreadable natively -> legacy ns-as-long BIGINT) and
@@ -92,9 +134,62 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
                     df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
             else:
                 df = spark.read.parquet(path)
+            _DF_CACHE[key] = (fp, df)
             df.createOrReplaceTempView(name)
+            _VIEW_STATE[(ctx_id, name)] = (path, fp)
             out[name] = df
     return out
+
+
+# Optimization round 15, guide §2.5 "input skew: one huge unsplittable
+# file … repartition immediately after the read". The generated test
+# inputs are one parquet file with ONE row group per table (sf0.1) or
+# 2-8 files (the sf1 scaled copy), so a scan stage gets 1-8 tasks on a
+# 32-core machine and every compute-heavy per-row pass (Arrow minhash
+# signatures, regex token/quality scans, cosine math, codec decode)
+# runs nearly serially. The helper below returns a repartition width
+# ONLY when (a) the scan's estimated split count is below the session's
+# core count and (b) the table is small enough that one extra shuffle
+# of it is trivially repaid — at 100 TB (many files, > _SPREAD_MAX_BYTES)
+# it returns 0 and the plan is untouched, which is the scale-adaptive
+# behavior the optimization brief requires (no constant tuned to
+# local[32]). Both knobs are env-overridable for cluster profiles.
+_SPREAD_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(1 << 30)))
+_SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def scan_spread_hint(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Width to repartition a compute-heavy scan of `name` to, or 0 to
+    leave the plan alone (input already wide enough, or too big for a
+    spread shuffle to be worth it, or not a plain local file layout)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        return 0
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return 0
+    cores = spark.sparkContext.defaultParallelism
+    est_splits = max(len(files), total // _SPLIT_BYTES)
+    if est_splits >= cores or total > _SPREAD_MAX_BYTES:
+        return 0
+    return cores
+
+
+def spread_scan(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Apply scan_spread_hint: round-robin repartition so downstream
+    per-row compute uses the whole machine. Callers project to the
+    needed columns FIRST (guide §2.3: shuffle fewer bytes)."""
+    w = scan_spread_hint(spark, sf_dir, name)
+    return df.repartition(w) if w else df
 
 
 # DuckDB-side spelling of the same events normalization, for oracles:

@@ -64,7 +64,19 @@ def test_agg_has_mapside_combine(plans):
     assert len(agg_idx) >= 2 and ex_idx, "expected partial+final aggregate around a shuffle"
 
 
-def test_single_pass_text_ops_never_shuffle(plans):
+def test_single_pass_text_ops_never_shuffle(plans, monkeypatch):
+    """r15: text_quality gained an adaptive scan-spread (guide §2.5 —
+    measured −0.09 s sf0.1 / −0.4 s sf1); its ONLY allowed exchange is
+    that round-robin spread, and with the spread disabled every
+    single-pass text op must still compile shuffle-free."""
+    import re
+
+    p = plans("text_quality")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 1 and (n_exchanges == 0 or "RoundRobinPartitioning" in p), (
+        f"text_quality may only carry the round-robin spread exchange:\n{p}"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_NO_SPREAD", "1")
     for q in ("text_quality", "text_tokens", "text_lang_id", "text_fingerprint"):
         p = plans(q)
         assert "Exchange" not in p, f"{q} should be shuffle-free, got:\n{p}"
