@@ -260,7 +260,22 @@ def pagerank(
     # (measured: q_pagerank sf0.1 27 s → the checkpointed edge list is
     # the fix; same reason Spark's own PageRank examples cache edges).
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    wedges = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True)
+    # r15: AQE coalesces the small join output to ONE post-shuffle
+    # partition, and a localCheckpoint freezes that — so every
+    # iteration's contribution stage re-read the whole edge list as a
+    # single task (measured: one 250 ms task per round at sf0.1).
+    # Repartition by src to the deployer-sized shuffle width before
+    # checkpointing (an explicit N is exempt from AQE coalescing):
+    # rounds then scan the edge list with full parallelism at every
+    # scale, and the hash-by-src layout is the one the per-round join
+    # wants.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    wedges = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=True)
+    )
     nodes = wedges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
@@ -443,6 +458,13 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
     n_alive = alive.count()
+    # r15: one checkpoint per round, not two — the survivor set is a
+    # trivial projection OVER the round's deg checkpoint (the plan
+    # stays flat: deg is an ExistingRDD), so materializing it again
+    # bought nothing but an extra job + storage churn per round.
+    # `prev` tracks the checkpoint backing the current `alive` frame;
+    # it is dead the moment the NEXT round's deg is materialized.
+    prev = alive
     for _ in range(max_rounds):
         deg = (
             edges.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
@@ -453,31 +475,26 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_next = deg.count()
+        # deg is materialized; the checkpoint backing the survivor set
+        # that produced it is superseded on every path below.
+        release_local_checkpoint(prev)
         if n_next == n_alive:
             # Fixpoint: the result reads only this round's deg
-            # checkpoint — the edge list and survivor set are dead
-            # (round-12 terminal release; see connected_components).
+            # checkpoint — the edge list is dead (round-12 terminal
+            # release; see connected_components).
             release_local_checkpoint(edges)
-            release_local_checkpoint(alive)
             return deg.select(F.col("src").alias("node"), "deg")
-        new_alive = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
-        # new_alive is materialized and the count probe ran: the
-        # superseded survivor set and this round's degree table are
-        # both dead (the n_alive == 0 return below reads deg, so it
-        # is released only after that check).
-        release_local_checkpoint(alive)
-        alive = new_alive
+        alive = deg.select(F.col("src").alias("node"))
+        prev = deg
         n_alive = n_next
         if n_alive == 0:
             release_local_checkpoint(edges)
-            release_local_checkpoint(alive)
             return deg.select(F.col("src").alias("node"), "deg")
-        release_local_checkpoint(deg)
-    # ADVICE r12 #3: release-on-raise — each round released its own
-    # deg/superseded survivor set, so the edge list and the last
-    # survivor set are the only live checkpoints at exhaustion.
+    # ADVICE r12 #3: release-on-raise — each round released its
+    # superseded checkpoint, so the edge list and the last deg are the
+    # only live checkpoints at exhaustion.
     release_local_checkpoint(edges)
-    release_local_checkpoint(alive)
+    release_local_checkpoint(prev)
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
 
 

