@@ -65,6 +65,58 @@ def test_minhash_arrow_parity(spark, sf_smoke):
     assert found >= 0.9 * n_copies, f"arrow minhash recall too low: {found}/{n_copies}"
 
 
+def test_minhash_arrow_signature_matches_reference_formula(spark):
+    """r15: pin the Arrow signature path BIT-IDENTICAL to the reference
+    per-row formula (same normalization, same short-doc space padding,
+    same uint64 wraparound) across the edge cases: empty/whitespace-only
+    text, docs shorter than k, multi-byte UTF-8, repeated grams, NULL
+    text. Added while A/B-testing a whole-batch reduceat rewrite of the
+    signature UDF (rejected: the stage cost is the per-task Python
+    boundary, not hashing — the rewrite measured ~2x SLOWER at sf1);
+    the pin stays so any future rewrite has the equivalence gate ready."""
+    import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.dedup import minhash_signature_arrow
+
+    num_hashes, k = 12, 5
+    texts = [
+        "",
+        "   ",
+        "ab",
+        "abcd",
+        "abcde",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaaa",
+        "Ünïcödé — 多字节 テキスト bytes",
+        "Mixed   WHITESPACE\t\tand CASE  normalization",
+        None,
+    ]
+
+    def reference(s: str | None) -> list[int]:
+        import re
+
+        a = (2 * np.arange(num_hashes, dtype=np.uint64) + 1)[:, None]
+        b = (104729 * (np.arange(num_hashes, dtype=np.uint64) + 1))[:, None]
+        powers = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        norm = re.sub(r"\s+", " ", (s or "").lower()).strip()
+        raw = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if raw.size < k:
+            raw = np.pad(raw, (0, k - raw.size), constant_values=32)
+        grams = np.zeros(raw.size - k + 1, dtype=np.uint64)
+        for j in range(k):
+            grams += raw[j : raw.size - k + 1 + j] * powers[j]
+        u = np.unique(grams)
+        return (a * u[None, :] + b).min(axis=1).view(np.int64).tolist()
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signature_arrow(df, num_hashes=num_hashes, k=k).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == reference(t), f"sig mismatch for text {t!r}"
+
+
 def test_connected_components_chain_and_islands(spark):
     """A pure chain (1-2, 2-3, 3-4: no shortcut edges) must collapse to
     one component — exactly what star-shaped pair dedup gets wrong —
