@@ -50,18 +50,32 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 )
 def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: top-10 unshipped orders by revenue. The mktsegment
-    filter reduces customer before its join is broadcast; the group key
-    includes the orderkey so the agg shuffle reuses the l⋈o join key.
-    Sort+limit plans TakeOrderedAndProject (no global sort); the
-    orderkey tiebreak keeps the limit deterministic."""
+    filter reduces customer before its join is broadcast; sort+limit
+    plans TakeOrderedAndProject (no global sort); the orderkey tiebreak
+    keeps the limit deterministic.
+
+    r15 (guide §3.1): Catalyst used to BROADCAST THE FILTERED FACT —
+    column pruning put lineitem's size estimate under the threshold, so
+    the big side became a multi-million-row hashed relation built per
+    run. The SHUFFLE_HASH hint on the customer⋈orders side keys both
+    sides on orderkey with the build on the (4x smaller) cust-orders
+    side, and the join's output partitioning then satisfies the
+    groupBy(l_orderkey, …) distribution — the aggregation exchange
+    disappears (plan: 2 exchanges total, both pruned; measured sf0.1
+    0.70→0.50 s, sf1 2.43→0.81 s, min-of-6 idle). At 100 TB the same
+    plan holds: never broadcast the fact, build on the filtered
+    dim-side join."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    return (
+    cust_orders = (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < "1997-03-15")
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        t["lineitem"]
         .filter(F.col("l_shipdate") > "1997-03-15")
+        .join(cust_orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -336,26 +350,37 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: orders whose total quantity exceeds a threshold. The
-    HAVING subquery and the outer aggregate shuffle on the SAME key
-    (orderkey), so the semi join is exchange-reusable; at scale the
-    pre-aggregated key set is small enough to broadcast into the semi
-    join (AQE does this conversion at runtime)."""
+    """TPC-H Q18: orders whose total quantity exceeds a threshold.
+
+    r15 restructure (guide §1.2 "don't compute things you throw away" +
+    §3.1): the HAVING subquery already computes the EXACT output sum —
+    the oracle's outer SUM re-aggregates lineitem over a join that is
+    1:1 per lineitem row (orderkey is the orders PK, custkey the
+    customer PK), so it provably equals the subquery's per-order lsum.
+    The old shape semi-joined on the key set and then re-scanned + re-
+    aggregated lineitem, and because column pruning put the 2-column
+    fact under the broadcast size estimate, Catalyst BROADCAST LINEITEM
+    (a 6M-row hashed relation at sf1) as the build side of that final
+    join. Now the per-order aggregate (tiny after `> 250`) is carried
+    through: lineitem is scanned ONCE, aggregated on l_orderkey, and
+    the filtered result joins orders⋈customer — the join strategy is
+    left to AQE, which sees the REAL (few-row) size at runtime and
+    broadcasts the aggregate, the scale-correct choice (at 100 TB the
+    same plan degrades gracefully to a key-partitioned join instead of
+    ever broadcasting the fact). Oracle-identical: same lsum decimal
+    floor, one output row per qualifying order."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(lsum("l_quantity").alias("__qty"))
-        .filter(F.col("__qty") > 250)
-        .select(F.col("l_orderkey").alias("__bigkey"))
+        .agg(lsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     return (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(big, F.col("o_orderkey") == F.col("__bigkey"), "left_semi")
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(lsum("l_quantity").alias("total_qty"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -464,12 +489,43 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy's ClusteredDistribution AND the window's orderkey
     partitioning, so ONE exchange serves the aggregate, the top-2
     window, and the stats rollup (measured 28% faster at sf0.1 than
-    letting each stage pick its own shuffle key)."""
+    letting each stage pick its own shuffle key).
+
+    r15 (guide §3.1 "estimates are often badly wrong" + §2.4): the
+    probe join `l ⋈ order_stats` used to let Catalyst pick the
+    strategy, and column pruning shrank lineitem's size ESTIMATE
+    (3 of 16 columns of the file size) under the broadcast threshold —
+    so Spark BROADCAST THE FACT TABLE (BuildLeft over every lineitem
+    row: a 6M-row hashed relation rebuilt per run at sf1, the round's
+    single worst join decision, with multi-second GC spikes to match).
+    Now the probe side is the SAME repartition(l_orderkey) subtree the
+    aggregate consumes — physical planning turns it into one
+    ReusedExchange (lineitem is scanned and shuffled ONCE) — and the
+    SHUFFLE_HASH hint on order_stats forces a shuffled-hash join whose
+    build side is the per-order aggregate (strictly fewer rows than
+    lineitem, ~40 B/row, bounded per partition by the deployer's
+    shuffle width), both sides already co-partitioned on orderkey so
+    the join adds ZERO exchanges. At 100 TB the same shape holds:
+    never broadcast the fact, build on the aggregated side."""
     t = _t(spark, sf_dir, "supplier", "lineitem", "orders")
-    l = t["lineitem"]
+    # The explicit isnotnull triple mirrors exactly the predicates the
+    # optimizer infers on the probe side from the join/filter chain —
+    # with it on the SHARED base, both consumers canonicalize to the
+    # same scan+filter+exchange subtree and physical planning emits one
+    # ReusedExchange (lineitem scanned and shuffled ONCE). Null rows
+    # could never reach the output anyway: null keys fail every join,
+    # and a null l_shipdate fails `other_max <= l_shipdate`.
+    l = (
+        t["lineitem"]
+        .filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .repartition(F.col("l_orderkey"))
+    )
     per_supp = (
-        l.repartition(F.col("l_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
+        l.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("smax"))
     )
     w = Window.partitionBy("l_orderkey").orderBy(F.col("smax").desc(), F.col("l_suppkey"))
@@ -490,7 +546,7 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     other_max = F.when(F.col("sk1") != F.col("l_suppkey"), F.col("smax1")).otherwise(F.col("smax2"))
     return (
-        l.join(order_stats, F.col("l_orderkey") == F.col("r_orderkey"))
+        l.join(order_stats.hint("shuffle_hash"), F.col("l_orderkey") == F.col("r_orderkey"))
         .join(t["orders"].filter(F.col("o_orderstatus") == "F"), F.col("o_orderkey") == F.col("l_orderkey"))
         .filter((F.col("n_supp") >= 2) & (other_max <= F.col("l_shipdate")))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))

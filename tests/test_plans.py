@@ -482,3 +482,59 @@ def test_bucketed_join_skips_the_join_shuffle(plans):
     p = plans("layout_bucketed_join")
     assert "hashpartitioning(o_orderkey" not in p
     assert "hashpartitioning(l_orderkey" not in p
+
+
+def test_waiting_supplier_never_broadcasts_the_fact(plans):
+    """r15 (guide §3.1): column pruning shrank lineitem's size estimate
+    (3 of 16 columns) under the broadcast threshold and Catalyst
+    BROADCAST THE FACT TABLE as the build side of the order_stats
+    probe join. The optimized shape: the probe join is a shuffled-hash
+    join building on the per-order aggregate, both lineitem consumers
+    share one canonical scan+filter+exchange subtree (runtime
+    ReusedExchange — lineitem scanned once), and the only broadcasts
+    are the genuine dims (orders, supplier)."""
+    import re
+
+    p = plans("q_waiting_supplier")
+    assert "ShuffledHashJoin" in p
+    # exactly the two dim broadcasts — a third would be the fact again
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M)) == 2
+    # both lineitem subtrees carry the same pushed isnotnull triple so
+    # they canonicalize identically for exchange reuse
+    pushed = [
+        line.split("[", 1)[1]
+        for line in p.splitlines()
+        if "PushedFilters" in line and "l_suppkey" in line
+    ]
+    assert len(pushed) == 2 and pushed[0] == pushed[1]
+
+
+def test_big_orders_single_lineitem_scan_no_fact_broadcast(plans):
+    """r15: Q18's outer SUM provably equals the HAVING subquery's
+    per-order lsum (the joins are 1:1 per lineitem row), so the
+    restructured query carries the aggregate through instead of
+    re-scanning lineitem — which Catalyst used to BROADCAST (column
+    pruning put the 2-column fact under the size threshold). Pin: one
+    lineitem scan, and no broadcast subtree contains the fact."""
+    import re
+
+    p = plans("q_big_orders")
+    assert p.count("lineitem.parquet") == 1
+    # only one aggregation exchange — the final re-aggregation is gone
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_ship_priority_shj_no_fact_broadcast_no_agg_exchange(plans):
+    """r15: the lineitem⋈(customer⋈orders) join is a shuffled-hash join
+    keyed on orderkey with the build on the cust-orders side (Catalyst
+    used to broadcast the pruned FACT), and the join's output
+    partitioning satisfies the groupBy — no aggregation exchange."""
+    import re
+
+    p = plans("q_ship_priority")
+    assert "ShuffledHashJoin" in p
+    # the only broadcast is the customer dim
+    bx = len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M))
+    assert bx == 1
+    # two shuffles: the two SHJ inputs; none for the aggregation
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
