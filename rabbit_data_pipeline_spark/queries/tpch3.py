@@ -366,6 +366,29 @@ def _pagerank_oracle(iters: int = 6) -> str:
     return sql
 
 
+def _sym_edges(pairs: DataFrame, weight: str | None = None) -> DataFrame:
+    """Symmetrize distinct (c, s) pairs into both edge directions INSIDE
+    one subtree. r15 (guide §2.4 remove duplicate work): the old
+    unionAll(project, swapped-project) made the optimizer plan the
+    fact join + distinct ONCE PER BRANCH (alias pushdown renames the
+    aggregate keys per branch, so the two exchanges stop canonicalizing
+    equal and nothing reuses — measured as two ~700 ms serial scan
+    stages per graph query at sf0.1). Exploding a 2-element struct
+    array after the dedup runs the join and the distinct once; the edge
+    multiset is identical (customer and supplier ids live in disjoint
+    encodings, so the two directions can never collide)."""
+    cols = [F.col("c"), F.col("s")]
+    fwd = [cols[0].alias("src"), cols[1].alias("dst")]
+    rev = [cols[1].alias("src"), cols[0].alias("dst")]
+    if weight:
+        fwd.append(F.col(weight).alias(weight))
+        rev.append(F.col(weight).alias(weight))
+    out_cols = ["e.src", "e.dst"] + (["e." + weight] if weight else [])
+    return pairs.select(
+        F.explode(F.array(F.struct(*fwd), F.struct(*rev))).alias("e")
+    ).select(*out_cols)
+
+
 @register("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q62: PageRank over the bipartite customer↔supplier graph the
@@ -395,9 +418,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _sym_edges(pairs)
     ranks = pagerank(edges, iters=6)
     decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
         F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
@@ -453,9 +474,7 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _sym_edges(pairs)
     return bfs_distances(edges, ["s1"], max_hops=8)
 
 
@@ -690,9 +709,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _sym_edges(pairs)
     core = kcore(edges, k=30)
     decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
         F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
@@ -757,9 +774,7 @@ def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w")
         )
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-    )
+    edges = _sym_edges(pairs, weight="w")
     return weighted_sssp(edges, ["s1"], max_rounds=16)
 
 

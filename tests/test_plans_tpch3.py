@@ -124,3 +124,38 @@ def test_text_index_rankers_stay_jvm_side(plans):
         assert "CartesianProduct" not in p, name
     assert "TakeOrderedAndProject" in plans("text_bm25")
     assert "TakeOrderedAndProject" in plans("text_collocations")
+
+
+def test_sym_edges_one_subtree_same_multiset(spark):
+    """r15: graph-query edge symmetrization must plan the pair dedup
+    ONCE (explode of a 2-struct array above one distinct) instead of
+    the old unionAll(project, swapped-project), which planned the fact
+    join + distinct per branch — and must produce exactly the old edge
+    multiset."""
+    import io
+    import contextlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.queries.tpch3 import _sym_edges
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (2, 5), (4, 3), (4, 3)], ["c", "s"]
+    ).distinct()
+    edges = _sym_edges(pairs)
+    old = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    p = buf.getvalue()
+    assert sorted(map(tuple, edges.collect())) == sorted(map(tuple, old.collect()))
+    # one aggregation subtree: a single dedup exchange, no Union
+    assert "Union" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    # weighted variant keeps the weight on both directions
+    wpairs = spark.createDataFrame([(2, 3, 7), (4, 5, 9)], ["c", "s", "w"])
+    got = sorted(map(tuple, _sym_edges(wpairs, weight="w").collect()))
+    assert got == [(2, 3, 7), (3, 2, 7), (4, 5, 9), (5, 4, 9)]
