@@ -326,17 +326,24 @@ def ngram_jaccard_pairs(
     exact DuckDB twin."""
     grams = _shingle_expr(text_col, k)
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    # r15 (guide §2.4, §3.1): Catalyst BROADCAST one side of this
+    # self-join (fact-derived doc rows with their gram arrays — the
+    # pruned estimate sits under the threshold even at the 10x scale
+    # point). One explicit repartition by the join key instead: both
+    # aliased sides hang off the SAME exchange (physical planning
+    # reuses it — grams computed once, shuffled once, read twice), the
+    # join adds zero exchanges, and no fact rows are ever broadcast.
     base = df.select(
         F.col(id_col),
         F.expr(f"substring({norm}, 1, {block_prefix})").alias("block"),
         F.expr(grams).alias("grams"),
-    )
+    ).repartition(F.col("block"))
     left = base.select(F.col(id_col).alias("id_a"), F.col("block"), F.col("grams").alias("g_a"))
     right = base.select(F.col(id_col).alias("id_b"), F.col("block"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
     return (
-        left.join(right, on="block")
+        left.join(right.hint("SHUFFLE_HASH"), on="block")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -208,6 +208,7 @@ def pagerank(
     damp_num: int = 85,
     damp_den: int = 100,
     eager: bool = True,
+    in_complete: bool = False,
 ) -> DataFrame:
     """Integer-arithmetic PageRank — the canonical Spark iterative
     workload (Page et al. 1999; the motivating example of the RDD
@@ -222,6 +223,14 @@ def pagerank(
     must have ≥1 out-edge (true by construction for the
     both-directions bipartite graphs fact tables induce — dangling
     nodes would need the usual redistribution term).
+
+    ``in_complete=True`` asserts the caller's graph also gives every
+    node ≥1 IN-edge (true for any symmetrized edge list, where each
+    out-edge has a mirror). Under that invariant the per-iteration
+    contribution aggregate already covers the exact node set, so the
+    round skips the ``nodes`` left join entirely — one join and its
+    exchanges removed per iteration, results bit-identical (r15
+    guide §2.1 shuffle removal; A/B in OPTIMIZATION_r15.md).
 
     Scale shape: out-degrees and the node set are one aggregation
     each; every iteration is one src-keyed join of the (small) score
@@ -276,7 +285,9 @@ def pagerank(
         .repartition(n_part, "src")
         .localCheckpoint(eager=True)
     )
-    nodes = wedges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # r15: lazy checkpoint — the graph-order count right below reads
+    # every partition, so one job materializes AND counts the node set.
+    nodes = wedges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     n = nodes.count()
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     score = nodes.withColumn("score", F.lit(scale // n).cast("long"))
@@ -286,17 +297,33 @@ def pagerank(
             .select("dst", F.expr("score div deg").alias("c"))
         )
         agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        new_score = (
-            nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) div {damp_den}")
-                ).cast("long").alias("score"),
+        if in_complete:
+            # Every node receives ≥1 contribution, so `agg` already
+            # covers the exact node set and the left join below is an
+            # identity — skip it and its per-round exchanges. `s` is
+            # never NULL on this path, so dropping the coalesce keeps
+            # the arithmetic bit-identical.
+            new_score = (
+                agg.select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(base) + F.expr(f"({damp_num} * s) div {damp_den}")
+                    ).cast("long").alias("score"),
+                )
+                .localCheckpoint(eager=eager)
             )
-            .localCheckpoint(eager=eager)
-        )
+        else:
+            new_score = (
+                nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) div {damp_den}")
+                    ).cast("long").alias("score"),
+                )
+                .localCheckpoint(eager=eager)
+            )
         if eager and i > 0:
             # new_score is materialized; the superseded round fed it
             # and nothing else can reference it (round 0's `score` is a
@@ -472,7 +499,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
-            .localCheckpoint(eager=True)
+            # r15: lazy — the convergence count right below computes
+            # EVERY partition, so it both materializes the checkpoint
+            # and probes it in ONE job instead of two per round.
+            .localCheckpoint(eager=False)
         )
         n_next = deg.count()
         # deg is materialized; the checkpoint backing the survivor set

@@ -103,17 +103,26 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS with an inequality across the
     tables (shipped after its order date; the driver schema has no
     commit/receipt dates — reference parity is the EXISTS decorrelation,
-    not the date pair). left_semi keeps one shuffle on orderkey and
-    never materializes the join blowup."""
+    not the date pair).
+
+    r15 (guide §3.1, §2.3): the old left_semi BROADCAST the filtered
+    FACT — column pruning put lineitem's (l_orderkey, l_shipdate)
+    estimate under the threshold, so the build side was every lineitem
+    row (plan evidence: plans/r15 sweep; same hazard class as Q3/Q5/
+    Q18/Q21). EXISTS(shipdate > orderdate) ≡ max(shipdate) per order >
+    orderdate, so the query now carries a per-orderkey MAX through:
+    partial aggregation collapses the shuffle ~4:1 (guide §2.3
+    "aggregate before you shuffle") and the join's build side becomes
+    the 3-month filtered orders slice — a true dim-sized broadcast
+    that degrades to a key-partitioned join at scale, never a fact
+    broadcast. Results identical (oracle hash green)."""
     t = _t(spark, sf_dir, "orders", "lineitem")
+    last_ship = t["lineitem"].groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
     return (
         t["orders"]
         .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
-        .join(
-            t["lineitem"],
-            (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
-        )
+        .join(last_ship, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
@@ -248,12 +257,19 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returns. The
     returnflag filter pushes to the lineitem scan; customer attributes
-    ride through the group key (same shuffle as the join)."""
+    ride through the group key (same shuffle as the join).
+
+    r15 (guide §3.1): Catalyst BROADCAST the returnflag-filtered FACT
+    (~25% of lineitem ROWS — pruning put its estimate under the
+    threshold). SHUFFLE_HASH on the date-filtered customer⋈orders side
+    keys the join on orderkey with the build on the 6-month cust-orders
+    slice; lineitem is probed, never broadcast — same shape as Q3/Q5."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
     return (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01"))
+        .hint("SHUFFLE_HASH")
         .join(t["lineitem"].filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")

@@ -419,7 +419,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = _sym_edges(pairs)
-    ranks = pagerank(edges, iters=6)
+    # _sym_edges emits both directions, so every node has in-edges:
+    # in_complete skips the per-round node left join (r15 §2.1).
+    ranks = pagerank(edges, iters=6, in_complete=True)
     decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
         F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
     )

@@ -1030,6 +1030,34 @@ def test_pagerank_hand_verified_fixed_point(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved up to int truncation
 
 
+def test_pagerank_in_complete_bit_identical_on_symmetric_graph(spark):
+    """r15: `in_complete=True` (legal whenever every node has an
+    in-edge, e.g. any symmetrized edge list) skips the per-round node
+    left join. On a symmetric graph it must be BIT-identical to the
+    default path — same nodes, same integer fixed-point ranks."""
+    from rabbit_data_pipeline_spark.operators.graph import pagerank
+
+    star_pairs = [("hub", f"l{i}") for i in range(3)] + [("l0", "l1")]
+    star = spark.createDataFrame(
+        star_pairs + [(b, a) for a, b in star_pairs], ["src", "dst"]
+    )
+    base = {r["node"]: r["rank"] for r in pagerank(star, iters=6).collect()}
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(star, iters=6, in_complete=True).collect()
+    }
+    assert fast == base
+    # and the lazy path composes with the flag too
+    lazy = {
+        r["node"]: r["rank"]
+        for r in pagerank(star, iters=4, eager=False, in_complete=True).collect()
+    }
+    lazy_base = {
+        r["node"]: r["rank"] for r in pagerank(star, iters=4, eager=False).collect()
+    }
+    assert lazy == lazy_base
+
+
 def test_bfs_distances_hand_verified(spark):
     """Path graph a-b-c-d (undirected) from a: dists 0,1,2,3; early
     exit leaves unreachable z absent."""

@@ -524,6 +524,24 @@ def test_big_orders_single_lineitem_scan_no_fact_broadcast(plans):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
 
 
+def test_join_multiway_shj_never_broadcasts_lineitem(plans):
+    """r15: TPC-H Q5's orderkey join is a shuffled-hash join building
+    on the (date-filtered) customer⋈orders side. Before the hint,
+    column pruning put lineitem's size estimate under the broadcast
+    threshold at the small scale points and Catalyst BROADCAST THE
+    FACT (plans/r15/q_join_multiway_before.txt node 11)."""
+    import re
+
+    p = plans("q_join_multiway")
+    assert "ShuffledHashJoin" in p
+    scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*?(\w+)\.parquet\]", p)
+    # lineitem is scanned exactly once, and the SHJ build side is Left
+    assert scans.count("lineitem") == 1
+    assert "ShuffledHashJoin Inner BuildLeft" in p
+    # the broadcasts are dims only: customer, supplier, nation, region
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M)) <= 4
+
+
 def test_ship_priority_shj_no_fact_broadcast_no_agg_exchange(plans):
     """r15: the lineitem⋈(customer⋈orders) join is a shuffled-hash join
     keyed on orderkey with the build on the cust-orders side (Catalyst
