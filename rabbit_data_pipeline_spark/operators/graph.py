@@ -291,9 +291,29 @@ def pagerank(
     n = nodes.count()
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     score = nodes.withColumn("score", F.lit(scale // n).cast("long"))
+    # r15 (guide §3.1): checkpointed RDDs carry no size statistics, so
+    # Catalyst planned every round's contribution join as sort-merge —
+    # RE-SHUFFLING AND SORTING THE WHOLE EDGE LIST each iteration
+    # (executed-plan evidence in OPTIMIZATION_r15.md; the repartition-
+    # before-checkpoint layout is kept for scan width but the planner
+    # forgets the hash layout across the RDD boundary). We hold the
+    # score vector's exact row count (the graph order, counted once):
+    # broadcast it whenever it fits the session's broadcast budget
+    # (~40 B/row hashed-relation footprint) — the edge list then never
+    # moves and each round is ONE node-sized exchange (the dst
+    # aggregation). Past the budget the old shuffle shape returns by
+    # itself — no behavior cliff at web-scale node counts.
+    raw = edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        bcast_budget = int(raw)  # plain bytes; "-1" disables
+    except ValueError:  # "10m"-style size strings
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        bcast_budget = int(float(raw[:-1]) * units.get(raw[-1].lower(), 1))
+    bcast_score = 0 < n <= max(bcast_budget, 0) // 40
     for i in range(iters):
+        side = score.withColumnRenamed("node", "src")
         contrib = (
-            wedges.join(score.withColumnRenamed("node", "src"), "src")
+            wedges.join(F.broadcast(side) if bcast_score else side, "src")
             .select("dst", F.expr("score div deg").alias("c"))
         )
         agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -479,7 +499,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
     the converged answer exactly.
 
     Returns (node, deg) — survivors with their in-core degree."""
-    # One materialization; every peeling round re-joins this, not its lineage.
+    # One materialization; every peeling round re-joins this, not its
+    # lineage. (r15: an explicit repartition(src) before the checkpoint
+    # — pagerank's edge-list fix — was A/B-measured HERE and rejected:
+    # kcore converges in ~2 rounds on the bench graph, too few to
+    # amortize the extra setup exchange; min 2.13→2.25 s at sf0.1.)
     edges = edges.localCheckpoint(eager=True)
     alive = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
@@ -492,10 +516,28 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
     # `prev` tracks the checkpoint backing the current `alive` frame;
     # it is dead the moment the NEXT round's deg is materialized.
     prev = alive
+    # r15 (guide §3.1 "pick the strategy deliberately"): the survivor
+    # set is a checkpointed RDD with NO size statistics, so Catalyst
+    # defaulted both per-round semi-joins to sort-merge — FIVE
+    # exchanges and four sorts per round (edge list shuffled twice),
+    # measured 1.5-2.2 s/round at sf0.1 for a 1.2M-row edge list. But
+    # the convergence probe hands us the survivor set's EXACT row
+    # count every round: broadcast the semi-join side whenever the
+    # counted size fits the session's broadcast budget (~40 B/row
+    # hashed-relation footprint). At web-scale node counts the budget
+    # fails and the plan degrades to the old shuffle shape by itself.
+    raw = edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        bcast_budget = int(raw)  # plain bytes; "-1" disables
+    except ValueError:  # "10m"-style size strings
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        bcast_budget = int(float(raw[:-1]) * units.get(raw[-1].lower(), 1))
+    bcast_rows = max(bcast_budget, 0) // 40
     for _ in range(max_rounds):
+        side = F.broadcast(alive) if 0 < n_alive <= bcast_rows else alive
         deg = (
-            edges.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            edges.join(side.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(side.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)

@@ -1058,6 +1058,32 @@ def test_pagerank_in_complete_bit_identical_on_symmetric_graph(spark):
     assert lazy == lazy_base
 
 
+def test_graph_loops_agree_with_and_without_size_gated_broadcast(spark):
+    """r15: pagerank's per-round score join and kcore's per-round
+    survivor semi-joins broadcast the counted-small side only while it
+    fits the session broadcast budget. Forcing the budget to 0 must
+    take the shuffle fallback and return identical results."""
+    from rabbit_data_pipeline_spark.operators.graph import kcore, pagerank
+
+    star_pairs = [("hub", f"l{i}") for i in range(3)] + [("l0", "l1")]
+    star = spark.createDataFrame(
+        star_pairs + [(b, a) for a, b in star_pairs], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(star, iters=4, in_complete=True).collect()}
+    core = {r["node"]: r["deg"] for r in kcore(star, k=2).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        ranks0 = {
+            r["node"]: r["rank"] for r in pagerank(star, iters=4, in_complete=True).collect()
+        }
+        core0 = {r["node"]: r["deg"] for r in kcore(star, k=2).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert ranks0 == ranks
+    assert core0 == core
+
+
 def test_bfs_distances_hand_verified(spark):
     """Path graph a-b-c-d (undirected) from a: dists 0,1,2,3; early
     exit leaves unreachable z absent."""
