@@ -36,6 +36,44 @@ from pyspark.sql import functions as F
 from rabbit_data_pipeline_spark.functions.checkpoints import release_local_checkpoint
 
 
+def _broadcast_budget_rows(spark, bytes_per_row: int = 40) -> int:
+    """Rows that fit the session's broadcast budget — the shared gate
+    for the iterative loops' counted-small-side broadcasts (pagerank,
+    kcore, BFS, SSSP, connected components). Derived from
+    ``spark.sql.autoBroadcastJoinThreshold`` so "-1" disables it and
+    the deployer's cluster config governs; at web-scale node counts
+    the gate fails and every loop degrades to its shuffle shape by
+    itself.
+
+    Accepts every form Spark's own byteString parser does: plain
+    bytes, one-letter suffixes ("10m"), two-letter suffixes ("10MB"),
+    any case (ADVICE r15 #1: the old inline parse raised on "10mb"
+    and read "1t" as 1 byte). An unparseable value falls back to
+    Spark's 10 MB default instead of raising — a malformed session
+    conf should cost the optimization, not the query.
+
+    ``bytes_per_row`` is the approximate hashed-relation footprint of
+    one build row and assumes SHORT keys (longs / small strings); rows
+    with long string keys or wide payloads need a larger figure from
+    the caller (ADVICE r15 #4)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    try:
+        budget = int(raw)
+    except ValueError:
+        s = raw[:-1] if raw.endswith("b") else raw
+        try:
+            if s and s[-1] in units:
+                budget = int(float(s[:-1]) * units[s[-1]])
+            else:
+                budget = int(float(s))
+        except ValueError:
+            budget = 10 << 20
+    return max(budget, 0) // bytes_per_row
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -55,21 +93,38 @@ def connected_components(
     edges = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)
 
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # r16 (guide §3.1 — the pagerank/kcore pattern): the label vector
+    # is node-sized and its cardinality is CONSTANT across rounds (one
+    # row per node), but the checkpoints carry no statistics, so every
+    # round's edges⋈labels join re-shuffled the edge list sort-merge.
+    # Count the node set once (the lazy checkpoint + count is one job,
+    # same idiom as pagerank's node count) and broadcast every
+    # node-sized join side iff it fits the session budget; past it the
+    # shuffle shape returns by itself.
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = labels.count()
+    small = 0 < n_nodes <= _broadcast_budget_rows(pairs.sparkSession)
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels.select(F.col("u").alias("v"), "label"), on="v")
+            edges.join(_b(labels.select(F.col("u").alias("v"), "label")), on="v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = labels.join(nbr_min, on="u", how="left").select(
+        new_labels = labels.join(_b(nbr_min), on="u", how="left").select(
             "u", F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label")
         )
         # Pointer jump: label(v) <- label(label(v)). Every label value
         # is itself a node (a min-so-far id), so a self-join resolves
         # one extra hop and halves the remaining path length per round.
         jump = new_labels.select(F.col("u").alias("label"), F.col("label").alias("label2"))
-        new_labels = new_labels.join(jump, on="label", how="left").select(
+        new_labels = new_labels.join(_b(jump), on="label", how="left").select(
             "u", F.least("label", F.coalesce("label2", F.col("label"))).alias("label")
         )
         new_labels = (
@@ -78,15 +133,15 @@ def connected_components(
             else new_labels.localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(labels.select("u", F.col("label").alias("old")), on="u")
+            new_labels.join(_b(labels.select("u", F.col("label").alias("old"))), on="u")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
         # The probe was the superseded round's last consumer and the
         # new round is eager-materialized: free its blocks NOW instead
         # of leaving up to max_iter node-vectors to the ContextCleaner
-        # (round 1's `labels` is a derived plan, not a checkpoint — a
-        # no-op for the helper).
+        # (round 1 releases the initial node-set checkpoint, which the
+        # count above materialized).
         release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
@@ -230,7 +285,11 @@ def pagerank(
     contribution aggregate already covers the exact node set, so the
     round skips the ``nodes`` left join entirely — one join and its
     exchanges removed per iteration, results bit-identical (r15
-    guide §2.1 shuffle removal; A/B in OPTIMIZATION_r15.md).
+    guide §2.1 shuffle removal; A/B in OPTIMIZATION_r15.md). The flag
+    is an UNCHECKED caller assertion (ADVICE r15 #3): passed for a
+    graph with a zero-in-degree node, nothing raises — that node
+    silently disappears from the output and its rank mass is lost.
+    Only set it where the edge list is symmetric by construction.
 
     Scale shape: out-degrees and the node set are one aggregation
     each; every iteration is one src-keyed join of the (small) score
@@ -303,13 +362,7 @@ def pagerank(
     # moves and each round is ONE node-sized exchange (the dst
     # aggregation). Past the budget the old shuffle shape returns by
     # itself — no behavior cliff at web-scale node counts.
-    raw = edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    try:
-        bcast_budget = int(raw)  # plain bytes; "-1" disables
-    except ValueError:  # "10m"-style size strings
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-        bcast_budget = int(float(raw[:-1]) * units.get(raw[-1].lower(), 1))
-    bcast_score = 0 < n <= max(bcast_budget, 0) // 40
+    bcast_score = 0 < n <= _broadcast_budget_rows(edges.sparkSession)
     for i in range(iters):
         side = score.withColumnRenamed("node", "src")
         contrib = (
@@ -364,7 +417,7 @@ def pagerank(
 
 def bfs_distances(
     edges: DataFrame,
-    sources: list[str],
+    sources: list,
     max_hops: int = 8,
 ) -> DataFrame:
     """Multi-source BFS hop distances — the frontier-expansion
@@ -390,6 +443,18 @@ def bfs_distances(
         [(s, 0) for s in sources], ["node", "dist"]
     ).localCheckpoint(eager=True)
     frontier = dist
+    # r16 (guide §3.1 — the pagerank/kcore pattern, VERDICT r15 #1):
+    # checkpointed RDDs carry no size statistics, so Catalyst planned
+    # BOTH per-hop joins sort-merge — re-shuffling and re-sorting the
+    # full edge list against a frontier of a few rows EVERY hop. The
+    # loop holds both small sides' exact row counts for free: the
+    # frontier count is the settled-count probe (which replaces the
+    # old isEmpty — still one job per hop over the already-eager
+    # checkpoint) and the settled set grows by exactly that count.
+    # Broadcast each side iff it fits the session budget; past it
+    # (web-scale frontiers) the shuffle shape returns by itself.
+    budget_rows = _broadcast_budget_rows(spark)
+    n_front = n_dist = len(sources)
     for _ in range(max_hops):
         # Rounds were always eager (localCheckpoint's default); the
         # explicit eager=True only pins that assumption, because the
@@ -397,15 +462,18 @@ def bfs_distances(
         # successor. Deterministic release bounds the loop's executor
         # storage at {edges + dist + 2 frontiers} regardless of hop
         # count.
+        fside = F.broadcast(frontier) if 0 < n_front <= budget_rows else frontier
+        dside = F.broadcast(dist) if 0 < n_dist <= budget_rows else dist
         new = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            fside.join(edges, fside["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .join(dist, "node", "left_anti")
+            .join(dside, "node", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if new.isEmpty():
+        n_new = new.count()
+        if n_new == 0:
             # ADVICE r10 #4: the empty frontier was materialized by the
             # eager checkpoint above and nothing downstream reads it —
             # release it so the early exit leaks no superseded vector.
@@ -417,6 +485,8 @@ def bfs_distances(
             release_local_checkpoint(frontier)  # consumed building `new`
         dist = new_dist
         frontier = new
+        n_front = n_new
+        n_dist += n_new
     # On ANY exit (empty-frontier break or hop exhaustion) the last
     # non-empty frontier was already folded into dist and is dead —
     # release it too, or one superseded vector per call outlives the
@@ -526,13 +596,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
     # counted size fits the session's broadcast budget (~40 B/row
     # hashed-relation footprint). At web-scale node counts the budget
     # fails and the plan degrades to the old shuffle shape by itself.
-    raw = edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    try:
-        bcast_budget = int(raw)  # plain bytes; "-1" disables
-    except ValueError:  # "10m"-style size strings
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-        bcast_budget = int(float(raw[:-1]) * units.get(raw[-1].lower(), 1))
-    bcast_rows = max(bcast_budget, 0) // 40
+    bcast_rows = _broadcast_budget_rows(edges.sparkSession)
     for _ in range(max_rounds):
         side = F.broadcast(alive) if 0 < n_alive <= bcast_rows else alive
         deg = (
@@ -572,7 +636,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 25) -> DataFrame:
 
 def weighted_sssp(
     edges: DataFrame,
-    sources: list[str],
+    sources: list,
     max_rounds: int = 12,
 ) -> DataFrame:
     """Single-source shortest paths with integer edge weights —
@@ -597,20 +661,35 @@ def weighted_sssp(
         eager=True
     )
     frontier = dist
+    # r16 (guide §3.1 — the pagerank/kcore pattern, VERDICT r15 #1):
+    # without this, the no-stats checkpoints made every per-round join
+    # sort-merge, re-shuffling the full edge list each relaxation. The
+    # frontier count is the improvement probe (replacing isEmpty, same
+    # one job per round); the distance vector's count is tracked as an
+    # upper bound (improved rows may REPLACE existing entries, so the
+    # exact count would cost an extra job — a too-big bound only
+    # forfeits the broadcast, never correctness). Past the budget the
+    # shuffle shape returns by itself.
+    budget_rows = _broadcast_budget_rows(spark)
+    n_front = n_dist_max = len(sources)
     for _ in range(max_rounds):
+        fside = F.broadcast(frontier) if 0 < n_front <= budget_rows else frontier
+        old = dist.withColumnRenamed("dist", "old")
+        oside = F.broadcast(old) if 0 < n_dist_max <= budget_rows else old
         cand = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            fside.join(edges, fside["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
         improved = (
-            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            cand.join(oside, "node", "left")
             .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("node", "dist")
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        n_imp = improved.count()
+        if n_imp == 0:
             # ADVICE r10 #4: `improved` was eagerly materialized and is
             # dead on this path — release before returning, along with
             # the previous round's frontier (folded into dist already)
@@ -621,8 +700,13 @@ def weighted_sssp(
                 release_local_checkpoint(frontier)
             release_local_checkpoint(edges)
             return dist
+        iside = (
+            F.broadcast(improved.select("node"))
+            if 0 < n_imp <= budget_rows
+            else improved.select("node")
+        )
         new_dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
+            dist.join(iside, "node", "left_anti")
             .unionAll(improved)
             .localCheckpoint(eager=True)
         )
@@ -635,12 +719,15 @@ def weighted_sssp(
             release_local_checkpoint(frontier)
         dist = new_dist
         frontier = improved
+        n_front = n_imp
+        n_dist_max += n_imp
     # Round exhaustion: the last frontier is folded into dist — dead.
     if frontier is not dist:
         release_local_checkpoint(frontier)
     # converged iff one more relaxation changes nothing
+    dside = F.broadcast(dist) if 0 < n_dist_max <= budget_rows else dist
     cand = (
-        dist.join(edges, dist["node"] == edges["src"])
+        dside.join(edges, dside["node"] == edges["src"])
         .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         .groupBy("node")
         .agg(F.min("dist").alias("dist"))

@@ -467,17 +467,27 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.graph import bfs_distances
 
     t = _t(spark, sf_dir, "orders", "lineitem")
+    # r16 guide §2.3: the same reversible long node encoding q_pagerank
+    # and q_kcore got in r15 (even = 2*custkey, odd = 2*suppkey+1) —
+    # the setup distinct, every hop's frontier broadcast and the
+    # distance vector carry longs instead of strings; labels restored
+    # by expression at the end, so the output (and the string-graph
+    # oracle) is unchanged. Source 's1' encodes to 2*1+1 = 3.
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = _sym_edges(pairs)
-    return bfs_distances(edges, ["s1"], max_hops=8)
+    dist = bfs_distances(edges, [3], max_hops=8)
+    decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
+    )
+    return dist.select(decode.alias("node"), "dist")
 
 
 # --- Q64: triangle count on the co-supply graph -------------------------------
@@ -761,12 +771,16 @@ def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rabbit_data_pipeline_spark.operators.graph import weighted_sssp
 
     t = _t(spark, sf_dir, "orders", "lineitem")
+    # r16 guide §2.3: same reversible long node encoding as q_pagerank/
+    # q_kcore/q_shortest_path — the (c, s) grouping keys map 1:1 to the
+    # old strings, so min(w) per pair is unchanged; labels restored by
+    # expression at the end, output (and oracle) unchanged.
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .agg(
             F.min(
@@ -777,7 +791,11 @@ def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     edges = _sym_edges(pairs, weight="w")
-    return weighted_sssp(edges, ["s1"], max_rounds=16)
+    dist = weighted_sssp(edges, [3], max_rounds=16)
+    decode = F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2"))
+    )
+    return dist.select(decode.alias("node"), "dist")
 
 
 # --- Q72: market-basket pair mining ------------------------------------------

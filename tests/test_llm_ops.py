@@ -1084,6 +1084,79 @@ def test_graph_loops_agree_with_and_without_size_gated_broadcast(spark):
     assert core0 == core
 
 
+def test_broadcast_budget_rows_parses_spark_byte_strings(spark):
+    """ADVICE r15 #1: the budget gate must accept every size-string
+    form Spark's byteString parser does ("10mb" crashed the old inline
+    parse; "1t" silently read as 1 byte), disable on -1, and fall back
+    to the 10 MB default on garbage instead of raising."""
+    from rabbit_data_pipeline_spark.operators.graph import _broadcast_budget_rows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    cases = {
+        "10485760": 10485760 // 40,
+        "10m": (10 << 20) // 40,
+        "10mb": (10 << 20) // 40,
+        "10MB": (10 << 20) // 40,
+        "1g": (1 << 30) // 40,
+        "1t": (1 << 40) // 40,
+        "512k": (512 << 10) // 40,
+        "100b": 100 // 40,
+        "-1": 0,
+        "0": 0,
+    }
+    try:
+        for raw, want in cases.items():
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_budget_rows(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # Spark validates conf.set, so the garbage fallback (10 MB default,
+    # never a raise) is exercised through a stub conf instead.
+    class _Conf:
+        def get(self, *_):
+            return "banana"
+
+    class _Stub:
+        conf = _Conf()
+
+    assert _broadcast_budget_rows(_Stub()) == (10 << 20) // 40
+
+
+def test_frontier_loops_agree_with_and_without_size_gated_broadcast(spark):
+    """r16 (VERDICT r15 #1): BFS, SSSP and connected components now
+    size-gate a broadcast of their counted-small sides, the same
+    pattern as pagerank/kcore. Forcing the budget to 0 must take the
+    shuffle fallback and return identical results."""
+    from rabbit_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+        connected_components,
+        weighted_sssp,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "e")]
+    edges = spark.createDataFrame(und + [(y, x) for x, y in und], ["src", "dst"])
+    wedges = spark.createDataFrame(
+        [(u, v, 2) for u, v in und] + [(v, u, 2) for u, v in und], ["src", "dst", "w"]
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"])
+
+    bfs = {r["node"]: r["dist"] for r in bfs_distances(edges, ["a"]).collect()}
+    sssp = {r["node"]: r["dist"] for r in weighted_sssp(wedges, ["a"]).collect()}
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        bfs0 = {r["node"]: r["dist"] for r in bfs_distances(edges, ["a"]).collect()}
+        sssp0 = {r["node"]: r["dist"] for r in weighted_sssp(wedges, ["a"]).collect()}
+        cc0 = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert bfs0 == bfs == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 2}
+    assert sssp0 == sssp == {"a": 0, "b": 2, "c": 4, "d": 6, "e": 4}
+    assert cc0 == cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_bfs_distances_hand_verified(spark):
     """Path graph a-b-c-d (undirected) from a: dists 0,1,2,3; early
     exit leaves unreachable z absent."""
