@@ -46,6 +46,55 @@ def bpe_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_PATTERN))
 
 
+def token_counts_arrow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Vectorized twin of the (ws_token_count, bpe_token_count) pair:
+    one mapInArrow pass running the same patterns through
+    pyarrow.compute (RE2) — guide §4.2's "one pyarrow.compute
+    expression per batch beats the equivalent chain of JVM
+    expressions". Returns (id_col, ws_tokens, bpe_tokens), exactly the
+    text_tokens projection.
+
+    Result-identical to the JVM expressions by construction:
+    - trim is space-only (`utf8_trim(_, " ")`), matching Spark/DuckDB
+      `trim` — NOT utf8_trim_whitespace, which strips tabs/newlines
+      and would diverge on data with non-space edges;
+    - for a space-trimmed non-empty string, `size(split(t, '\\s+'))`
+      == separator-run count + 1 (leading/trailing non-space
+      whitespace contributes an empty token on the split side AND a
+      run on the count side, so the identity holds for any input);
+    - the patterns are in the Java∩RE2-agreeing subset the module
+      header requires (the DuckDB oracles already evaluate them under
+      RE2, so this path uses the ORACLE's regex engine).
+    Pinned result-identical to the JVM pair on real data + edge cases
+    by tests/test_text_props.py::test_token_counts_arrow_matches_jvm.
+
+    Measured (r16, min-of-5 interleaved noop): 10x documents
+    1.14 → 0.74 s (−36%); on the 0.58 MB sf0.1 table the fixed
+    boundary cost makes it a LOSS (+33%) — callers gate on
+    session.arrow_text_worthwhile."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batches):
+        for b in batches:
+            text = b.column(text_col)
+            t = pc.utf8_trim(text, " ")
+            ws = pc.if_else(
+                pc.equal(pc.utf8_length(t), 0),
+                pa.scalar(0, pa.int32()),
+                pc.add(pc.count_substring_regex(t, r"\s+"), 1).cast(pa.int32()),
+            )
+            bpe = pc.count_substring_regex(text, BPE_PATTERN).cast(pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), ws, bpe], [id_col, "ws_tokens", "bpe_tokens"]
+            )
+
+    # project FIRST: mapInArrow is opaque to column pruning (guide §4.1)
+    return df.select(id_col, text_col).mapInArrow(
+        run, f"{id_col} long, ws_tokens int, bpe_tokens int"
+    )
+
+
 def stopword_hits(col: Column, words: list[str]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.regexp_count(F.lower(col), F.lit(pat))

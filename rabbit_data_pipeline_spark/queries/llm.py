@@ -41,12 +41,27 @@ _BPE = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
     """,
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rabbit_data_pipeline_spark.operators.text import bpe_token_count, ws_token_count
+    from rabbit_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+        token_counts_arrow,
+        ws_token_count,
+    )
+    from rabbit_data_pipeline_spark.session import arrow_text_worthwhile, spread_scan
 
-    # r15: measured A/B — spreading this scan LOSES (~+0.04 s sf0.1,
-    # +0.12 s sf1): two cheap regexes per row don't repay shuffling the
-    # text bytes. Left on the plain scan deliberately (guide §1.2).
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # r16 guide §4.2: past the boundary-cost breakeven the RE2/Arrow
+    # pass wins big (10x table: 1.14 → 0.74 s, and the r15-rejected
+    # spread now pays — 0.62 s with it — because the per-row work it
+    # parallelizes got 40% cheaper). Under the breakeven (sf0.1:
+    # +33% measured) the codegen'd JVM expressions stay. Results are
+    # identical on both paths (pinned test + same DuckDB oracle).
+    if arrow_text_worthwhile(sf_dir, "documents"):
+        return token_counts_arrow(
+            spread_scan(d.select("doc_id", "text"), spark, sf_dir, "documents")
+        )
+    # r15: measured A/B — spreading this scan LOSES (~+0.04 s sf0.1,
+    # +0.12 s sf1): two cheap JVM regexes per row don't repay shuffling
+    # the text bytes. Left on the plain scan deliberately (guide §1.2).
     return d.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("ws_tokens"),

@@ -158,12 +158,9 @@ _SPREAD_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(1 << 
 _SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
 
 
-def scan_spread_hint(spark: SparkSession, sf_dir: str, name: str) -> int:
-    """Width to repartition a compute-heavy scan of `name` to, or 0 to
-    leave the plan alone (input already wide enough, or too big for a
-    spread shuffle to be worth it, or not a plain local file layout)."""
-    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
-        return 0
+def _table_files(sf_dir: str, name: str) -> tuple[list[str], int]:
+    """(data files, total on-disk bytes) for a local parquet table;
+    ([], 0) when the layout is not plain local files."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isfile(path):
@@ -174,8 +171,19 @@ def scan_spread_hint(spark: SparkSession, sf_dir: str, name: str) -> int:
                 for f in os.listdir(path)
                 if not f.startswith("_") and not f.startswith(".")
             ]
-        total = sum(os.path.getsize(f) for f in files)
+        return files, sum(os.path.getsize(f) for f in files)
     except OSError:
+        return [], 0
+
+
+def scan_spread_hint(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Width to repartition a compute-heavy scan of `name` to, or 0 to
+    leave the plan alone (input already wide enough, or too big for a
+    spread shuffle to be worth it, or not a plain local file layout)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        return 0
+    files, total = _table_files(sf_dir, name)
+    if not files:
         return 0
     cores = spark.sparkContext.defaultParallelism
     est_splits = max(len(files), total // _SPLIT_BYTES)
@@ -190,6 +198,34 @@ def spread_scan(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> D
     needed columns FIRST (guide §2.3: shuffle fewer bytes)."""
     w = scan_spread_hint(spark, sf_dir, name)
     return df.repartition(w) if w else df
+
+
+# Optimization round 16, guide §4.2 "hand whole batches to vectorized
+# native libraries". The regex-heavy single-pass text scans have a
+# mapInArrow twin that runs the same patterns through pyarrow.compute
+# (RE2): measured 35-45% faster than the codegen'd JVM expressions on
+# the 10x documents table. The Arrow path pays a FIXED per-query
+# JVM→Python boundary cost (~0.1 s locally: worker round trip + Arrow
+# (de)serialization plan nodes), so on tiny inputs it is a measured
+# LOSS (sf0.1 documents, 0.58 MB: +33%) while past a few MB it wins
+# and keeps winning — at 100 TB the gate below is always true. The
+# threshold is the measured local breakeven with margin (~0.1 s
+# boundary ÷ 40% of ~10 MB/s-of-compressed-parquet regex throughput
+# ≈ 2.5 MB), env-overridable for cluster profiles; kill switch
+# SPARK_GRAFT_NO_ARROW_TEXT=1 forces the pure-JVM expressions
+# everywhere (a Python-less cluster profile).
+_ARROW_TEXT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ARROW_TEXT_MIN_BYTES", str(4 << 20))
+)
+
+
+def arrow_text_worthwhile(sf_dir: str, name: str) -> bool:
+    """True when `name`'s on-disk size is large enough that the
+    vectorized Arrow/RE2 text pass repays its fixed boundary cost."""
+    if os.environ.get("SPARK_GRAFT_NO_ARROW_TEXT") == "1":
+        return False
+    _, total = _table_files(sf_dir, name)
+    return total >= _ARROW_TEXT_MIN_BYTES
 
 
 # DuckDB-side spelling of the same events normalization, for oracles:

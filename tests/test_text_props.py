@@ -159,3 +159,47 @@ def test_inverted_index_matches_python_reference(spark, docs, parts, shard):
         for r in inverted_index(df, shard_size=shard).collect()
     }
     assert got == _py_inverted(docs, shard)
+
+
+def test_token_counts_arrow_matches_jvm(spark, sf_smoke):
+    """r16: the Arrow/RE2 token-count path (token_counts_arrow) must be
+    result-identical to the JVM expression pair on real data AND on
+    the edge cases where sloppy trim/split semantics would diverge:
+    leading/trailing tabs and newlines (Spark trim strips SPACES only,
+    and split(limit=-1) keeps the resulting empty tokens), empty and
+    whitespace-only strings, unicode, and NULL text."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+        token_counts_arrow,
+        ws_token_count,
+    )
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    edge = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\t\t"),
+        (4, "\ta b\t"),
+        (5, "a  b\nc"),
+        (6, "one"),
+        (7, "Ünïcödé 多字节 text!"),
+        (8, "x" * 9),
+        (9, " left-space only"),
+        (10, "trailing newline\n"),
+        (11, "a,b;c:d!e?f."),
+    ]
+    real = load_tables(spark, sf_smoke, ("documents",))["documents"].select("doc_id", "text")
+    for df in (spark.createDataFrame(edge, ["doc_id", "text"]), real):
+        jvm = df.select(
+            "doc_id",
+            ws_token_count(F.col("text")).alias("ws_tokens"),
+            bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+        arrow = token_counts_arrow(df)
+        assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, jvm.collect()))
+        assert [f.dataType for f in arrow.schema.fields] == [
+            f.dataType for f in jvm.schema.fields
+        ]
