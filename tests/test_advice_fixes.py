@@ -2103,3 +2103,31 @@ def test_hunt_budget_and_window_exhaustion_exit_codes():
         max_windows=2,
     )
     assert rc == 3
+
+
+def test_waiting_supplier_no_null_shipdate_assumption(spark, sf_dir, sf_smoke):
+    """r16 (VERDICT r15 #3): q_waiting_supplier's shared-base
+    isnotnull(l_shipdate) filter (and the decorrelation's
+    `other_max <= l_shipdate` probe) assume the driver schema's
+    l_shipdate is never NULL — on null-bearing data the rewrite and
+    the EXISTS oracle diverge (the filter shrinks n_supp for sibling
+    suppliers; the probe drops rows the oracle counts). Keep the
+    filter (dropping it costs the single ReusedExchange: lineitem
+    would shuffle twice) and fail LOUDLY here if the testdata ever
+    grows null shipdates or null fact keys."""
+    from pyspark.sql import functions as F
+
+    from rabbit_data_pipeline_spark.session import load_tables
+
+    for d in (sf_smoke, sf_dir):
+        li = load_tables(spark, d, ("lineitem",))["lineitem"]
+        nulls = li.filter(
+            F.col("l_shipdate").isNull()
+            | F.col("l_orderkey").isNull()
+            | F.col("l_suppkey").isNull()
+        ).count()
+        assert nulls == 0, (
+            f"{d}: {nulls} lineitem rows with NULL shipdate/keys — "
+            "q_waiting_supplier's decorrelation no longer matches its "
+            "EXISTS oracle on this data; revisit tpch2.py before trusting it"
+        )
