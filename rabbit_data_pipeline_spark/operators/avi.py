@@ -32,9 +32,30 @@ side via operators/multimodal.py.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 _BI_RGB = 0
 _MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
+@lru_cache(maxsize=64)
+def _palette_lut(palette: bytes) -> bytes:
+    """256-entry palette-index → BT.601 luma table for 8-bit DIB
+    frames. r16: this was rebuilt inside _dib_to_gray PER FRAME — a
+    256-iteration Python loop per frame was 95% of the whole DIB
+    decode (cProfile: 131k bt601 calls for 512 frames, 12 ms/video →
+    0.7 ms). All frames of a stream share one RGBQUAD table, so the
+    cache hits on every frame after the first; the table is derived
+    from the palette BYTES alone, so caching cannot change output."""
+    from rabbit_data_pipeline_spark.operators.png import bt601_luma
+
+    if not palette:
+        return bytes(range(256))
+    n = min(len(palette) // 4, 256)
+    return bytes(
+        bt601_luma(palette[4 * i + 2], palette[4 * i + 1], palette[4 * i]) if i < n else i
+        for i in range(256)
+    )
 
 
 def is_avi(payload: bytes) -> bool:
@@ -137,19 +158,9 @@ def _dib_to_gray(
     table (BGR0 entries) folded to luma; with no/short palette the
     index itself is the gray value (the identity-grayscale case
     write_avi emits)."""
-    from rabbit_data_pipeline_spark.operators.png import bt601_luma
-
     if bit_count == 8:
         row_bytes = (w + 3) & ~3
-        lut = bytes(range(256))
-        if palette:
-            n = min(len(palette) // 4, 256)
-            lut = bytes(
-                bt601_luma(palette[4 * i + 2], palette[4 * i + 1], palette[4 * i])
-                if i < n
-                else i
-                for i in range(256)
-            )
+        lut = _palette_lut(bytes(palette))
     elif bit_count == 24:
         row_bytes = (w * 3 + 3) & ~3
     else:
@@ -168,6 +179,8 @@ def _dib_to_gray(
     # 24-bit: vectorized BT.601 fold (the per-pixel Python loop was
     # the decode hot spot — the shared png.bt601_luma fold)
     import numpy as np
+
+    from rabbit_data_pipeline_spark.operators.png import bt601_luma
 
     a = (
         np.frombuffer(frame, np.uint8, count=row_bytes * h)
