@@ -46,44 +46,43 @@ def register(name: str, oracle: str | None = None):
 # tests/test_registry.py evaluates the stalest-cohort invariant
 # against rounds <= basis and flags a basis lagging the artifacts by
 # more than that one round (a never-re-authored list).
-_ROTATION_BASIS_ROUND = 14
+_ROTATION_BASIS_ROUND = 15
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-15 front-load, slot budget 50 (50 used). VERDICT r14 ask
-    # #1: rotate the FULL 37-key r11-verdict cohort (every key whose
-    # latest verdict still sits on r11 code), backfilled to 50 with
-    # the first 13 keys of the r12 cohort — after this round no key's
-    # latest verdict is older than r12 code. No changed-code
-    # front-load this round: the round-15 diffs live in tools/
-    # (bench_diff recovery bound + corrupt-floor handling,
-    # vet_idle_record waiver + probe-skip reasons) and bench.py's
-    # probe schedule — none touch any query builder or operator, so
-    # no registry key's semantics changed. List is
-    # tools/verdict_freshness.py's paste, verbatim:
-    # (a) the 37-key r11 cohort —
-    "text_fingerprint", "dedup_exact", "dedup_ngram_jaccard", "pipeline_llm_prep",
-    "ann_bruteforce", "text_pii_redact", "text_chunks", "text_word_freq",
-    "text_decontaminate", "text_mix", "text_pack", "pipeline_e2e",
-    "pipeline_fanout", "source_sql", "id_gen", "sync_insert_missing",
-    "sink_upsert", "sync_chunked", "sync_flag_update", "delete_where",
-    "sync_scd2", "dedup_minhash", "dedup_simhash", "dedup_embedding",
-    "ann_lsh", "ann_ivfpq", "pipeline_web_prep", "dedup_semantic",
-    "text_bpe_encode", "stream_session_window", "q_window_running", "q_case_agg",
-    "q_market_share", "q_big_orders", "q_waiting_supplier", "q_array_agg",
-    "q_triangles",
-    # (b) backfill to 50 from the r12 cohort head —
-    "dedup_clusters", "multimodal_ann", "text_repeated_ngrams",
-    "text_gopher_quality", "text_tfidf", "ann_range", "ann_pq",
-    "text_sample_exact_k", "find_files", "line_parser_csv", "xml_parse",
-    "xml_format", "file_roundtrip",
+    # Round-16 front-load, slot budget 50 (50 used).
+    # (a) keys whose code changed THIS round (optimization round 2):
+    # the BFS/SSSP/connected-components size-gated broadcasts + long
+    # node ids (q_shortest_path, q_weighted_paths, dedup_clusters,
+    # q_entity_resolution), the q_pagerank/q_kcore budget-parse
+    # refactor, the text_tokens Arrow gate, the dedup_ngram_jaccard
+    # hint drop, the q_waiting_supplier comment/pin, and the AVI
+    # palette-LUT cache (multimodal_video_neardup) —
+    "text_tokens", "q_shortest_path", "q_weighted_paths", "dedup_clusters",
+    "q_entity_resolution", "dedup_ngram_jaccard", "q_waiting_supplier",
+    "multimodal_video_neardup", "q_pagerank", "q_kcore",
+    # (b) VERDICT r15 ask #4: the r15-rewritten keys whose latest
+    # driver verdict predates the rewrite —
+    "q_ship_priority", "q_order_priority", "q_returned_items",
+    "q_join_multiway", "q_big_orders", "dedup_minhash", "text_quality",
+    "ann_bruteforce",
+    # (c) backfill to 50 from the stalest cohorts (r12 first, then the
+    # r13 head), tools/verdict_freshness.py's ordered paste minus the
+    # keys already listed above —
+    "layout_partitioned_read", "layout_bucketed_join", "layout_compacted_roundtrip",
+    "layout_zorder_read", "ann_ivf", "text_dedup_lines", "text_url_dedup",
+    "stream_windowed_agg", "stream_dedup", "stream_stream_join",
+    "stream_sliding_window", "stream_static_join", "q_filter_project",
+    "q_agg_pricing", "q_join_broadcast", "q_join_left", "q_join_semi",
+    "q_window_rank", "q_subquery_avg", "q_percentile", "q_nation_volume",
+    "q_count_distribution", "q_top_supplier", "q_or_predicates", "q_cube",
+    "q_argminmax", "q_set_ops", "q_join_full", "q_sessionize",
+    "q_sessionize_dg_key", "q_sessionize_dg_nev", "q_funnel",
 )
-# Next round (r16): the remaining 36 r12-verdict keys (the layout_*
-# family, ann_ivf, text_dedup_lines, text_url_dedup, the stream_*
-# r12 tier, q_filter_project onward through the graph queries),
-# backfilled to 50 from the r13 cohort.
-# tools/verdict_freshness.py prints the ordered list (stalest cohort
-# first) ready to paste; bump _ROTATION_BASIS_ROUND to 15 when
-# re-authoring.
+# Next round (r17): the remaining r13-verdict keys (q_retention,
+# q_anomaly, q_event_paths, q_ts_similarity, emb_*, text_split,
+# text_data_card, corpus_diff, ... per tools/verdict_freshness.py),
+# backfilled to 50 from the r14 cohort head; bump
+# _ROTATION_BASIS_ROUND to 16 when re-authoring.
 
 
 def registry() -> dict[str, Query]:
