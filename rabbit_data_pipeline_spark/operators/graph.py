@@ -101,9 +101,15 @@ def connected_components(
     # same idiom as pagerank's node count) and broadcast every
     # node-sized join side iff it fits the session budget; past it the
     # shuffle shape returns by itself.
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # Reliable-checkpoint callers keep reliability for the round-0
+    # vector too (a lost localCheckpoint block is unrecoverable, not
+    # recomputable); the local path stays lazy so the count below
+    # materializes and counts in ONE job.
     labels = (
-        edges.select("u").distinct().withColumn("label", F.col("u"))
-        .localCheckpoint(eager=False)
+        labels.checkpoint(eager=True)
+        if use_reliable_checkpoint
+        else labels.localCheckpoint(eager=False)
     )
     n_nodes = labels.count()
     small = 0 < n_nodes <= _broadcast_budget_rows(pairs.sparkSession)
